@@ -1,0 +1,444 @@
+"""Shared neural building blocks (layer 2 of SURVEY.md §1).
+
+The reference re-implements convs/norms/activations inside every model family
+(e.g. kokoro/istftnet.py:53-338, codec/models/descript/nn/layers.py,
+codec/models/bigvgan/conv.py); here they are centralized once.
+
+Conventions (TPU-first):
+
+* **Channels-last everywhere.**  All 1-D sequence ops take ``[batch, length,
+  channels]`` (NLC) — the layout XLA tiles best on TPU — so there are no
+  layout swaps between layers.  Checkpoint weights in torch's NCL layouts are
+  transposed once at load time.
+* Modules are pytrees (see module.py); calls are pure.
+* Weight-normalized convs keep (v, g) separate and normalize at call time,
+  matching the reference semantics (istftnet.py:53-93) so checkpoints load
+  unchanged; XLA constant-folds the normalization per step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.nn.module import Module
+
+_INIT_RNG = np.random.default_rng(0)
+
+
+def _uniform(shape, scale):
+    return jnp.asarray(
+        _INIT_RNG.uniform(-scale, scale, size=shape), dtype=jnp.float32
+    )
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+# ---------------------------------------------------------------------------
+# Dense / embedding
+# ---------------------------------------------------------------------------
+
+
+class Linear(Module):
+    """y = x @ W^T + b with torch-layout weight [out, in] for easy loading."""
+
+    def __init__(self, in_dim: int, out_dim: int, bias: bool = True):
+        scale = 1.0 / math.sqrt(in_dim)
+        self.weight = _uniform((out_dim, in_dim), scale)
+        self.bias = _uniform((out_dim,), scale) if bias else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = x @ self.weight.T
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+class Embedding(Module):
+    def __init__(self, num_embeddings: int, dim: int):
+        self.weight = _uniform((num_embeddings, dim), 1.0)
+
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        return jnp.take(self.weight, ids, axis=0)
+
+    def as_linear(self, x: jax.Array) -> jax.Array:
+        """Tied-embedding output projection."""
+        return x @ self.weight.T
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+class LayerNorm(Module):
+    def __init__(self, dim: int, eps: float = 1e-5, affine: bool = True):
+        self.eps = eps
+        self.weight = jnp.ones((dim,)) if affine else None
+        self.bias = jnp.zeros((dim,)) if affine else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.weight is not None:
+            y = y * self.weight + self.bias
+        return y
+
+
+class RMSNorm(Module):
+    def __init__(self, dim: int, eps: float = 1e-5):
+        self.eps = eps
+        self.weight = jnp.ones((dim,))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # Normalize in f32 for stability under bf16 activations.
+        xf = x.astype(jnp.float32)
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (y * self.weight).astype(x.dtype)
+
+
+class InstanceNorm1d(Module):
+    """Instance norm over the time axis of NLC input (reference
+    istftnet.py:173-325 operates NCL; semantics are identical)."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5, affine: bool = False):
+        self.eps = eps
+        self.weight = jnp.ones((num_features,)) if affine else None
+        self.bias = jnp.zeros((num_features,)) if affine else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, L, C]; stats per (batch, channel) over L
+        mean = jnp.mean(x, axis=-2, keepdims=True)
+        var = jnp.var(x, axis=-2, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.weight is not None:
+            y = y * self.weight + self.bias
+        return y
+
+
+class AdaIN1d(Module):
+    """Style-conditioned instance norm (istftnet.py:327-338), NLC layout."""
+
+    def __init__(self, style_dim: int, num_features: int):
+        self.norm = InstanceNorm1d(num_features, affine=False)
+        self.fc = Linear(style_dim, num_features * 2)
+
+    def __call__(self, x: jax.Array, s: jax.Array) -> jax.Array:
+        h = self.fc(s)  # [B, 2C]
+        gamma, beta = jnp.split(h, 2, axis=-1)
+        return (1 + gamma[:, None, :]) * self.norm(x) + beta[:, None, :]
+
+
+class AdaLayerNorm(Module):
+    """Style-conditioned layer norm (kokoro/modules.py:71-90), NLC layout."""
+
+    def __init__(self, style_dim: int, channels: int, eps: float = 1e-5):
+        self.eps = eps
+        self.fc = Linear(style_dim, channels * 2)
+
+    def __call__(self, x: jax.Array, s: jax.Array) -> jax.Array:
+        h = self.fc(s)  # [B, 2C]
+        gamma, beta = jnp.split(h, 2, axis=-1)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return (1 + gamma[:, None, :]) * y + beta[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return jnp.where(x > 0, x, x * negative_slope)
+
+
+def snake(x: jax.Array, alpha: jax.Array, alpha_logscale: bool = False) -> jax.Array:
+    """Snake activation ``x + sin^2(ax)/a`` (istftnet.py:382; bigvgan
+    activation.py:5)."""
+    if alpha_logscale:
+        alpha = jnp.exp(alpha)
+    s = jnp.sin(alpha * x)
+    return x + s * s / (alpha + 1e-9)
+
+
+def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array,
+               alpha_logscale: bool = True) -> jax.Array:
+    """SnakeBeta: ``x + sin^2(ax)/b`` (bigvgan activation.py:27)."""
+    if alpha_logscale:
+        alpha, beta = jnp.exp(alpha), jnp.exp(beta)
+    s = jnp.sin(alpha * x)
+    return x + s * s / (beta + 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Convolutions (NLC)
+# ---------------------------------------------------------------------------
+
+_DN_CONV1D = ("NWC", "WIO", "NWC")
+
+
+def conv1d(
+    x: jax.Array,
+    weight: jax.Array,
+    stride: int = 1,
+    padding: Union[int, tuple[int, int]] = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """Functional conv over NLC input with weight [k, in_ch/groups, out_ch]."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    return jax.lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=(stride,),
+        padding=(padding,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN_CONV1D,
+        feature_group_count=groups,
+    )
+
+
+def conv_transpose1d(
+    x: jax.Array,
+    weight: jax.Array,
+    stride: int = 1,
+    padding: int = 0,
+    output_padding: int = 0,
+    groups: int = 1,
+) -> jax.Array:
+    """Transposed conv over NLC input, torch-compatible semantics.
+
+    ``weight`` is [k, out_ch/groups?, ...] — we use [k, in, out] and express
+    the transpose as an input-dilated regular conv with a flipped kernel,
+    which is exactly what torch's ConvTranspose1d computes and lowers cleanly
+    to the MXU.
+    """
+    if groups != 1:
+        raise NotImplementedError("use depthwise_conv_transpose1d for groups > 1")
+    k = weight.shape[0]
+    pad_lo = k - 1 - padding
+    pad_hi = k - 1 - padding + output_padding
+    # flip taps; weight [k, in, out] is already the rhs layout for the
+    # equivalent input-dilated forward conv
+    w = jnp.flip(weight, axis=0)
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=((pad_lo, pad_hi),),
+        lhs_dilation=(stride,),
+        dimension_numbers=_DN_CONV1D,
+    )
+
+
+class Conv1d(Module):
+    """Standard conv, weight stored [k, in/groups, out] (NLC rhs layout)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int,
+        stride: int = 1,
+        padding: int = 0,
+        dilation: int = 1,
+        groups: int = 1,
+        bias: bool = True,
+    ):
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        scale = 1.0 / math.sqrt(in_channels * kernel_size / groups)
+        self.weight = _uniform((kernel_size, in_channels // groups, out_channels), scale)
+        self.bias = _uniform((out_channels,), scale) if bias else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = conv1d(x, self.weight, self.stride, self.padding, self.dilation, self.groups)
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+class ConvTranspose1d(Module):
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int,
+        stride: int = 1,
+        padding: int = 0,
+        output_padding: int = 0,
+        groups: int = 1,
+        bias: bool = True,
+    ):
+        self.stride = stride
+        self.padding = padding
+        self.output_padding = output_padding
+        self.groups = groups
+        scale = 1.0 / math.sqrt(in_channels * kernel_size / groups)
+        if groups == 1:
+            # stored [k, in, out] (torch layout [in, out, k] transposed)
+            self.weight = _uniform((kernel_size, in_channels, out_channels), scale)
+        else:
+            if in_channels != out_channels or in_channels != groups:
+                raise NotImplementedError("grouped convT supports depthwise only")
+            self.weight = _uniform((kernel_size, in_channels, 1), scale)
+        self.bias = _uniform((out_channels,), scale) if bias else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.groups == 1:
+            y = conv_transpose1d(
+                x, self.weight, self.stride, self.padding, self.output_padding
+            )
+        else:
+            y = depthwise_conv_transpose1d(
+                x, self.weight, self.stride, self.padding, self.output_padding
+            )
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+def depthwise_conv_transpose1d(
+    x: jax.Array, weight: jax.Array, stride: int, padding: int, output_padding: int = 0
+) -> jax.Array:
+    """Depthwise transposed conv: weight [k, C, 1], NLC input."""
+    k = weight.shape[0]
+    pad_lo = k - 1 - padding
+    pad_hi = k - 1 - padding + output_padding
+    # stored [k, C, 1] -> rhs [k, in/groups=1, out=C]
+    w = jnp.swapaxes(jnp.flip(weight, axis=0), 1, 2)
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=((pad_lo, pad_hi),),
+        lhs_dilation=(stride,),
+        dimension_numbers=_DN_CONV1D,
+        feature_group_count=x.shape[-1],
+    )
+
+
+def weight_norm(weight_v: jax.Array, weight_g: jax.Array) -> jax.Array:
+    """w = g * v / ||v||, norm over all axes except the out-channel axis.
+
+    Our conv rhs layout is [k, in, out]; out-channel is axis -1, so the norm
+    reduces over (0, 1).  Matches reference istftnet.py:53-93 (dim=0 on
+    [out, k, in] — same channels, different layout).
+    """
+    norm = jnp.sqrt(jnp.sum(weight_v * weight_v, axis=(0, 1), keepdims=True))
+    return weight_v / (norm + 1e-7) * weight_g
+
+
+class WNConv1d(Module):
+    """Weight-normalized conv1d (reference ConvWeighted, istftnet.py:96-170).
+
+    weight_v: [k, in/groups, out]; weight_g: [1, 1, out].
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int,
+        stride: int = 1,
+        padding: int = 0,
+        dilation: int = 1,
+        groups: int = 1,
+        bias: bool = True,
+    ):
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        self.weight_g = jnp.ones((1, 1, out_channels))
+        self.weight_v = jnp.ones((kernel_size, in_channels // groups, out_channels))
+        self.bias = jnp.zeros((out_channels,)) if bias else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = weight_norm(self.weight_v, self.weight_g)
+        y = conv1d(x, w, self.stride, self.padding, self.dilation, self.groups)
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+class WNConvTranspose1d(Module):
+    """Weight-normalized transposed conv1d (NLC).
+
+    weight_v: [k, in, out] (groups=1) or [k, C, 1] (depthwise).  NB: torch
+    weight-norm on ConvTranspose (dim=0 over its [in, out, k] layout) puts
+    both the norm and ``g`` on the *input*-channel axis — reproduced here so
+    checkpoints load unchanged (cf. reference istftnet.py:119-130 where
+    ConvWeighted's "out_channels" arg is the convT input dim).
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int,
+        stride: int = 1,
+        padding: int = 0,
+        output_padding: int = 0,
+        groups: int = 1,
+        bias: bool = True,
+    ):
+        self.stride = stride
+        self.padding = padding
+        self.output_padding = output_padding
+        self.groups = groups
+        if groups == 1:
+            self.weight_v = jnp.ones((kernel_size, in_channels, out_channels))
+        else:
+            if in_channels != out_channels or in_channels != groups:
+                raise NotImplementedError("grouped convT supports depthwise only")
+            self.weight_v = jnp.ones((kernel_size, in_channels, 1))
+        self.weight_g = jnp.ones((1, in_channels, 1))
+        self.bias = jnp.zeros((out_channels,)) if bias else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        norm = jnp.sqrt(
+            jnp.sum(self.weight_v * self.weight_v, axis=(0, 2), keepdims=True)
+        )
+        w = self.weight_v / (norm + 1e-7) * self.weight_g
+        if self.groups == 1:
+            y = conv_transpose1d(x, w, self.stride, self.padding, self.output_padding)
+        else:
+            y = depthwise_conv_transpose1d(
+                x, w, self.stride, self.padding, self.output_padding
+            )
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+
+class Identity(Module):
+    def __init__(self):
+        pass
+
+    def __call__(self, x, *a, **k):
+        return x
+
+
+def zero_pad_time(x: jax.Array, pad: tuple[int, int]) -> jax.Array:
+    """Zero-pad the time (second-to-last) axis of NLC input."""
+    cfg = [(0, 0)] * x.ndim
+    cfg[-2] = pad
+    return jnp.pad(x, cfg)

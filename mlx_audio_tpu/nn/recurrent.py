@@ -1,0 +1,115 @@
+"""Recurrent blocks as `lax.scan` (TPU-compatible, fused, static-shaped).
+
+The reference runs one Python iteration per timestep (kokoro/modules.py:
+152-239, encodec.py:125-171) — fine for lazy MLX, fatal under XLA tracing.
+Here the input projection is hoisted to a single big matmul (MXU) and the
+recurrence is a `lax.scan` over precomputed gate activations.
+
+Gate packing follows torch LSTM order (i, f, g, o) so checkpoints map 1:1.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.nn.module import Module
+from mlx_audio_tpu.nn.layers import _uniform
+
+
+def lstm_scan(
+    x_proj: jax.Array,
+    w_h: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    reverse: bool = False,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Run the LSTM recurrence.
+
+    x_proj: [B, L, 4H] precomputed input gates (+ biases); w_h: [4H, H].
+    Returns hidden states [B, L, H] and final (h, c).
+    """
+    w_h_t = w_h.T  # [H, 4H]
+
+    def step(carry, xt):
+        h, c = carry
+        ifgo = xt + h @ w_h_t
+        i, f, g, o = jnp.split(ifgo, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [L, B, 4H]
+    (h, c), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1), (h, c)
+
+
+class LSTM(Module):
+    """Single-layer (optionally bidirectional) LSTM over [B, L, D] input.
+
+    Weight names mirror the reference's MLX port (kokoro/modules.py:111-144):
+    ``Wx_forward`` [4H, D], ``Wh_forward`` [4H, H], ``bias_ih_forward``,
+    ``bias_hh_forward`` and the ``_backward`` set, which themselves map 1:1
+    from torch's ``weight_ih_l0``/``weight_hh_l0``/... keys.
+    """
+
+    def __init__(
+        self,
+        input_size: int,
+        hidden_size: int,
+        bias: bool = True,
+        bidirectional: bool = True,
+    ):
+        self.input_size = input_size
+        self.hidden_size = hidden_size
+        self.bidirectional = bidirectional
+        scale = 1.0 / math.sqrt(hidden_size)
+        self.Wx_forward = _uniform((4 * hidden_size, input_size), scale)
+        self.Wh_forward = _uniform((4 * hidden_size, hidden_size), scale)
+        self.bias_ih_forward = _uniform((4 * hidden_size,), scale) if bias else None
+        self.bias_hh_forward = _uniform((4 * hidden_size,), scale) if bias else None
+        if bidirectional:
+            self.Wx_backward = _uniform((4 * hidden_size, input_size), scale)
+            self.Wh_backward = _uniform((4 * hidden_size, hidden_size), scale)
+            self.bias_ih_backward = _uniform((4 * hidden_size,), scale) if bias else None
+            self.bias_hh_backward = _uniform((4 * hidden_size,), scale) if bias else None
+
+    def _run(self, x, wx, wh, b_ih, b_hh, reverse):
+        x_proj = x @ wx.T
+        if b_ih is not None:
+            x_proj = x_proj + b_ih + b_hh
+        b = x.shape[0]
+        h0 = jnp.zeros((b, self.hidden_size), dtype=x.dtype)
+        c0 = jnp.zeros((b, self.hidden_size), dtype=x.dtype)
+        return lstm_scan(x_proj, wh, h0, c0, reverse=reverse)
+
+    def __call__(self, x: jax.Array):
+        """x: [B, L, D] (or [L, D]) -> ([B, L, H*dirs], final states)."""
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[None]
+        fwd, (hf, cf) = self._run(
+            x, self.Wx_forward, self.Wh_forward,
+            self.bias_ih_forward, self.bias_hh_forward, reverse=False,
+        )
+        if not self.bidirectional:
+            out = fwd
+            state = (hf, cf)
+        else:
+            bwd, (hb, cb) = self._run(
+                x, self.Wx_backward, self.Wh_backward,
+                self.bias_ih_backward, self.bias_hh_backward, reverse=True,
+            )
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+            state = ((hf, cf), (hb, cb))
+        if squeeze:
+            out = out[0]
+        return out, state
