@@ -1,0 +1,330 @@
+"""Kokoro-82M — non-autoregressive TTS (StyleTTS2 lineage), TPU-first.
+
+Re-creates /root/reference/mlx_audio/tts/models/kokoro/kokoro.py:66-346 with
+an XLA-native execution plan:
+
+* **Stage A (duration)** — one jitted graph per phoneme bucket: PLBERT ->
+  prosody text encoder -> BiLSTM -> duration head.  Emits the duration-
+  context features and integer per-phoneme durations.
+* **Stage B (synthesis)** — one jitted graph per (phoneme, frame) bucket:
+  the alignment matrix is built *inside* the graph as a vectorized
+  cumsum-compare (the reference loops on host, kokoro.py:151-156), then
+  F0/N prediction, text encoding, and the ISTFTNet decoder produce audio.
+  All stages are batched and mask-exact under bucket padding.
+
+The only host sync between stages is the duration read-out needed to choose
+the frame bucket (and for timestamps — same data the reference pulls).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.models.base import (
+    BaseModelArgs,
+    GenerationResult,
+    check_array_shape,
+    make_generation_result,
+)
+from mlx_audio_tpu.models.tts.kokoro.albert import AlbertModelArgs, CustomAlbert
+from mlx_audio_tpu.models.tts.kokoro.istftnet import Decoder
+from mlx_audio_tpu.models.tts.kokoro.modules import ProsodyPredictor, TextEncoder
+from mlx_audio_tpu.nn import Linear, Module
+
+
+@dataclass
+class ModelConfig(BaseModelArgs):
+    istftnet: dict
+    dim_in: int
+    dropout: float
+    hidden_dim: int
+    max_conv_dim: int
+    max_dur: int
+    multispeaker: bool
+    n_layer: int
+    n_mels: int
+    n_token: int
+    style_dim: int
+    text_encoder_kernel_size: int
+    plbert: dict
+    vocab: Dict[str, int]
+    sample_rate: int = 24000
+
+
+PHONEME_BUCKETS = (16, 32, 64, 128, 256, 512)
+FRAME_BUCKET_STEP = 100
+
+
+def pick_phoneme_bucket(n: int) -> int:
+    for b in PHONEME_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"phoneme sequence too long: {n}")
+
+
+def pick_frame_bucket(total: int) -> int:
+    return max(FRAME_BUCKET_STEP, -(-total // FRAME_BUCKET_STEP) * FRAME_BUCKET_STEP)
+
+
+@partial(jax.jit, static_argnames=())
+def _duration_stage(model, input_ids, lengths, style, speed):
+    """input_ids [B, N], lengths [B], style [B, 128] (prosody half),
+    speed [B] -> (d [B, N, C+S], pred_dur int32 [B, N])."""
+    n = input_ids.shape[1]
+    pad_mask = jnp.arange(n)[None, :] >= lengths[:, None]
+    attn = (~pad_mask).astype(jnp.int32)
+    bert_out, _ = model.bert(input_ids, attention_mask=attn)
+    d_en = model.bert_encoder(bert_out)  # [B, N, hidden]
+    d = model.predictor.text_encoder(d_en, style, lengths, pad_mask)
+    dur_logits = model.predictor.predict_durations(d, lengths)
+    duration = jax.nn.sigmoid(dur_logits).sum(axis=-1) / speed[:, None]
+    pred_dur = jnp.clip(jnp.round(duration), 1, None).astype(jnp.int32)
+    pred_dur = jnp.where(pad_mask, 0, pred_dur)
+    return d, pred_dur
+
+
+@partial(jax.jit, static_argnames=())
+def _synthesis_stage(model, input_ids, lengths, d, pred_dur, ref_s, key,
+                     num_frames):
+    """Frame-bucketed synthesis.  num_frames: [F] zeros array fixing the
+    frame bucket shape.  Returns (audio [B, 600*F], total_frames [B])."""
+    n = input_ids.shape[1]
+    f = num_frames.shape[0]
+    pad_mask = jnp.arange(n)[None, :] >= lengths[:, None]
+
+    style_p = ref_s[:, 128:]
+    style_d = ref_s[:, :128]
+
+    cum = jnp.cumsum(pred_dur, axis=-1)            # [B, N]
+    start = cum - pred_dur
+    t_idx = jnp.arange(f)[None, None, :]
+    aln = (
+        (t_idx >= start[..., None]) & (t_idx < cum[..., None])
+    ).astype(d.dtype)                               # [B, N, F]
+    total = jnp.minimum(cum[:, -1], f)              # [B]
+
+    en = jnp.einsum("bnc,bnf->bfc", d, aln)
+    f0_pred, n_pred = model.predictor.F0Ntrain(en, style_p, frame_lengths=total)
+
+    t_en = model.text_encoder(input_ids, lengths, pad_mask)
+    asr = jnp.einsum("bnc,bnf->bfc", t_en, aln)
+
+    audio = model.decoder(asr, f0_pred, n_pred, style_d, key,
+                          frame_lengths=total)
+    return audio, total
+
+
+class Model(Module):
+    """Kokoro model graph (language-blind; text processing lives in
+    pipeline.py, mirroring the reference split)."""
+
+    SAMPLES_PER_FRAME = 600  # 24 kHz / (2x upsample * 10 * 6 * 5) contract
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.vocab = config.vocab
+        self.bert = CustomAlbert(
+            AlbertModelArgs.from_dict({"vocab_size": config.n_token, **config.plbert})
+        )
+        self.bert_encoder = Linear(self.bert.config.hidden_size, config.hidden_dim)
+        self.context_length = self.bert.config.max_position_embeddings
+        self.predictor = ProsodyPredictor(
+            style_dim=config.style_dim,
+            d_hid=config.hidden_dim,
+            nlayers=config.n_layer,
+            max_dur=config.max_dur,
+            dropout=config.dropout,
+        )
+        self.text_encoder = TextEncoder(
+            channels=config.hidden_dim,
+            kernel_size=config.text_encoder_kernel_size,
+            depth=config.n_layer,
+            n_symbols=config.n_token,
+        )
+        self.decoder = Decoder(
+            dim_in=config.hidden_dim,
+            style_dim=config.style_dim,
+            dim_out=config.n_mels,
+            **config.istftnet,
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    # -- synthesis ---------------------------------------------------------
+
+    def phonemes_to_ids(self, phonemes: str) -> list[int]:
+        return [self.vocab[p] for p in phonemes if p in self.vocab]
+
+    def synthesize(
+        self,
+        phonemes: str,
+        ref_s: np.ndarray,
+        speed: float = 1.0,
+        key: Optional[jax.Array] = None,
+    ):
+        """phonemes -> (audio np.float32 [T], pred_dur np.int32 [n]).
+
+        Mirrors the reference Model.__call__ contract (kokoro.py:120-170).
+        """
+        ids = self.phonemes_to_ids(phonemes)
+        assert len(ids) + 2 <= self.context_length, (len(ids) + 2, self.context_length)
+        tokens = [0, *ids, 0]
+        n_valid = len(tokens)
+        bucket = pick_phoneme_bucket(n_valid)
+        input_ids = np.zeros((1, bucket), dtype=np.int32)
+        input_ids[0, :n_valid] = tokens
+        input_ids = jnp.asarray(input_ids)
+        lengths = jnp.asarray([n_valid], dtype=jnp.int32)
+        ref_s = jnp.asarray(ref_s, dtype=jnp.float32)
+        if ref_s.ndim == 1:
+            ref_s = ref_s[None]
+
+        d, pred_dur = _duration_stage(
+            self, input_ids, lengths, ref_s[:, 128:],
+            jnp.asarray([speed], dtype=jnp.float32),
+        )
+        pred_dur_np = np.asarray(pred_dur)[0, :n_valid]
+        total = int(pred_dur_np.sum())
+        f_bucket = pick_frame_bucket(total)
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        audio, _ = _synthesis_stage(
+            self, input_ids, lengths, d, pred_dur, ref_s, key,
+            jnp.zeros((f_bucket,), dtype=jnp.int32),
+        )
+        audio_np = np.asarray(audio)[0, : total * self.SAMPLES_PER_FRAME]
+        return audio_np, pred_dur_np
+
+    def generate(
+        self,
+        text: str,
+        voice: Optional[str] = None,
+        speed: float = 1.0,
+        lang_code: str = "a",
+        split_pattern: str = r"\n+",
+        **kwargs,
+    ) -> Iterator[GenerationResult]:
+        """Text -> audio segments with the standard metrics record
+        (reference kokoro.py:269-346)."""
+        from mlx_audio_tpu.models.tts.kokoro.pipeline import KokoroPipeline
+
+        pipeline = KokoroPipeline(model=self, lang_code=lang_code)
+        start = time.time()
+        for idx, (graphemes, phonemes, audio) in enumerate(
+            pipeline(text, voice=voice or "af_heart", speed=speed,
+                     split_pattern=split_pattern)
+        ):
+            now = time.time()
+            seg_time = now - start
+            start = now
+            yield make_generation_result(
+                audio=audio,
+                sample_rate=self.config.sample_rate,
+                segment_idx=idx,
+                token_count=len(phonemes) if phonemes else 0,
+                segment_time=seg_time,
+            )
+
+    # -- checkpoint loading ------------------------------------------------
+
+    def sanitize(self, weights: dict) -> dict:
+        return sanitize(weights)
+
+
+def _convert_conv_weight(w: np.ndarray) -> np.ndarray:
+    """Torch conv [O, I, K] or MLX conv [O, K, I] -> ours [K, I, O]."""
+    if check_array_shape(w):  # already MLX [O, K, I]
+        return w.transpose(1, 2, 0)
+    return w.transpose(2, 1, 0)
+
+
+_LSTM_SUFFIXES = {
+    "weight_ih_l0_reverse": "Wx_backward",
+    "weight_hh_l0_reverse": "Wh_backward",
+    "bias_ih_l0_reverse": "bias_ih_backward",
+    "bias_hh_l0_reverse": "bias_hh_backward",
+    "weight_ih_l0": "Wx_forward",
+    "weight_hh_l0": "Wh_forward",
+    "bias_ih_l0": "bias_ih_forward",
+    "bias_hh_l0": "bias_hh_forward",
+}
+
+
+def sanitize(weights: dict) -> dict:
+    """Map reference/torch checkpoint keys+layouts to our pytree paths.
+
+    Port of the rules at kokoro.py:24-44,172-252 and the decoder sanitize
+    (istftnet.py:965-979), adapted to this package's [K, I, O] conv layout.
+    """
+    out = {}
+    for key, w in weights.items():
+        w = np.asarray(w)
+        if "position_ids" in key:
+            continue
+
+        # LSTM gate-weight renames apply everywhere
+        renamed = None
+        for suffix, new in _LSTM_SUFFIXES.items():
+            if key.endswith(suffix):
+                renamed = key[: -len(suffix)] + new
+                break
+        if renamed is not None:
+            out[renamed] = w
+            continue
+
+        # old-style LayerNorm names
+        if key.endswith(".gamma"):
+            out[key[: -len(".gamma")] + ".weight"] = w
+            continue
+        if key.endswith(".beta"):
+            out[key[: -len(".beta")] + ".bias"] = w
+            continue
+
+        if ".duration_proj.linear_layer." in key:
+            out[key.replace(".linear_layer.", ".")] = w
+            continue
+
+        is_transposed_conv = (".ups." in key) or (".pool." in key)
+        if key.endswith("weight_v") and w.ndim == 3:
+            if is_transposed_conv:
+                # torch convT [in, out/g, k] -> [k, in, out/g]
+                out[key] = w.transpose(2, 0, 1)
+            else:
+                out[key] = _convert_conv_weight(w)
+            continue
+        if key.endswith("weight_g") and w.ndim == 3:
+            if is_transposed_conv:
+                out[key] = w.transpose(1, 0, 2)  # [in,1,1] -> [1,in,1]
+            else:
+                out[key] = w.transpose(1, 2, 0)  # [out,1,1] -> [1,1,out]
+            continue
+
+        if (".alpha1." in key or ".alpha2." in key) and w.ndim == 3:
+            out[key] = w.reshape(-1)  # [1, C, 1] -> [C]
+            continue
+
+        # plain conv weights (noise_convs, F0_proj, N_proj, F0_conv, ...)
+        if key.endswith(".weight") and w.ndim == 3:
+            out[key] = _convert_conv_weight(w)
+            continue
+
+        out[key] = w
+    return out
+
+
+def load_config(config_path_or_dict) -> ModelConfig:
+    if isinstance(config_path_or_dict, dict):
+        return ModelConfig.from_dict(config_path_or_dict)
+    with open(config_path_or_dict) as f:
+        return ModelConfig.from_dict(json.load(f))

@@ -1,0 +1,324 @@
+"""Kokoro language pipeline: G2P, 510-phoneme chunking, voices, timestamps.
+
+Host-side text stage, capability parity with /root/reference/mlx_audio/tts/
+models/kokoro/pipeline.py:43-461.  G2P backends are pluggable: misaki (if
+installed) or any callable; raw-phoneme input always works, so the model is
+fully usable without optional G2P dependencies.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Generator, List, Optional, Tuple, Union
+
+import numpy as np
+
+ALIASES = {
+    "en-us": "a",
+    "en-gb": "b",
+    "es": "e",
+    "fr-fr": "f",
+    "hi": "h",
+    "it": "i",
+    "pt-br": "p",
+    "ja": "j",
+    "zh": "z",
+}
+
+LANG_CODES = dict(
+    a="American English",
+    b="British English",
+    e="es",
+    f="fr-fr",
+    h="hi",
+    i="it",
+    p="pt-br",
+    j="Japanese",
+    z="Mandarin Chinese",
+)
+
+PHONEME_BUDGET = 510  # 512 ALBERT context minus BOS/EOS (kokoro.py:131)
+
+
+@dataclass
+class MToken:
+    """Minimal token record compatible with misaki's MToken fields used by
+    the pipeline (text, phonemes, whitespace, start_ts/end_ts)."""
+
+    text: str
+    phonemes: Optional[str] = None
+    whitespace: str = " "
+    start_ts: Optional[float] = None
+    end_ts: Optional[float] = None
+
+
+def load_voice_tensor(path: str) -> np.ndarray:
+    """Load a Kokoro voice pack (.pt zip / .npz / .npy / .safetensors) to a
+    float32 numpy array [510, 1, 256] (reference voice.py:8-83 does a
+    torch-free unpickle; we route through available loaders)."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return np.asarray(data[list(data.keys())[0]], dtype=np.float32)
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        data = load_file(path)
+        return np.asarray(next(iter(data.values())), dtype=np.float32)
+    # .pt (zipped torch pickle)
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(t, dict):
+        t = next(iter(t.values()))
+    return t.detach().float().numpy()
+
+
+class FallbackG2P:
+    """Dependency-free grapheme pass-through tokenizer.
+
+    Produces one MToken per whitespace-separated word with ``phonemes=None``
+    unless the word is already written in the model's phoneme alphabet.  It
+    exists so the pipeline (chunking, timestamps, serving) works end-to-end
+    without misaki; real linguistic quality requires a proper G2P backend.
+    """
+
+    def __init__(self, vocab: Optional[dict] = None):
+        self.vocab = vocab or {}
+
+    def __call__(self, text: str) -> Tuple[str, List[MToken]]:
+        tokens = []
+        for m in re.finditer(r"(\S+)(\s*)", text):
+            word, ws = m.group(1), m.group(2)
+            # keep characters that exist in the phoneme vocab; this makes
+            # phoneme-alphabet input (the common no-G2P path) exact
+            ps = "".join(c for c in word if not self.vocab or c in self.vocab)
+            tokens.append(MToken(text=word, phonemes=ps, whitespace=ws))
+        return "".join((t.phonemes or "") + t.whitespace for t in tokens).strip(), tokens
+
+
+def make_g2p(lang_code: str, vocab: Optional[dict] = None, trf: bool = False):
+    """misaki/espeak G2P if installed (reference pipeline.py:92-127), else
+    the dependency-free fallback."""
+    try:
+        from misaki import en, espeak  # type: ignore
+
+        if lang_code in "ab":
+            try:
+                fallback = espeak.EspeakFallback(british=lang_code == "b")
+            except Exception:
+                logging.warning("EspeakFallback not enabled: OOD words will be skipped")
+                fallback = None
+            return en.G2P(trf=trf, british=lang_code == "b", fallback=fallback, unk="")
+        if lang_code == "j":
+            from misaki import ja  # type: ignore
+
+            return ja.JAG2P()
+        if lang_code == "z":
+            from misaki import zh  # type: ignore
+
+            return zh.ZHG2P()
+        return espeak.EspeakG2P(language=LANG_CODES[lang_code])
+    except ImportError:
+        logging.warning(
+            "misaki not installed — using dependency-free fallback G2P "
+            "(pass phonemes directly for exact control)"
+        )
+        return FallbackG2P(vocab)
+
+
+class KokoroPipeline:
+    """Language-aware text -> (graphemes, phonemes, audio) generator."""
+
+    def __init__(self, lang_code: str, model=None, repo_id: Optional[str] = None,
+                 g2p: Optional[Callable] = None, trf: bool = False):
+        lang_code = ALIASES.get(lang_code.lower(), lang_code.lower())
+        assert lang_code in LANG_CODES, (lang_code, LANG_CODES)
+        self.lang_code = lang_code
+        self.repo_id = repo_id
+        self.model = model
+        self.voices: dict = {}
+        vocab = getattr(model, "vocab", None) if model else None
+        self.g2p = g2p or make_g2p(lang_code, vocab, trf)
+
+    # -- voices ------------------------------------------------------------
+
+    def load_single_voice(self, voice: str) -> np.ndarray:
+        if voice in self.voices:
+            return self.voices[voice]
+        if any(voice.endswith(s) for s in (".pt", ".npz", ".npy", ".safetensors")):
+            f = voice
+        else:
+            from huggingface_hub import hf_hub_download
+
+            repo = self.repo_id or "prince-canuma/Kokoro-82M"
+            f = hf_hub_download(repo_id=repo, filename=f"voices/{voice}.pt")
+        pack = load_voice_tensor(f)
+        self.voices[voice] = pack
+        return pack
+
+    def load_voice(self, voice: str, delimiter: str = ",") -> np.ndarray:
+        """Load one voice or average several ('af_bella,af_jessica')."""
+        if voice in self.voices:
+            return self.voices[voice]
+        packs = [self.load_single_voice(v) for v in voice.split(delimiter)]
+        if len(packs) == 1:
+            return packs[0]
+        self.voices[voice] = np.mean(np.stack(packs), axis=0)
+        return self.voices[voice]
+
+    # -- chunking (reference pipeline.py:163-226) --------------------------
+
+    @classmethod
+    def tokens_to_ps(cls, tokens: List[MToken]) -> str:
+        return "".join(
+            (t.phonemes or "") + (" " if t.whitespace else "") for t in tokens
+        ).strip()
+
+    @classmethod
+    def tokens_to_text(cls, tokens: List[MToken]) -> str:
+        return "".join(t.text + t.whitespace for t in tokens).strip()
+
+    @classmethod
+    def waterfall_last(
+        cls,
+        tokens: List[MToken],
+        next_count: int,
+        waterfall: List[str] = ["!.?…", ":;", ",—"],
+        bumps: List[str] = [")", "”"],
+    ) -> int:
+        for w in waterfall:
+            z = next(
+                (i for i, t in reversed(list(enumerate(tokens)))
+                 if t.phonemes in set(w)),
+                None,
+            )
+            if z is None:
+                continue
+            z += 1
+            if z < len(tokens) and tokens[z].phonemes in bumps:
+                z += 1
+            if next_count - len(cls.tokens_to_ps(tokens[:z])) <= PHONEME_BUDGET:
+                return z
+        return len(tokens)
+
+    def en_tokenize(
+        self, tokens: List[MToken]
+    ) -> Generator[Tuple[str, str, List[MToken]], None, None]:
+        tks: List[MToken] = []
+        pcount = 0
+        for t in tokens:
+            t.phonemes = "" if t.phonemes is None else t.phonemes.replace("ɾ", "T")
+            next_ps = t.phonemes + (" " if t.whitespace else "")
+            next_pcount = pcount + len(next_ps.rstrip())
+            if next_pcount > PHONEME_BUDGET:
+                z = self.waterfall_last(tks, next_pcount)
+                text = self.tokens_to_text(tks[:z])
+                ps = self.tokens_to_ps(tks[:z])
+                yield text, ps, tks[:z]
+                tks = tks[z:]
+                pcount = len(self.tokens_to_ps(tks))
+                if not tks:
+                    next_ps = next_ps.lstrip()
+            tks.append(t)
+            pcount += len(next_ps)
+        if tks:
+            yield self.tokens_to_text(tks), self.tokens_to_ps(tks), tks
+
+    # -- timestamps (reference pipeline.py:292-328) ------------------------
+
+    @classmethod
+    def join_timestamps(cls, tokens: List[MToken], pred_dur: np.ndarray):
+        MAGIC_DIVISOR = 80  # half-frames -> seconds at 24 kHz / 600 samples
+        if not tokens or len(pred_dur) < 3:
+            return
+        left = right = 2 * max(0, int(pred_dur[0]) - 3)
+        i = 1
+        for t in tokens:
+            if i >= len(pred_dur) - 1:
+                break
+            if not t.phonemes:
+                if t.whitespace:
+                    i += 1
+                    left = right + int(pred_dur[i])
+                    right = left + int(pred_dur[i])
+                    i += 1
+                continue
+            j = i + len(t.phonemes)
+            if j >= len(pred_dur):
+                break
+            t.start_ts = left / MAGIC_DIVISOR
+            token_dur = int(pred_dur[i:j].sum())
+            space_dur = int(pred_dur[j]) if t.whitespace else 0
+            left = right + (2 * token_dur) + space_dur
+            t.end_ts = left / MAGIC_DIVISOR
+            right = left + space_dur
+            i = j + (1 if t.whitespace else 0)
+
+    # -- results -----------------------------------------------------------
+
+    @dataclass
+    class Result:
+        graphemes: str
+        phonemes: str
+        tokens: Optional[List[MToken]] = None
+        audio: Optional[np.ndarray] = None
+        pred_dur: Optional[np.ndarray] = None
+        text_index: Optional[int] = None
+
+        def __iter__(self):
+            yield self.graphemes
+            yield self.phonemes
+            yield self.audio
+
+        def __getitem__(self, index):
+            return [self.graphemes, self.phonemes, self.audio][index]
+
+        def __len__(self):
+            return 3
+
+    def infer(self, ps: str, pack: np.ndarray, speed: float):
+        ref_s = pack[len(ps) - 1]
+        return self.model.synthesize(ps, ref_s, speed)
+
+    def __call__(
+        self,
+        text: Union[str, List[str]],
+        voice: str,
+        speed: float = 1.0,
+        split_pattern: Optional[str] = r"\n+",
+    ) -> Generator["KokoroPipeline.Result", None, None]:
+        if voice is None:
+            raise ValueError("Specify a voice, e.g. voice='af_heart'")
+        pack = self.load_voice(voice) if self.model else None
+        if isinstance(text, str):
+            text = re.split(split_pattern, text.strip()) if split_pattern else [text]
+        for text_index, graphemes in enumerate(text):
+            if not graphemes.strip():
+                continue
+            result = self.g2p(graphemes)
+            # misaki en.G2P returns (ps, tokens); espeak G2P returns (ps, _)
+            if isinstance(result, tuple) and len(result) == 2 and isinstance(result[1], list):
+                _, tokens = result
+                iterator = self.en_tokenize(tokens)
+            else:
+                ps = result[0] if isinstance(result, tuple) else result
+                iterator = [(graphemes, ps[:PHONEME_BUDGET], None)]
+            for gs, ps, tks in iterator:
+                if not ps:
+                    continue
+                if len(ps) > PHONEME_BUDGET:
+                    logging.warning(f"Truncating len(ps) == {len(ps)} > {PHONEME_BUDGET}")
+                    ps = ps[:PHONEME_BUDGET]
+                audio = pred_dur = None
+                if self.model is not None:
+                    audio, pred_dur = self.infer(ps, pack, speed)
+                    if tks is not None and pred_dur is not None:
+                        self.join_timestamps(tks, pred_dur)
+                yield self.Result(
+                    graphemes=gs, phonemes=ps, tokens=tks, audio=audio,
+                    pred_dur=pred_dur, text_index=text_index,
+                )

@@ -29,7 +29,7 @@ from mlx_audio_tpu.nn.layers import (
     snake_beta,
     weight_norm,
 )
-from mlx_audio_tpu.nn.recurrent import LSTM, lstm_scan
+from mlx_audio_tpu.nn.recurrent import LSTM, lstm_scan, masked_flip
 from mlx_audio_tpu.nn.attention import (
     KVCache,
     MultiHeadAttention,
@@ -48,7 +48,7 @@ __all__ = [
     "WNConvTranspose1d", "Identity", "conv1d", "conv_transpose1d",
     "depthwise_conv_transpose1d", "weight_norm", "get_padding",
     "leaky_relu", "snake", "snake_beta",
-    "LSTM", "lstm_scan",
+    "LSTM", "lstm_scan", "masked_flip",
     "KVCache", "MultiHeadAttention", "apply_rope", "cached_attention",
     "causal_mask", "rope_table", "scaled_dot_product_attention",
     "interpolate", "interpolate1d",

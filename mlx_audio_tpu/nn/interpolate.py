@@ -74,5 +74,7 @@ def interpolate(
     if (size is None) == (scale_factor is None):
         raise ValueError("exactly one of size / scale_factor must be given")
     if size is None:
-        size = max(1, int(np.ceil(x.shape[-2] * scale_factor)))
+        val = x.shape[-2] * scale_factor
+        # epsilon-tolerant ceil: 300000 * (1/300) must give 1000, not 1001
+        size = max(1, int(np.ceil(val - 1e-6)))
     return interpolate1d(x, size, mode, align_corners)

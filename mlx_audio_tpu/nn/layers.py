@@ -113,10 +113,17 @@ class InstanceNorm1d(Module):
         self.weight = jnp.ones((num_features,)) if affine else None
         self.bias = jnp.zeros((num_features,)) if affine else None
 
-    def __call__(self, x: jax.Array) -> jax.Array:
-        # x: [B, L, C]; stats per (batch, channel) over L
-        mean = jnp.mean(x, axis=-2, keepdims=True)
-        var = jnp.var(x, axis=-2, keepdims=True)
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        # x: [B, L, C]; stats per (batch, channel) over L.  ``mask`` [B, L]
+        # (True = valid) makes stats exact when L is padded to a bucket.
+        if mask is None:
+            mean = jnp.mean(x, axis=-2, keepdims=True)
+            var = jnp.var(x, axis=-2, keepdims=True)
+        else:
+            m = mask[..., None].astype(x.dtype)
+            count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+            mean = jnp.sum(x * m, axis=-2, keepdims=True) / count
+            var = jnp.sum((x - mean) ** 2 * m, axis=-2, keepdims=True) / count
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
         if self.weight is not None:
             y = y * self.weight + self.bias
@@ -130,10 +137,11 @@ class AdaIN1d(Module):
         self.norm = InstanceNorm1d(num_features, affine=False)
         self.fc = Linear(style_dim, num_features * 2)
 
-    def __call__(self, x: jax.Array, s: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, s: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
         h = self.fc(s)  # [B, 2C]
         gamma, beta = jnp.split(h, 2, axis=-1)
-        return (1 + gamma[:, None, :]) * self.norm(x) + beta[:, None, :]
+        return (1 + gamma[:, None, :]) * self.norm(x, mask) + beta[:, None, :]
 
 
 class AdaLayerNorm(Module):
@@ -362,8 +370,11 @@ class WNConv1d(Module):
         self.padding = padding
         self.dilation = dilation
         self.groups = groups
-        self.weight_g = jnp.ones((1, 1, out_channels))
-        self.weight_v = jnp.ones((kernel_size, in_channels // groups, out_channels))
+        scale = 1.0 / math.sqrt(in_channels * kernel_size / groups)
+        v = _uniform((kernel_size, in_channels // groups, out_channels), scale)
+        self.weight_v = v
+        # g = ||v|| so that w == v at init (torch weight_norm convention)
+        self.weight_g = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
         self.bias = jnp.zeros((out_channels,)) if bias else None
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -399,13 +410,16 @@ class WNConvTranspose1d(Module):
         self.padding = padding
         self.output_padding = output_padding
         self.groups = groups
+        scale = 1.0 / math.sqrt(in_channels * kernel_size / groups)
         if groups == 1:
-            self.weight_v = jnp.ones((kernel_size, in_channels, out_channels))
+            self.weight_v = _uniform((kernel_size, in_channels, out_channels), scale)
         else:
             if in_channels != out_channels or in_channels != groups:
                 raise NotImplementedError("grouped convT supports depthwise only")
-            self.weight_v = jnp.ones((kernel_size, in_channels, 1))
-        self.weight_g = jnp.ones((1, in_channels, 1))
+            self.weight_v = _uniform((kernel_size, in_channels, 1), scale)
+        self.weight_g = jnp.sqrt(
+            jnp.sum(self.weight_v * self.weight_v, axis=(0, 2), keepdims=True)
+        )
         self.bias = jnp.zeros((out_channels,)) if bias else None
 
     def __call__(self, x: jax.Array) -> jax.Array:

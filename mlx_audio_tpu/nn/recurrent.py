@@ -52,6 +52,20 @@ def lstm_scan(
     return jnp.swapaxes(hs, 0, 1), (h, c)
 
 
+def masked_flip(x: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Reverse each row's valid prefix: out[b, t] = x[b, len_b-1-t] (0 beyond).
+
+    This makes bidirectional RNNs exact under padding-to-bucket: the backward
+    pass must start at the last *valid* step, not the padded tail.
+    """
+    l = x.shape[1]
+    idx = lengths[:, None] - 1 - jnp.arange(l)[None, :]
+    valid = idx >= 0
+    idx_c = jnp.clip(idx, 0, l - 1)
+    out = jnp.take_along_axis(x, idx_c[..., None], axis=1)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
 class LSTM(Module):
     """Single-layer (optionally bidirectional) LSTM over [B, L, D] input.
 
@@ -91,8 +105,12 @@ class LSTM(Module):
         c0 = jnp.zeros((b, self.hidden_size), dtype=x.dtype)
         return lstm_scan(x_proj, wh, h0, c0, reverse=reverse)
 
-    def __call__(self, x: jax.Array):
-        """x: [B, L, D] (or [L, D]) -> ([B, L, H*dirs], final states)."""
+    def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None):
+        """x: [B, L, D] (or [L, D]) -> ([B, L, H*dirs], final states).
+
+        With ``lengths`` [B], the backward direction runs over each row's
+        flipped valid prefix, making results exact for padded buckets.
+        """
         squeeze = x.ndim == 2
         if squeeze:
             x = x[None]
@@ -104,10 +122,18 @@ class LSTM(Module):
             out = fwd
             state = (hf, cf)
         else:
-            bwd, (hb, cb) = self._run(
-                x, self.Wx_backward, self.Wh_backward,
-                self.bias_ih_backward, self.bias_hh_backward, reverse=True,
-            )
+            if lengths is None:
+                bwd, (hb, cb) = self._run(
+                    x, self.Wx_backward, self.Wh_backward,
+                    self.bias_ih_backward, self.bias_hh_backward, reverse=True,
+                )
+            else:
+                xr = masked_flip(x, lengths)
+                bwd_r, (hb, cb) = self._run(
+                    xr, self.Wx_backward, self.Wh_backward,
+                    self.bias_ih_backward, self.bias_hh_backward, reverse=False,
+                )
+                bwd = masked_flip(bwd_r, lengths)
             out = jnp.concatenate([fwd, bwd], axis=-1)
             state = ((hf, cf), (hb, cb))
         if squeeze:

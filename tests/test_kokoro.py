@@ -1,0 +1,187 @@
+"""Kokoro model tests: shape contracts, mask-exactness under bucketing, and
+pipeline chunking logic (cf. reference tts/tests/test_models.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_audio_tpu.models.tts.kokoro.model import (
+    Model,
+    ModelConfig,
+    pick_frame_bucket,
+    pick_phoneme_bucket,
+)
+from mlx_audio_tpu.models.tts.kokoro.pipeline import KokoroPipeline, MToken
+
+
+def tiny_config():
+    vocab = {c: i for i, c in enumerate("$abcdefghijklmnopqrstuvwxyz ")}
+    return ModelConfig(
+        istftnet={
+            "resblock_kernel_sizes": [3, 7],
+            "upsample_rates": [10, 6],
+            "upsample_initial_channel": 64,
+            "resblock_dilation_sizes": [[1, 3], [1, 3]],
+            "upsample_kernel_sizes": [20, 12],
+            "gen_istft_n_fft": 20,
+            "gen_istft_hop_size": 5,
+        },
+        dim_in=32,
+        dropout=0.1,
+        hidden_dim=64,
+        max_conv_dim=64,
+        max_dur=50,
+        multispeaker=True,
+        n_layer=2,
+        n_mels=40,
+        n_token=len(vocab),
+        style_dim=128,
+        text_encoder_kernel_size=5,
+        plbert={
+            "hidden_size": 32,
+            "num_attention_heads": 2,
+            "intermediate_size": 64,
+            "max_position_embeddings": 512,
+            "num_hidden_layers": 2,
+            "dropout": 0.1,
+        },
+        vocab=vocab,
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Model(tiny_config())
+
+
+def test_synthesize_shape_contract(model):
+    phonemes = "hello world this is a test"
+    ref_s = np.random.default_rng(0).standard_normal(256).astype(np.float32) * 0.1
+    audio, pred_dur = model.synthesize(phonemes, ref_s)
+    n_tokens = len([p for p in phonemes if p in model.vocab]) + 2
+    assert pred_dur.shape == (n_tokens,)
+    assert (pred_dur >= 1).all()
+    total = int(pred_dur.sum())
+    # 600 samples per frame contract (reference pipeline.py:294-297)
+    assert audio.shape == (total * 600,)
+    assert np.isfinite(audio).all()
+
+
+def test_bucketing_is_exact(model):
+    """The same phonemes must produce identical audio regardless of which
+    frame/phoneme bucket padding executed them — masks must be exact."""
+    phonemes = "abc def"
+    ref_s = np.random.default_rng(1).standard_normal(256).astype(np.float32) * 0.1
+    audio_a, dur_a = model.synthesize(phonemes, ref_s)
+
+    # Force a bigger phoneme bucket by monkeypatching the bucket picker
+    import mlx_audio_tpu.models.tts.kokoro.model as km
+
+    orig_pb, orig_fb = km.pick_phoneme_bucket, km.pick_frame_bucket
+    try:
+        km.pick_phoneme_bucket = lambda n: 64
+        km.pick_frame_bucket = lambda t: orig_fb(t) + 200
+        audio_b, dur_b = model.synthesize(phonemes, ref_s)
+    finally:
+        km.pick_phoneme_bucket, km.pick_frame_bucket = orig_pb, orig_fb
+
+    np.testing.assert_array_equal(dur_a, dur_b)
+    np.testing.assert_allclose(audio_a, audio_b, atol=2e-4)
+
+
+def test_speed_scales_durations(model):
+    phonemes = "hello world"
+    ref_s = np.zeros(256, dtype=np.float32)
+    _, dur_slow = model.synthesize(phonemes, ref_s, speed=0.5)
+    _, dur_fast = model.synthesize(phonemes, ref_s, speed=2.0)
+    assert dur_slow.sum() > dur_fast.sum()
+
+
+def test_bucket_pickers():
+    assert pick_phoneme_bucket(5) == 16
+    assert pick_phoneme_bucket(100) == 128
+    assert pick_frame_bucket(1) == 100
+    assert pick_frame_bucket(101) == 200
+    assert pick_frame_bucket(200) == 200
+
+
+def test_sanitize_lstm_and_conv_keys(model):
+    from mlx_audio_tpu.models.tts.kokoro.model import sanitize
+
+    w = {
+        "text_encoder.lstm.weight_ih_l0": np.zeros((128, 64)),
+        "text_encoder.lstm.weight_hh_l0_reverse": np.zeros((128, 32)),
+        "predictor.duration_proj.linear_layer.weight": np.zeros((50, 64)),
+        "decoder.generator.ups.0.weight_v": np.zeros((3, 64, 20)),  # torch convT [in,out,k]
+        "decoder.generator.ups.0.weight_g": np.zeros((3, 1, 1)),
+        "text_encoder.cnn.0.1.gamma": np.zeros((64,)),
+        "bert.embeddings.position_ids": np.zeros((1, 512)),
+        "decoder.generator.resblocks.0.alpha1.0": np.zeros((1, 64, 1)),
+    }
+    out = sanitize(w)
+    assert "text_encoder.lstm.Wx_forward" in out
+    assert "text_encoder.lstm.Wh_backward" in out
+    assert "predictor.duration_proj.weight" in out
+    assert out["decoder.generator.ups.0.weight_v"].shape == (20, 3, 64)
+    assert out["decoder.generator.ups.0.weight_g"].shape == (1, 3, 1)
+    assert "text_encoder.cnn.0.1.weight" in out
+    assert not any("position_ids" in k for k in out)
+    assert out["decoder.generator.resblocks.0.alpha1.0"].shape == (64,)
+
+
+def test_sanitize_covers_model_paths(model):
+    """Every sanitized reference-style key must land on a real model path."""
+    from mlx_audio_tpu.nn.module import named_arrays
+
+    paths = {p for p, _ in named_arrays(model)}
+    # spot-check critical paths exist in the model pytree
+    for p in [
+        "bert.encoder.albert_layer_groups.0.albert_layers.0.attention.query.weight",
+        "bert_encoder.weight",
+        "predictor.lstm.Wx_forward",
+        "predictor.F0.1.pool.weight_v",
+        "text_encoder.cnn.0.0.weight_v",
+        "decoder.generator.conv_post.weight_v",
+        "decoder.generator.m_source.l_linear.weight",
+        "decoder.generator.noise_convs.0.weight",
+        "decoder.F0_conv.weight_v",
+        "decoder.asr_res.0.weight_v",
+        "decoder.decode.3.pool.weight_v",
+    ]:
+        assert p in paths, p
+
+
+def test_pipeline_chunking_respects_budget():
+    pipe = KokoroPipeline(lang_code="a", model=None)
+    tokens = [MToken(text="word", phonemes="abcdefghij", whitespace=" ")
+              for _ in range(120)]  # 11 phonemes each incl. space
+    chunks = list(pipe.en_tokenize(tokens))
+    assert len(chunks) > 1
+    for _, ps, _ in chunks:
+        assert len(ps) <= 510
+
+
+def test_pipeline_waterfall_prefers_punctuation():
+    pipe = KokoroPipeline(lang_code="a", model=None)
+    tokens = []
+    for i in range(60):
+        tokens.append(MToken(text="word", phonemes="abcdefgh", whitespace=" "))
+        if i == 30:
+            tokens.append(MToken(text=".", phonemes=".", whitespace=" "))
+    chunks = list(pipe.en_tokenize(tokens))
+    assert chunks[0][1].endswith(".")
+
+
+def test_join_timestamps():
+    tokens = [
+        MToken(text="hi", phonemes="ab", whitespace=" "),
+        MToken(text="yo", phonemes="cd", whitespace=""),
+    ]
+    #           bos a  b  sp c  d  eos
+    pred_dur = np.array([5, 4, 4, 2, 3, 3, 5])
+    KokoroPipeline.join_timestamps(tokens, pred_dur)
+    assert tokens[0].start_ts is not None
+    assert tokens[0].end_ts > tokens[0].start_ts
+    assert tokens[1].end_ts > tokens[1].start_ts
