@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: Kokoro-82M bulk TTS throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's only published number — ≈3.08 audio-seconds/s
+bulk Kokoro throughput on an M4 Pro (BASELINE.md; examples/bible-audiobook).
+We measure steady-state generated audio-seconds per wall-second for batched
+synthesis of full 510-phoneme segments (compile excluded, device-synced).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.models.tts.kokoro.model import (
+        Model,
+        _duration_stage,
+        _synthesis_stage,
+    )
+    from mlx_audio_tpu.models.tts.kokoro.presets import kokoro_82m_config
+
+    model = Model(kokoro_82m_config()).astype(jnp.float32)
+
+    batch = 8
+    n_bucket = 512
+    n_valid = 512
+    f_bucket = 1300  # ~full-length segments: 510 phonemes * ~2.5 frames
+
+    rng = np.random.default_rng(0)
+    input_ids = jnp.asarray(
+        rng.integers(1, model.config.n_token, size=(batch, n_bucket)), dtype=jnp.int32
+    )
+    lengths = jnp.full((batch,), n_valid, dtype=jnp.int32)
+    ref_s = jnp.asarray(rng.standard_normal((batch, 256)) * 0.1, dtype=jnp.float32)
+    speed = jnp.ones((batch,), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    num_frames = jnp.zeros((f_bucket,), dtype=jnp.int32)
+
+    def run_once(key):
+        d, pred_dur = _duration_stage(model, input_ids, lengths, ref_s[:, 128:], speed)
+        # cap durations so total fits the bench frame bucket deterministically
+        pred_dur = jnp.minimum(pred_dur, 2)
+        audio, total = _synthesis_stage(
+            model, input_ids, lengths, d, pred_dur, ref_s, key, num_frames
+        )
+        return audio, total
+
+    # warmup / compile
+    audio, total = run_once(key)
+    jax.block_until_ready(audio)
+
+    iters = 5
+    t0 = time.perf_counter()
+    audio_seconds = 0.0
+    for i in range(iters):
+        audio, total = run_once(jax.random.fold_in(key, i))
+        jax.block_until_ready(audio)
+        audio_seconds += float(np.asarray(total).sum()) * 600 / 24000
+    wall = time.perf_counter() - t0
+
+    value = audio_seconds / wall
+    baseline = 3.08
+    print(
+        json.dumps(
+            {
+                "metric": "kokoro82m_audio_seconds_per_second_per_chip",
+                "value": round(value, 3),
+                "unit": "audio-sec/s",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

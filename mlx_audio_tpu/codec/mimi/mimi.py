@@ -1,0 +1,248 @@
+"""Mimi neural codec (Kyutai) — 24 kHz, 12.5 Hz frames, 32 RVQ codebooks.
+
+Capability parity with /root/reference/mlx_audio/codec/models/mimi/mimi.py:
+26-306, TPU-first:
+
+* Batch encode/decode are pure jitted graphs (NLC, static shapes).
+* Streaming encode/decode carry an explicit `MimiState` pytree; frame-by-
+  frame decode is a `lax.scan` (`decode_frames`), replacing the reference's
+  Python loop (mimi.py:302-306).
+* Contracts (BASELINE.md): 5 s of 24 kHz -> codes (B, 32, 63) -> audio
+  (B, 1, 120960).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.nn.module import Module, update_arrays
+from mlx_audio_tpu.nn.streaming import StreamableConv1d, StreamableConvTranspose1d
+from mlx_audio_tpu.codec.mimi.quantization import SplitResidualVectorQuantizer
+from mlx_audio_tpu.codec.mimi.seanet import (
+    SeanetConfig,
+    SeanetDecoder,
+    SeanetEncoder,
+)
+from mlx_audio_tpu.codec.mimi.transformer import (
+    ProjectedTransformer,
+    TransformerConfig,
+)
+
+
+@dataclass
+class MimiConfig:
+    channels: int
+    sample_rate: float
+    frame_rate: float
+    renormalize: bool
+    seanet: SeanetConfig
+    transformer: TransformerConfig
+    quantizer_nq: int
+    quantizer_bins: int
+    quantizer_dim: int
+
+
+def mimi_202407(num_codebooks: int) -> MimiConfig:
+    """The published Mimi architecture preset (reference mimi.py:39-88)."""
+    seanet = SeanetConfig(
+        dimension=512, channels=1, causal=True, nfilters=64,
+        nresidual_layers=1, ratios=[8, 6, 5, 4], ksize=7, residual_ksize=3,
+        last_ksize=3, dilation_base=2, pad_mode="constant", true_skip=True,
+        compress=2,
+    )
+    transformer = TransformerConfig(
+        d_model=seanet.dimension, num_heads=8, num_layers=8, causal=True,
+        norm_first=True, bias_ff=False, bias_attn=False, layer_scale=0.01,
+        positional_embedding="rope", use_conv_bias=True, gating=False,
+        norm="layer_norm", context=250, max_period=10000, max_seq_len=8192,
+        kv_repeat=1, dim_feedforward=2048, conv_layout=True,
+    )
+    return MimiConfig(
+        channels=1, sample_rate=24000, frame_rate=12.5, renormalize=True,
+        seanet=seanet, transformer=transformer, quantizer_nq=num_codebooks,
+        quantizer_bins=2048, quantizer_dim=256,
+    )
+
+
+class MimiState(NamedTuple):
+    """Streaming carry: conv states + transformer rotating caches."""
+
+    encoder: any
+    encoder_tf: any
+    downsample: any
+    decoder: any
+    decoder_tf: any
+    upsample: any
+
+
+class Mimi(Module):
+    def __init__(self, cfg: MimiConfig):
+        dim = cfg.seanet.dimension
+        self.cfg = cfg
+        encoder_frame_rate = cfg.sample_rate / math.prod(cfg.seanet.ratios)
+        downsample_stride = int(encoder_frame_rate / cfg.frame_rate)
+        self.downsample_stride = downsample_stride
+        self.samples_per_frame = int(cfg.sample_rate / cfg.frame_rate)
+        self.encoder = SeanetEncoder(cfg.seanet)
+        self.decoder = SeanetDecoder(cfg.seanet)
+        self.quantizer = SplitResidualVectorQuantizer(
+            dim=cfg.quantizer_dim, input_dim=dim, output_dim=dim,
+            nq=cfg.quantizer_nq, bins=cfg.quantizer_bins,
+        )
+        self.encoder_transformer = ProjectedTransformer(
+            cfg.transformer, input_dim=dim, output_dims=[dim]
+        )
+        self.decoder_transformer = ProjectedTransformer(
+            cfg.transformer, input_dim=dim, output_dims=[dim]
+        )
+        self.downsample = StreamableConv1d(
+            dim, dim, 2 * downsample_stride, stride=downsample_stride,
+            bias=False, causal=True, pad_mode="edge",
+        )
+        self.upsample = StreamableConvTranspose1d(
+            dim, dim, 2 * downsample_stride, stride=downsample_stride,
+            groups=dim, bias=False, causal=True,
+        )
+
+    @property
+    def frame_rate(self) -> float:
+        return self.cfg.frame_rate
+
+    @property
+    def sample_rate(self) -> float:
+        return self.cfg.sample_rate
+
+    # -- batch paths (pure; wrap in jax.jit at call sites) -----------------
+
+    def encode(self, audio: jax.Array) -> jax.Array:
+        """[B, 1, T] (or [B, T, 1] NLC) -> codes [B, nq, frames]."""
+        if audio.shape[1] == self.cfg.channels and audio.ndim == 3 and audio.shape[1] < audio.shape[2]:
+            audio = jnp.swapaxes(audio, 1, 2)  # NCL -> NLC
+        x = self.encoder(audio)
+        x = self.encoder_transformer(x)[0]
+        x = self.downsample(x)
+        return self.quantizer.encode(x)
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        """codes [B, nq, frames] -> audio [B, 1, frames*1920] (NCL, as ref)."""
+        x = self.quantizer.decode(codes)
+        x = self.upsample(x)
+        x = self.decoder_transformer(x)[0]
+        audio = self.decoder(x)
+        return jnp.swapaxes(audio, 1, 2)  # NLC -> NCL contract
+
+    # -- streaming ---------------------------------------------------------
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> MimiState:
+        return MimiState(
+            encoder=self.encoder.init_state(batch, dtype),
+            encoder_tf=self.encoder_transformer.init_cache(batch, dtype),
+            downsample=self.downsample.init_state(batch, dtype),
+            decoder=self.decoder.init_state(batch, dtype),
+            decoder_tf=self.decoder_transformer.init_cache(batch, dtype),
+            upsample=self.upsample.init_state(batch, dtype),
+        )
+
+    def encode_step(self, state: MimiState, audio: jax.Array):
+        """One 1920-sample frame [B, 1920, 1] -> (codes [B, nq, 1], state)."""
+        x, enc_s = self.encoder.step(state.encoder, audio)
+        outs, tf_s = self.encoder_transformer.step(state.encoder_tf, x)
+        x, ds_s = self.downsample.step(state.downsample, outs[0])
+        codes = self.quantizer.encode(x)
+        new_state = state._replace(encoder=enc_s, encoder_tf=tf_s, downsample=ds_s)
+        return codes, new_state
+
+    def decode_step(self, state: MimiState, codes: jax.Array):
+        """codes [B, nq, 1] -> (audio [B, 1920, 1], state)."""
+        x = self.quantizer.decode(codes)
+        x, up_s = self.upsample.step(state.upsample, x)
+        outs, tf_s = self.decoder_transformer.step(state.decoder_tf, x)
+        audio, dec_s = self.decoder.step(state.decoder, outs[0])
+        new_state = state._replace(upsample=up_s, decoder_tf=tf_s, decoder=dec_s)
+        return audio, new_state
+
+    def decode_frames(self, codes: jax.Array,
+                      state: Optional[MimiState] = None) -> jax.Array:
+        """Streaming decode of [B, nq, T] via lax.scan -> audio [B, 1, T*1920]
+        (replaces the reference's Python frame loop, mimi.py:302-306)."""
+        b, nq, t = codes.shape
+        if state is None:
+            state = self.init_state(b)
+
+        def step_fn(carry, frame_codes):
+            audio, carry = self.decode_step(carry, frame_codes[..., None])
+            return carry, audio
+
+        frames = jnp.moveaxis(codes, -1, 0)  # [T, B, nq]
+        _, audio = jax.lax.scan(step_fn, state, frames)
+        # audio: [T, B, spf, 1] -> [B, 1, T*spf]
+        audio = jnp.moveaxis(audio[..., 0], 0, 1).reshape(b, -1)
+        return audio[:, None, :]
+
+    def warmup(self):
+        pcm = jnp.zeros((1, 1, self.samples_per_frame * 4))
+        jax.block_until_ready(self.decode(self.encode(pcm)))
+
+    # -- checkpoint loading ------------------------------------------------
+
+    def sanitize(self, weights: dict) -> dict:
+        return sanitize_mimi(weights)
+
+    def load_pytorch_weights(self, path: str) -> "Mimi":
+        from safetensors.numpy import load_file
+
+        return update_arrays(self, sanitize_mimi(load_file(path)), strict=False)
+
+
+def sanitize_mimi(weights: dict) -> dict:
+    """Map the Kyutai torch checkpoint keys/layouts to our paths.
+
+    Port of the remapping at reference mimi.py:184-249 with NLC layouts:
+    conv [O, I, K] -> [K, I, O]; convT [I, O, K] -> [K, I, O]; 1x1 projs
+    -> Linear [O, I].
+    """
+    out = {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        k = ".".join(s.removeprefix("_") for s in k.split("."))
+        k = k.replace("encoder.model.", "encoder.")
+        k = k.replace("decoder.model.", "decoder.")
+        k = k.replace(".in_proj_weight", ".in_proj.weight")
+        k = k.replace(".linear1.weight", ".gating.linear1.weight")
+        k = k.replace(".linear2.weight", ".gating.linear2.weight")
+        for layer_idx, dec_idx in enumerate([2, 5, 8, 11]):
+            k = k.replace(f"decoder.{dec_idx}.", f"decoder.layers.{layer_idx}.upsample.")
+            k = k.replace(f"decoder.{dec_idx + 1}.", f"decoder.layers.{layer_idx}.residuals.0.")
+        for layer_idx, enc_idx in enumerate([1, 4, 7, 10]):
+            k = k.replace(f"encoder.{enc_idx}.", f"encoder.layers.{layer_idx}.residuals.0.")
+            k = k.replace(f"encoder.{enc_idx + 2}.", f"encoder.layers.{layer_idx}.downsample.")
+        k = k.replace("decoder.0.", "decoder.init_conv1d.")
+        k = k.replace("decoder.14.", "decoder.final_conv1d.")
+        k = k.replace("encoder.0.", "encoder.init_conv1d.")
+        k = k.replace("encoder.14.", "encoder.final_conv1d.")
+        k = k.replace(".block.1.", ".block.0.")
+        k = k.replace(".block.3.", ".block.1.")
+        # collapse the reference's conv.conv / convtr.convtr nesting — our
+        # streaming convs hold weights directly
+        k = k.replace(".conv.conv.", ".").replace(".convtr.convtr.", ".")
+        k = k.replace(".conv.weight", ".weight").replace(".conv.bias", ".bias")
+        k = k.replace(".convtr.weight", ".weight").replace(".convtr.bias", ".bias")
+
+        if (k.endswith("input_proj.weight") or k.endswith("output_proj.weight")) and v.ndim == 3:
+            # 1x1 conv [O, I, 1] -> Linear [O, I]
+            v = v[..., 0]
+        elif k.endswith(".weight") and v.ndim == 3:
+            if ".upsample." in k or k.startswith("upsample."):
+                # torch convT [in, out/groups, k] -> [k, in, out/groups]
+                v = v.transpose(2, 0, 1)
+            else:
+                # torch conv [out, in, k] -> [k, in, out]
+                v = v.transpose(2, 1, 0)
+        out[k] = v
+    return out

@@ -74,8 +74,7 @@ def pick_frame_bucket(total: int) -> int:
     return max(FRAME_BUCKET_STEP, -(-total // FRAME_BUCKET_STEP) * FRAME_BUCKET_STEP)
 
 
-@partial(jax.jit, static_argnames=())
-def _duration_stage(model, input_ids, lengths, style, speed):
+def _duration_body(model, input_ids, lengths, style, speed):
     """input_ids [B, N], lengths [B], style [B, 128] (prosody half),
     speed [B] -> (d [B, N, C+S], pred_dur int32 [B, N])."""
     n = input_ids.shape[1]
@@ -91,9 +90,11 @@ def _duration_stage(model, input_ids, lengths, style, speed):
     return d, pred_dur
 
 
-@partial(jax.jit, static_argnames=())
-def _synthesis_stage(model, input_ids, lengths, d, pred_dur, ref_s, key,
-                     num_frames):
+_duration_stage = jax.jit(_duration_body)
+
+
+def _synthesis_body(model, input_ids, lengths, d, pred_dur, ref_s, key,
+                    num_frames):
     """Frame-bucketed synthesis.  num_frames: [F] zeros array fixing the
     frame bucket shape.  Returns (audio [B, 600*F], total_frames [B])."""
     n = input_ids.shape[1]
@@ -120,6 +121,20 @@ def _synthesis_stage(model, input_ids, lengths, d, pred_dur, ref_s, key,
     audio = model.decoder(asr, f0_pred, n_pred, style_d, key,
                           frame_lengths=total)
     return audio, total
+
+
+_synthesis_stage = jax.jit(_synthesis_body)
+
+
+def _synthesis_graph_body(model, input_ids, lengths, ref_s, speed, key,
+                          num_frames):
+    """Single fused graph: durations + synthesis with a fixed frame bucket
+    (no host sync — durations beyond the bucket are truncated).  Used by the
+    driver entry point and for whole-pipeline sharding."""
+    d, pred_dur = _duration_body(model, input_ids, lengths, ref_s[:, 128:], speed)
+    return _synthesis_body(
+        model, input_ids, lengths, d, pred_dur, ref_s, key, num_frames
+    )
 
 
 class Model(Module):
