@@ -185,6 +185,20 @@ class Mimi(Module):
         audio = jnp.moveaxis(audio[..., 0], 0, 1).reshape(b, -1)
         return audio[:, None, :]
 
+    def decode_frames_stateful(self, codes: jax.Array, state: MimiState):
+        """Like decode_frames, but takes and returns the streaming state so
+        successive chunks continue one stream (CSM streaming yields)."""
+        b, nq, t = codes.shape
+
+        def step_fn(carry, frame_codes):
+            audio, carry = self.decode_step(carry, frame_codes[..., None])
+            return carry, audio
+
+        frames = jnp.moveaxis(codes, -1, 0)
+        state, audio = jax.lax.scan(step_fn, state, frames)
+        audio = jnp.moveaxis(audio[..., 0], 0, 1).reshape(b, -1)
+        return audio[:, None, :], state
+
     def warmup(self):
         pcm = jnp.zeros((1, 1, self.samples_per_frame * 4))
         jax.block_until_ready(self.decode(self.encode(pcm)))

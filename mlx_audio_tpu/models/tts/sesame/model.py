@@ -1,0 +1,451 @@
+"""Sesame CSM-1B — conversational TTS / voice cloning, TPU-first.
+
+Re-creates /root/reference/mlx_audio/tts/models/sesame/sesame.py:276-817:
+a Llama-1B backbone predicts Mimi codebook-0 per 80 ms frame; a Llama-100M
+depth decoder autoregresses codebooks 1..31 within the frame; Mimi decodes
+to 24 kHz.
+
+TPU execution plan (vs the reference's Python frame loop, sesame.py:774-817):
+
+* Prompt prefill is one jitted graph per LEFT-padded length bucket.
+* Frame generation runs in jitted chunks: a `lax.scan` over N frames whose
+  body is backbone-step + a nested 30-step depth-decoder scan with
+  on-device top-k sampling.  The host only inspects chunk outputs for the
+  all-zero EOS frame (the reference's eos check, sesame.py:779) and
+  handles streaming yields at chunk boundaries.
+* Mimi decode of finished frames uses the batch or scan-streaming codec
+  path.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.codec.mimi import Mimi, mimi_202407
+from mlx_audio_tpu.models.base import GenerationResult, make_generation_result
+from mlx_audio_tpu.models.lm.llama import LLAMA_FLAVORS, LlamaConfig, LlamaModel
+from mlx_audio_tpu.models.sampling import sample_top_k
+from mlx_audio_tpu.nn import Embedding, Linear, Module
+
+
+@dataclass
+class Segment:
+    speaker: int
+    text: str
+    audio: np.ndarray  # (num_samples,) @ 24 kHz
+
+
+def _llama_cfg_from_dict(d: dict, vocab_override: Optional[int] = None) -> LlamaConfig:
+    return LlamaConfig(
+        num_hidden_layers=d["num_hidden_layers"],
+        num_attention_heads=d["num_attention_heads"],
+        num_key_value_heads=d["num_key_value_heads"],
+        head_dim=d["head_dim"],
+        hidden_size=d["hidden_size"],
+        intermediate_size=d["intermediate_size"],
+        rms_norm_eps=d["rms_norm_eps"],
+        vocab_size=vocab_override if vocab_override is not None else d["vocab_size"],
+        max_position_embeddings=d.get("max_position_embeddings", 2048),
+        attention_bias=d.get("attention_bias", False),
+        mlp_bias=d.get("mlp_bias", False),
+        rope_theta=d.get("rope_theta", 500000),
+        rope_scaling=d.get("rope_scaling"),
+    )
+
+
+class SesameModel(Module):
+    """Backbone + depth decoder + embeddings/heads (reference
+    sesame.py:276-415)."""
+
+    def __init__(self, config: dict):
+        self.audio_num_codebooks = config["audio_num_codebooks"]
+        self.audio_vocab_size = config["audio_vocab_size"]
+        if "num_hidden_layers" in config:
+            backbone_cfg = _llama_cfg_from_dict(
+                config, vocab_override=int(config["text_vocab_size"])
+            )
+            decoder_cfg = _llama_cfg_from_dict(config["depth_decoder_config"])
+        else:
+            backbone_cfg = LLAMA_FLAVORS[config["backbone_flavor"]]
+            decoder_cfg = LLAMA_FLAVORS[config["decoder_flavor"]]
+        self.backbone_cfg = backbone_cfg
+        self.decoder_cfg = decoder_cfg
+        self.backbone = LlamaModel(backbone_cfg, use_embed_tokens=False)
+        self.decoder = LlamaModel(decoder_cfg, use_embed_tokens=False)
+        backbone_dim = backbone_cfg.hidden_size
+        decoder_dim = decoder_cfg.hidden_size
+        self.text_embeddings = Embedding(config["text_vocab_size"], backbone_dim)
+        self.audio_embeddings = Embedding(
+            self.audio_vocab_size * self.audio_num_codebooks, backbone_dim
+        )
+        self.projection = Linear(backbone_dim, decoder_dim, bias=False)
+        self.codebook0_head = Linear(backbone_dim, self.audio_vocab_size, bias=False)
+        self.audio_head = jnp.zeros(
+            (self.audio_num_codebooks - 1, decoder_dim, self.audio_vocab_size)
+        )
+
+    # -- embeddings (reference sesame.py:397-415) --------------------------
+
+    def embed_tokens(self, tokens: jax.Array, tokens_mask: jax.Array) -> jax.Array:
+        """tokens [B, T, 33] (32 audio cb + text col) -> fused embeds [B, T, D]."""
+        nc, v = self.audio_num_codebooks, self.audio_vocab_size
+        text_emb = self.text_embeddings(tokens[:, :, -1])[:, :, None, :]
+        offsets = (jnp.arange(nc) * v)[None, None, :]
+        audio_emb = self.audio_embeddings(tokens[:, :, :-1] + offsets)
+        embeds = jnp.concatenate([audio_emb, text_emb], axis=-2)  # [B,T,33,D]
+        return jnp.sum(embeds * tokens_mask[..., None], axis=2)
+
+    def embed_audio(self, codebook, tokens: jax.Array) -> jax.Array:
+        return self.audio_embeddings(tokens + codebook * self.audio_vocab_size)
+
+    # -- one frame (jit-safe; used inside the chunk scan) ------------------
+
+    def generate_frame_step(self, caches: list, pad_len: jax.Array,
+                            embeds: jax.Array, key: jax.Array,
+                            temp: float, top_k: int):
+        """embeds [B, S, D] (fused prompt or single-frame embeds) ->
+        (frame codes [B, 33... actually [B, nc]], caches)."""
+        h, caches = self.backbone.step(caches, embeds, pad_len)
+        last_h = h[:, -1, :]
+        k0, k_rest = jax.random.split(key)
+        c0_logits = self.codebook0_head(last_h)
+        c0 = sample_top_k(k0, c0_logits, temp, top_k)[:, None]  # [B, 1]
+        frame = self._depth_decode(last_h, c0, k_rest, temp, top_k)
+        return frame, caches
+
+    def _depth_decode(self, last_h: jax.Array, c0: jax.Array, key: jax.Array,
+                      temp: float, top_k: int) -> jax.Array:
+        """31 sequential depth-decoder steps as prefill + lax.scan
+        (reference loop at sesame.py:379-393)."""
+        b = last_h.shape[0]
+        nc = self.audio_num_codebooks
+        dec_caches = self.decoder.init_cache(b, max_len=nc + 1, dtype=last_h.dtype)
+        pad0 = jnp.zeros((b,), dtype=jnp.int32)
+
+        c0_embed = self.embed_audio(0, c0)  # [B, 1, D]
+        first = jnp.concatenate([last_h[:, None, :], c0_embed], axis=1)
+        h, dec_caches = self.decoder.step(dec_caches, self.projection(first), pad0)
+        l1 = jnp.einsum("bd,dv->bv", h[:, -1, :], self.audio_head[0])
+        key, k1 = jax.random.split(key)
+        c1 = sample_top_k(k1, l1, temp, top_k)[:, None]
+
+        def body(carry, xs):
+            caches, c_prev = carry
+            i, head, k = xs
+            embed = self.audio_embeddings(c_prev + i * self.audio_vocab_size)
+            h, caches = self.decoder.step(caches, self.projection(embed), pad0)
+            logits = jnp.einsum("bd,dv->bv", h[:, -1, :], head)
+            c = sample_top_k(k, logits, temp, top_k)[:, None]
+            return (caches, c), c_prev
+
+        n_rest = nc - 2
+        xs = (
+            jnp.arange(1, nc - 1),              # embed offsets for c_1..c_{nc-2}
+            self.audio_head[1:],                 # heads producing c_2..c_{nc-1}
+            jax.random.split(key, n_rest),
+        )
+        (dec_caches, c_last), cs = jax.lax.scan(body, (dec_caches, c1), xs)
+        # cs collects the *inputs* (c_1..c_{nc-2}); append the final sample
+        frame = jnp.concatenate(
+            [c0, jnp.moveaxis(cs, 0, 1)[..., 0], c_last], axis=1
+        )
+        return frame  # [B, nc]
+
+
+class Model(Module):
+    """User-facing CSM model (reference sesame.py:441-817)."""
+
+    def __init__(self, config: dict, mimi: Optional[Mimi] = None,
+                 text_tokenizer=None):
+        self.config = config
+        self.model = SesameModel(config)
+        self.audio_num_codebooks = config["audio_num_codebooks"]
+        self._mimi = mimi if mimi is not None else Mimi(
+            mimi_202407(config["audio_num_codebooks"])
+        )
+        self._text_tokenizer = text_tokenizer
+        self._sample_rate = int(self._mimi.sample_rate)
+
+    @property
+    def sample_rate(self) -> int:
+        return self._sample_rate
+
+    @property
+    def mimi(self) -> Mimi:
+        return self._mimi
+
+    def _get_tokenizer(self):
+        if self._text_tokenizer is None:
+            from mlx_audio_tpu.models.tts.sesame.tokenizer import load_llama3_tokenizer
+
+            self._text_tokenizer = load_llama3_tokenizer(
+                self.config.get("text_tokenizer", "unsloth/Llama-3.2-1B")
+            )
+        return self._text_tokenizer
+
+    # -- tokenization (reference sesame.py:484-541) ------------------------
+
+    def _tokenize_text_segment(self, text: str, speaker: int):
+        nc1 = self.audio_num_codebooks + 1
+        ids = np.asarray(self._get_tokenizer().encode(f"[{speaker}]{text}"))
+        frame = np.zeros((len(ids), nc1), dtype=np.int32)
+        mask = np.zeros((len(ids), nc1), dtype=bool)
+        frame[:, -1] = ids
+        mask[:, -1] = True
+        return frame, mask
+
+    def _tokenize_audio(self, audio: np.ndarray, add_eos: bool = True):
+        nc1 = self.audio_num_codebooks + 1
+        pcm = jnp.asarray(audio, dtype=jnp.float32)[None, None, :]
+        # pad to whole codec frames
+        spf = self._mimi.samples_per_frame
+        t = pcm.shape[-1]
+        pad = (-t) % spf
+        if pad:
+            pcm = jnp.pad(pcm, ((0, 0), (0, 0), (0, pad)))
+        codes = np.asarray(self._mimi.encode(pcm))[0]  # [nc, T]
+        if add_eos:
+            codes = np.concatenate(
+                [codes, np.zeros((codes.shape[0], 1), dtype=codes.dtype)], axis=1
+            )
+        frame = np.zeros((codes.shape[1], nc1), dtype=np.int32)
+        mask = np.zeros((codes.shape[1], nc1), dtype=bool)
+        frame[:, :-1] = codes.T
+        mask[:, :-1] = True
+        return frame, mask
+
+    def _tokenize_segment(self, segment: Segment, add_eos: bool = True):
+        tf, tm = self._tokenize_text_segment(segment.text, segment.speaker)
+        af, am = self._tokenize_audio(segment.audio, add_eos=add_eos)
+        return np.concatenate([tf, af]), np.concatenate([tm, am])
+
+    # -- generation --------------------------------------------------------
+
+    def generate(
+        self,
+        text,
+        voice: Optional[str] = None,
+        speaker: int = 0,
+        context: Optional[List[Segment]] = None,
+        split_pattern: Optional[str] = r"\n+",
+        max_audio_length_ms: float = 90_000,
+        ref_audio: Optional[np.ndarray] = None,
+        ref_text: Optional[str] = None,
+        stream: bool = False,
+        streaming_interval: float = 0.5,
+        voice_match: bool = True,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        seed: int = 0,
+        **kwargs,
+    ):
+        context = list(context or [])
+        if not context and ref_audio is not None and ref_text is not None:
+            context = [Segment(speaker=speaker, text=ref_text, audio=ref_audio)]
+        if not context:
+            raise ValueError(
+                "CSM requires a reference: pass ref_audio+ref_text or context "
+                "segments (default HF speaker prompts need network access)"
+            )
+
+        max_audio_frames = int(max_audio_length_ms / 80)
+        chunk = max(1, int(streaming_interval * 12.5)) if stream else 32
+
+        if isinstance(text, str):
+            text = re.split(split_pattern, text.strip()) if split_pattern else [text]
+
+        key = jax.random.PRNGKey(seed)
+        for seg_idx, prompt in enumerate(text):
+            start_time = time.perf_counter()
+            if voice_match:
+                gen_text = (context[0].text + " " + prompt).strip()
+                cur_context = [Segment(speaker=speaker, text=gen_text,
+                                       audio=context[0].audio)]
+            else:
+                cur_context = context
+
+            toks, masks = [], []
+            for s in cur_context:
+                tf, tm = self._tokenize_segment(s, add_eos=not voice_match)
+                toks.append(tf)
+                masks.append(tm)
+            if not voice_match:
+                tf, tm = self._tokenize_text_segment(prompt, speaker)
+                toks.append(tf)
+                masks.append(tm)
+            prompt_tokens = np.concatenate(toks).astype(np.int32)
+            prompt_mask = np.concatenate(masks)
+
+            max_seq_len = self.model.backbone_cfg.max_position_embeddings - max_audio_frames
+            if prompt_tokens.shape[0] >= max_seq_len:
+                raise ValueError(
+                    f"Inputs too long, must be below {max_seq_len}"
+                )
+
+            key, gen_key = jax.random.split(key)
+
+            if stream:
+                mimi_state = self._mimi.init_state(1)
+                for part in self._generate_frame_chunks(
+                    prompt_tokens, prompt_mask, max_audio_frames, chunk,
+                    temperature, top_k, gen_key,
+                ):
+                    codes = jnp.asarray(np.stack(part, axis=-1))[None]  # [1,nc,T]
+                    audio, mimi_state = self._mimi.decode_frames_stateful(
+                        codes, mimi_state
+                    )
+                    audio_np = np.asarray(audio)[0, 0]
+                    yield make_generation_result(
+                        audio_np, self._sample_rate, seg_idx, len(part),
+                        time.perf_counter() - start_time,
+                    )
+                    start_time = time.perf_counter()
+            else:
+                frames_np = []
+                for part in self._generate_frame_chunks(
+                    prompt_tokens, prompt_mask, max_audio_frames, chunk,
+                    temperature, top_k, gen_key,
+                ):
+                    frames_np.extend(part)
+                if len(frames_np) == 0:
+                    continue
+                codes = jnp.asarray(np.stack(frames_np, axis=-1))[None]
+                audio = np.asarray(self._mimi.decode(codes))[0, 0]
+                yield make_generation_result(
+                    audio, self._sample_rate, seg_idx, len(frames_np),
+                    time.perf_counter() - start_time,
+                )
+
+    def _generate_frame_chunks(self, prompt_tokens, prompt_mask, max_frames,
+                               chunk, temp, top_k, key):
+        """Host driver: prefill then chunked scans until EOS/max; yields
+        lists of [nc] frame-code arrays as they are produced."""
+        t = prompt_tokens.shape[0]
+        bucket = _prompt_bucket(t)
+        pad = bucket - t
+        tokens = np.zeros((1, bucket, prompt_tokens.shape[1]), dtype=np.int32)
+        mask = np.zeros((1, bucket, prompt_tokens.shape[1]), dtype=bool)
+        tokens[0, pad:] = prompt_tokens
+        mask[0, pad:] = prompt_mask
+        pad_len = jnp.asarray([pad], dtype=jnp.int32)
+
+        cache_len = bucket + max_frames
+        caches = self.model.backbone.init_cache(1, max_len=cache_len)
+
+        key, k0 = jax.random.split(key)
+        frame, caches = _prefill_and_first_frame(
+            self.model, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
+            k0, temp, top_k,
+        )
+        frame_np = np.asarray(frame)[0]
+        if (frame_np == 0).all():
+            return
+        pending = [frame_np]
+        produced = 1
+        last_frame = frame_np
+
+        done = False
+        while produced < max_frames and not done:
+            n = min(chunk, max_frames - produced)
+            key, kc = jax.random.split(key)
+            out_frames, caches = _frame_chunk(
+                self.model, caches, pad_len, jnp.asarray(last_frame)[None],
+                kc, temp, top_k, jnp.zeros((n,), dtype=jnp.int32),
+            )
+            out_np = np.asarray(out_frames)[:, 0]  # [n, nc]
+            for f in out_np:
+                if (f == 0).all():
+                    done = True
+                    break
+                pending.append(f)
+                last_frame = f
+                produced += 1
+                if produced >= max_frames:
+                    break
+            if pending:
+                yield pending
+                pending = []
+        if pending:
+            yield pending
+
+    # -- weights -----------------------------------------------------------
+
+    def sanitize(self, weights: dict) -> dict:
+        return sanitize(weights)
+
+
+def _prompt_bucket(n: int) -> int:
+    """Prompt-length buckets: powers of two to 256, then steps of 128."""
+    for b in (64, 128, 256):
+        if n <= b:
+            return b
+    return -(-n // 128) * 128
+
+
+@partial(jax.jit, static_argnames=("temp", "top_k"))
+def _prefill_and_first_frame(model, caches, pad_len, tokens, mask, key,
+                             temp, top_k):
+    embeds = model.embed_tokens(tokens, mask)
+    h, caches = model.backbone.prefill(caches, embeds, pad_len)
+    last_h = h[:, -1, :]
+    k0, k_rest = jax.random.split(key)
+    c0 = sample_top_k(k0, model.codebook0_head(last_h), temp, top_k)[:, None]
+    frame = model._depth_decode(last_h, c0, k_rest, temp, top_k)
+    return frame, caches
+
+
+@partial(jax.jit, static_argnames=("temp", "top_k"))
+def _frame_chunk(model, caches, pad_len, last_frame, key, temp, top_k, n_arr):
+    """Generate n frames via lax.scan.  last_frame: [B, nc] codes of the
+    previously emitted frame (its embedding is this chunk's first input)."""
+    n = n_arr.shape[0]
+    nc1 = model.audio_num_codebooks + 1
+
+    def body(carry, k):
+        caches, prev = carry
+        b = prev.shape[0]
+        tokens = jnp.concatenate(
+            [prev, jnp.zeros((b, 1), dtype=prev.dtype)], axis=1
+        )[:, None, :]                       # [B, 1, nc+1]
+        tmask = jnp.concatenate(
+            [jnp.ones_like(prev, dtype=bool), jnp.zeros((b, 1), dtype=bool)],
+            axis=1,
+        )[:, None, :]
+        embeds = model.embed_tokens(tokens, tmask)
+        frame, caches = model.generate_frame_step(
+            caches, pad_len, embeds, k, temp, top_k
+        )
+        return (caches, frame), frame
+
+    keys = jax.random.split(key, n)
+    (caches, _), frames = jax.lax.scan(body, (caches, last_frame), keys)
+    return frames, caches
+
+
+def sanitize(weights: dict) -> dict:
+    """Map the CSM torch/MLX checkpoint keys to our paths (reference
+    sesame.py:543-570)."""
+    out = {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        if not k.startswith("model."):
+            k = "model." + k
+        if "attn" in k and "self_attn" not in k:
+            k = k.replace("attn", "self_attn").replace("output_proj", "o_proj")
+        if "mlp" in k:
+            k = k.replace("w1", "gate_proj").replace("w2", "down_proj").replace("w3", "up_proj")
+        if "sa_norm" in k or "mlp_norm" in k:
+            k = k.replace("sa_norm", "input_layernorm").replace("scale", "weight")
+            k = k.replace("mlp_norm", "post_attention_layernorm").replace("scale", "weight")
+        if "decoder.norm" in k or "backbone.norm" in k:
+            k = k.replace("scale", "weight")
+        out[k] = v
+    return out

@@ -1,0 +1,207 @@
+"""CSM/Sesame tests: frame loop, depth decoder, generate contracts
+(cf. reference CSM timing contract: 80 ms frames, 12.5 frames/s)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_audio_tpu.models.tts.sesame.model import (
+    Model,
+    Segment,
+    SesameModel,
+    _prompt_bucket,
+    sanitize,
+)
+from test_mimi import tiny_mimi
+
+
+class FakeTokenizer:
+    def encode(self, text):
+        return [1] + [ord(c) % 64 + 2 for c in text[:20]] + [2]
+
+
+def tiny_config():
+    return {
+        "model_type": "sesame",
+        "text_vocab_size": 128,
+        "audio_vocab_size": 64,
+        "audio_num_codebooks": 4,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "head_dim": 16,
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "rms_norm_eps": 1e-5,
+        "vocab_size": 128,
+        "max_position_embeddings": 512,
+        "rope_theta": 500000,
+        "rope_scaling": {
+            "factor": 32.0, "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 8192, "rope_type": "llama3",
+        },
+        "depth_decoder_config": {
+            "num_hidden_layers": 2,
+            "num_attention_heads": 2,
+            "num_key_value_heads": 1,
+            "head_dim": 16,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "rms_norm_eps": 1e-5,
+            "vocab_size": 64,
+            "max_position_embeddings": 64,
+            "rope_theta": 500000,
+            "rope_scaling": {
+                "factor": 32.0, "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 8192, "rope_type": "llama3",
+            },
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = Model(tiny_config(), mimi=tiny_mimi(nq=4), text_tokenizer=FakeTokenizer())
+    # random audio_head so depth sampling isn't degenerate
+    return m.tree_replace(
+        model=m.model.tree_replace(
+            audio_head=jnp.asarray(
+                np.random.default_rng(0).standard_normal(m.model.audio_head.shape) * 0.1,
+                dtype=jnp.float32,
+            )
+        )
+    )
+
+
+def test_generate_produces_audio(model):
+    ref_audio = np.random.default_rng(0).standard_normal(1920 * 3).astype(np.float32) * 0.1
+    results = list(model.generate(
+        "hello", ref_audio=ref_audio, ref_text="reference text",
+        max_audio_length_ms=800,  # 10 frames max
+        seed=0,
+    ))
+    assert len(results) == 1
+    r = results[0]
+    assert r.sample_rate == 24000
+    # 1920 samples per 80 ms frame contract
+    assert r.samples % 1920 == 0
+    assert r.samples // 1920 == r.token_count
+    assert np.isfinite(r.audio).all()
+
+
+def test_streaming_chunks_concatenate_to_batch(model):
+    ref_audio = np.zeros(1920 * 2, dtype=np.float32)
+    stream_results = list(model.generate(
+        "hi there", ref_audio=ref_audio, ref_text="ref",
+        max_audio_length_ms=800, stream=True, streaming_interval=0.24,  # 3 frames
+        seed=1,
+    ))
+    batch_results = list(model.generate(
+        "hi there", ref_audio=ref_audio, ref_text="ref",
+        max_audio_length_ms=800, stream=False, seed=1,
+    ))
+    stream_audio = np.concatenate([r.audio for r in stream_results])
+    batch_audio = batch_results[0].audio
+    assert stream_audio.shape == batch_audio.shape
+    np.testing.assert_allclose(stream_audio, batch_audio, atol=1e-3)
+
+
+def test_frame_shape_and_code_range(model):
+    sm = model.model
+    caches = sm.backbone.init_cache(1, max_len=64)
+    tokens = jnp.zeros((1, 16, 5), dtype=jnp.int32)
+    mask = jnp.ones((1, 16, 5), dtype=bool)
+    from mlx_audio_tpu.models.tts.sesame.model import _prefill_and_first_frame
+
+    frame, caches = _prefill_and_first_frame(
+        sm, caches, jnp.asarray([4]), tokens, mask, jax.random.PRNGKey(0),
+        0.9, 10,
+    )
+    assert frame.shape == (1, 4)
+    f = np.asarray(frame)
+    assert (f >= 0).all() and (f < 64).all()
+    assert int(caches[0].idx) == 16
+
+
+def test_prompt_bucket():
+    assert _prompt_bucket(10) == 64
+    assert _prompt_bucket(65) == 128
+    assert _prompt_bucket(256) == 256
+    assert _prompt_bucket(300) == 384
+
+
+def test_sanitize_torchtune_keys():
+    w = {
+        "backbone.layers.0.attn.q_proj.weight": np.zeros((4, 4)),
+        "backbone.layers.0.attn.output_proj.weight": np.zeros((4, 4)),
+        "backbone.layers.0.mlp.w1.weight": np.zeros((4, 4)),
+        "backbone.layers.0.sa_norm.scale": np.zeros((4,)),
+        "backbone.norm.scale": np.zeros((4,)),
+        "model.text_embeddings.weight": np.zeros((8, 4)),
+    }
+    out = sanitize(w)
+    assert "model.backbone.layers.0.self_attn.q_proj.weight" in out
+    assert "model.backbone.layers.0.self_attn.o_proj.weight" in out
+    assert "model.backbone.layers.0.mlp.gate_proj.weight" in out
+    assert "model.backbone.layers.0.input_layernorm.weight" in out
+    assert "model.backbone.norm.weight" in out
+    assert "model.text_embeddings.weight" in out
+
+
+def test_deterministic_given_seed(model):
+    ref_audio = np.zeros(1920, dtype=np.float32)
+    a = list(model.generate("x", ref_audio=ref_audio, ref_text="r",
+                            max_audio_length_ms=400, seed=7))
+    b = list(model.generate("x", ref_audio=ref_audio, ref_text="r",
+                            max_audio_length_ms=400, seed=7))
+    np.testing.assert_array_equal(a[0].audio, b[0].audio)
+
+
+def test_llama_prefill_step_matches_full():
+    """Cached decode must equal the full-sequence forward."""
+    from mlx_audio_tpu.models.lm.llama import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig(
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, hidden_size=32, intermediate_size=64, rms_norm_eps=1e-5,
+        vocab_size=50, max_position_embeddings=64,
+    )
+    m = LlamaModel(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 50, size=(1, 10)))
+    full = np.asarray(m(ids))
+
+    caches = m.init_cache(1, max_len=16)
+    pad = jnp.asarray([0])
+    h, caches = m.prefill(caches, ids[:, :6], pad)
+    outs = [np.asarray(h)]
+    for t in range(6, 10):
+        h, caches = m.step(caches, ids[:, t:t + 1], pad)
+        outs.append(np.asarray(h))
+    step_out = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(step_out, full, atol=1e-4)
+
+
+def test_llama_left_padding_is_exact():
+    """Left-padded prefill must match unpadded results on valid positions."""
+    from mlx_audio_tpu.models.lm.llama import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig(
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, hidden_size=32, intermediate_size=64, rms_norm_eps=1e-5,
+        vocab_size=50, max_position_embeddings=64,
+    )
+    m = LlamaModel(cfg)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 50, size=(1, 6)))
+
+    caches = m.init_cache(1, max_len=32)
+    h_ref, _ = m.prefill(caches, ids, jnp.asarray([0]))
+
+    padded = jnp.concatenate([jnp.zeros((1, 4), dtype=ids.dtype), ids], axis=1)
+    caches2 = m.init_cache(1, max_len=32)
+    h_pad, _ = m.prefill(caches2, padded, jnp.asarray([4]))
+    np.testing.assert_allclose(
+        np.asarray(h_pad)[:, 4:], np.asarray(h_ref), atol=1e-4
+    )
