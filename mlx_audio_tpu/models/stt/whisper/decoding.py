@@ -1,0 +1,321 @@
+"""Whisper decoding: jitted greedy / sampling loops, vectorized logit
+filters, language ID — plus the real batched beam search the reference
+declares but does not implement (decoding.py:436-437).
+
+TPU-first structure vs the reference (decoding.py:398-707):
+
+* The per-window token loop is a `lax.while_loop` over fixed-size token
+  buffers with functional KV caches — one compile per (prompt-bucket).
+* The timestamp rules (reference ApplyTimestampRules, decoding.py:325-395,
+  which loop over Python lists per step) are fully vectorized over the
+  batch.  NB the reference port diverges from original Whisper semantics
+  (it masks by token *indices*); we follow the original (token values).
+* Beam search keeps [n_audio, beam] state on device, reindexes the KV
+  caches with gathers, and finishes when every audio has `beam_size`
+  completed candidates (original Whisper semantics incl. patience).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.models.stt.whisper.audio import CHUNK_LENGTH
+
+
+def compression_ratio(text: str) -> float:
+    text_bytes = text.encode("utf-8")
+    return len(text_bytes) / len(zlib.compress(text_bytes))
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    task: str = "transcribe"
+    language: Optional[str] = None
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None
+    beam_size: Optional[int] = None
+    patience: Optional[float] = None
+    length_penalty: Optional[float] = None
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+    suppress_tokens: Optional[Union[str, Iterable[int]]] = "-1"
+    suppress_blank: bool = True
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+    fp16: bool = False
+
+
+@dataclass(frozen=True)
+class DecodingResult:
+    audio_features: Optional[jax.Array]
+    language: str
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+# ---------------------------------------------------------------------------
+# Vectorized logit filters
+# ---------------------------------------------------------------------------
+
+
+class FilterConfig(NamedTuple):
+    """Hashable (static) constants driving the in-graph logit filters; the
+    suppress/blank masks travel separately as device arrays."""
+
+    eot: int
+    timestamp_begin: int
+    no_timestamps: int
+    max_initial_timestamp_index: int  # -1 disables
+    apply_timestamp_rules: bool
+
+
+def apply_filters(logits: jax.Array, tokens: jax.Array, t: jax.Array,
+                  sample_begin: jax.Array, p: FilterConfig,
+                  suppress_mask: jax.Array, blank_mask: jax.Array) -> jax.Array:
+    """logits [B, V]; tokens [B, L] buffer with valid length t."""
+    v = logits.shape[-1]
+    logits = logits + suppress_mask
+    at_start = t == sample_begin
+    logits = jnp.where(at_start, logits + blank_mask, logits)
+
+    if not p.apply_timestamp_rules:
+        return logits
+
+    ts_begin = p.timestamp_begin
+    vocab_ids = jnp.arange(v)[None, :]
+
+    # suppress <|notimestamps|>
+    logits = jnp.where(vocab_ids == p.no_timestamps, -jnp.inf, logits)
+
+    b, l = tokens.shape
+    pos = jnp.arange(l)[None, :]
+    in_seq = (pos >= sample_begin) & (pos < t)
+
+    last = jnp.take_along_axis(
+        tokens, jnp.maximum(t - 1, 0)[None, None].repeat(b, 0), axis=1
+    )[:, 0]
+    penult = jnp.take_along_axis(
+        tokens, jnp.maximum(t - 2, 0)[None, None].repeat(b, 0), axis=1
+    )[:, 0]
+    seq_len = t - sample_begin
+    last_was_ts = (seq_len >= 1) & (last >= ts_begin)
+    penult_was_ts = (seq_len < 2) | (penult >= ts_begin)
+
+    # timestamps come in pairs except before EOT
+    force_text = last_was_ts & penult_was_ts        # next must be non-timestamp
+    force_ts_or_eot = last_was_ts & ~penult_was_ts  # next can't be normal text
+    logits = jnp.where(
+        force_text[:, None] & (vocab_ids >= ts_begin), -jnp.inf, logits
+    )
+    logits = jnp.where(
+        force_ts_or_eot[:, None] & (vocab_ids < p.eot), -jnp.inf, logits
+    )
+
+    # timestamps must be non-decreasing (original Whisper semantics: mask
+    # strictly below the last emitted timestamp token value, +1 when it must
+    # advance)
+    ts_tokens = jnp.where(in_seq & (tokens >= ts_begin), tokens, -1)
+    last_ts_val = jnp.max(ts_tokens, axis=1)  # -1 if none
+    has_ts = last_ts_val >= 0
+    bump = (~last_was_ts) | penult_was_ts
+    floor = last_ts_val + bump.astype(last_ts_val.dtype)
+    logits = jnp.where(
+        (has_ts[:, None]) & (vocab_ids >= ts_begin) & (vocab_ids < floor[:, None]),
+        -jnp.inf, logits,
+    )
+
+    # at the very beginning: only timestamps, bounded by max_initial_timestamp
+    start_mask = (vocab_ids < ts_begin)
+    if p.max_initial_timestamp_index >= 0:
+        start_mask = start_mask | (
+            vocab_ids > ts_begin + p.max_initial_timestamp_index
+        )
+    logits = jnp.where(at_start & start_mask, -jnp.inf, logits)
+
+    # if total timestamp probability beats the best text token, force timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1, keepdims=True)
+    max_text = jnp.max(logprobs[:, :ts_begin], axis=-1, keepdims=True)
+    logits = jnp.where(
+        (ts_logprob > max_text) & (vocab_ids < ts_begin), -jnp.inf, logits
+    )
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Greedy / sampling loop
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("sample_len", "temperature", "params"))
+def greedy_decode_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
+                       key, suppress_mask, blank_mask, sample_len: int,
+                       temperature: float, params: FilterConfig):
+    """tokens_buf [B, L] with prompt in [0, t0); decodes until EOT/limit.
+
+    Returns (tokens_buf, lengths [B], sum_logprobs [B]).
+    """
+    b, l = tokens_buf.shape
+    eot = params.eot
+
+    def cond(state):
+        t, _, _, finished, _, _ = state
+        return (t < t0 + sample_len) & (t < l) & ~jnp.all(finished)
+
+    def body(state):
+        t, tokens, caches_s, finished, sum_lp, k = state
+        last = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(b, 0), axis=1)
+        logits, caches_s = model.decoder.step(caches_s, last, cross_kv)
+        logits = logits.astype(jnp.float32)
+        logits = apply_filters(logits, tokens, t, sample_begin, params,
+                               suppress_mask, blank_mask)
+        if temperature == 0:
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            k, sub = jax.random.split(k)
+            next_tok = jax.random.categorical(sub, logits / temperature, axis=-1).astype(jnp.int32)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+        sum_lp = sum_lp + jnp.where(finished, 0.0, cur_lp)
+        next_tok = jnp.where(finished, eot, next_tok)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, t))
+        finished = finished | (next_tok == eot)
+        return (t + 1, tokens, caches_s, finished, sum_lp, k)
+
+    finished0 = jnp.zeros((b,), dtype=bool)
+    sum_lp0 = jnp.zeros((b,), dtype=jnp.float32)
+    t_end, tokens, caches, finished, sum_lp, _ = jax.lax.while_loop(
+        cond, body, (t0, tokens_buf, caches, finished0, sum_lp0, key)
+    )
+    return tokens, t_end, sum_lp
+
+
+# ---------------------------------------------------------------------------
+# Beam search (new capability vs the reference)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("sample_len", "beam_size", "params"))
+def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
+                     suppress_mask, blank_mask, sample_len: int,
+                     beam_size: int, params: FilterConfig):
+    """Batched beam search over [n_audio * beam] rows.
+
+    tokens_buf/caches/cross_kv are already tiled to n_audio*beam rows with
+    identical prompts per audio.  Returns (finished_tokens [A, K, L],
+    finished_lengths [A, K], finished_scores [A, K]).
+    """
+    ab, l = tokens_buf.shape
+    k_beam = beam_size
+    a = ab // k_beam
+    eot = params.eot
+    neg = jnp.float32(-1e30)
+
+    # alive beams: scores; first step must only expand beam 0 (all beams are
+    # identical after prefill), so initialize others to -inf.
+    alive_scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((k_beam - 1,), neg)])[None, :],
+        (a, 1),
+    )
+    fin_tokens0 = jnp.zeros((a, k_beam, l), dtype=tokens_buf.dtype)
+    fin_len0 = jnp.zeros((a, k_beam), dtype=jnp.int32)
+    fin_scores0 = jnp.full((a, k_beam), neg)
+
+    def gather_caches(caches_s, src):
+        """src: [A, K] source beam per new beam; reindex row dim A*K."""
+        flat_src = (jnp.arange(a)[:, None] * k_beam + src).reshape(-1)
+
+        def g(x):
+            return jnp.take(x, flat_src, axis=0) if x.ndim > 0 else x
+
+        return [c._replace(k=g(c.k), v=g(c.v)) for c in caches_s]
+
+    def cond(state):
+        t, _, _, _, _, _, fin_scores, n_done = state
+        return (t < t0 + sample_len) & (t < l) & ~jnp.all(n_done >= k_beam)
+
+    def body(state):
+        (t, tokens, caches_s, alive_scores, fin_tokens, fin_len, fin_scores,
+         n_done) = state
+        last = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(ab, 0), axis=1)
+        logits, caches_s = model.decoder.step(caches_s, last, cross_kv)
+        logits = logits.astype(jnp.float32)
+        logits = apply_filters(logits, tokens, t, sample_begin, params,
+                               suppress_mask, blank_mask)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)  # [A*K, V]
+        v = logprobs.shape[-1]
+        cand = alive_scores.reshape(ab, 1) + logprobs  # [A*K, V]
+        cand = cand.reshape(a, k_beam * v)
+
+        # take top 2K candidates so we can both harvest EOT finishes and
+        # refill K alive beams
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * k_beam)
+        src_beam = top_idx // v            # [A, 2K]
+        tok = (top_idx % v).astype(jnp.int32)
+
+        is_eot = tok == eot
+        # --- finished harvest: merge EOT candidates into the finished set
+        eot_scores = jnp.where(is_eot, top_scores, neg)  # [A, 2K]
+        # candidate finished sequences: tokens of src beam + eot at t
+        merged_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)  # [A, K+2K]
+        keep_scores, keep_idx = jax.lax.top_k(merged_scores, k_beam)
+        # build the merged token/length pools
+        src_tokens = jnp.take_along_axis(
+            tokens.reshape(a, k_beam, l), src_beam[..., None], axis=1
+        )  # [A, 2K, L]
+        cand_tokens = jnp.where(
+            jnp.arange(l)[None, None, :] == t, tok[..., None], src_tokens
+        )
+        cand_len = jnp.broadcast_to((t + 1)[None, None], (a, 2 * k_beam))
+        pool_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=1)
+        pool_len = jnp.concatenate([fin_len, cand_len], axis=1)
+        fin_tokens = jnp.take_along_axis(pool_tokens, keep_idx[..., None], axis=1)
+        fin_len = jnp.take_along_axis(pool_len, keep_idx, axis=1)
+        fin_scores = keep_scores
+        n_done = jnp.sum(fin_scores > neg / 2, axis=1)
+
+        # --- alive refill: best K non-EOT candidates
+        alive_cand = jnp.where(is_eot, neg, top_scores)
+        new_scores, alive_idx = jax.lax.top_k(alive_cand, k_beam)  # [A, K]
+        new_src = jnp.take_along_axis(src_beam, alive_idx, axis=1)
+        new_tok = jnp.take_along_axis(tok, alive_idx, axis=1)
+        new_tokens = jnp.take_along_axis(
+            tokens.reshape(a, k_beam, l), new_src[..., None], axis=1
+        )
+        new_tokens = jnp.where(
+            jnp.arange(l)[None, None, :] == t, new_tok[..., None], new_tokens
+        ).reshape(ab, l)
+        caches_s = gather_caches(caches_s, new_src)
+
+        return (t + 1, new_tokens, caches_s, new_scores, fin_tokens, fin_len,
+                fin_scores, n_done)
+
+    state = (t0, tokens_buf, caches, alive_scores0, fin_tokens0, fin_len0,
+             fin_scores0, jnp.zeros((a,), dtype=jnp.int32))
+    (t_end, tokens, caches, alive_scores, fin_tokens, fin_len, fin_scores,
+     n_done) = jax.lax.while_loop(cond, body, state)
+
+    # backfill: audios with unfinished beams take the best alive beams,
+    # truncated at t_end with a forced EOT
+    need = fin_scores <= neg / 2
+    alive_tokens = tokens.reshape(a, k_beam, l)
+    alive_tokens = jnp.where(
+        jnp.arange(l)[None, None, :] == t_end, eot, alive_tokens
+    )
+    fin_tokens = jnp.where(need[..., None], alive_tokens, fin_tokens)
+    fin_len = jnp.where(need, t_end + 1, fin_len)
+    fin_scores = jnp.where(need, alive_scores, fin_scores)
+    return fin_tokens, fin_len, fin_scores

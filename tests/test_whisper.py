@@ -1,0 +1,229 @@
+"""Whisper tests: decode loops (greedy + the new beam search), filters,
+mel frontend, end-to-end transcription on a tiny model with a synthetic
+tiktoken vocabulary."""
+
+import base64
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_audio_tpu.models.stt.whisper.audio import log_mel_spectrogram, pad_or_trim
+from mlx_audio_tpu.models.stt.whisper.decoding import DecodingOptions
+from mlx_audio_tpu.models.stt.whisper.model import ModelDimensions, WhisperModel
+from mlx_audio_tpu.models.stt.whisper import api
+from mlx_audio_tpu.models.stt.whisper.tokenizer import (
+    Tokenizer,
+    whisper_special_tokens,
+)
+
+
+def tiny_encoding(n_base: int = 256, num_languages: int = 4):
+    """Synthetic byte-level tiktoken encoding with the Whisper special-token
+    layout on top."""
+    import tiktoken
+
+    ranks = {bytes([i]): i for i in range(n_base)}
+    special_tokens = {}
+    n_vocab = n_base
+    for token in whisper_special_tokens(num_languages):
+        special_tokens[token] = n_vocab
+        n_vocab += 1
+    return tiktoken.Encoding(
+        name="tiny-test",
+        explicit_n_vocab=n_vocab,
+        pat_str=r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+        mergeable_ranks=ranks,
+        special_tokens=special_tokens,
+    )
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return Tokenizer(encoding=tiny_encoding(), num_languages=4,
+                     language="en", task="transcribe")
+
+
+def tiny_dims(tokenizer):
+    return ModelDimensions(
+        n_mels=80,
+        n_audio_ctx=100,      # 200-frame (2 s) windows for test speed
+        n_audio_state=32,
+        n_audio_head=2,
+        n_audio_layer=2,
+        n_vocab=tokenizer.encoding.n_vocab,
+        n_text_ctx=128,
+        n_text_state=32,
+        n_text_head=2,
+        n_text_layer=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def model(tokenizer):
+    return WhisperModel(tiny_dims(tokenizer))
+
+
+def test_log_mel_shape():
+    x = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(x))
+    assert mel.shape == (100, 80)
+    assert np.isfinite(mel).all()
+
+
+def test_log_mel_matches_reference_semantics():
+    """Silence should map to the compressed floor value."""
+    mel = np.asarray(log_mel_spectrogram(np.zeros(16000, dtype=np.float32)))
+    # log10(1e-10) -> clamped to max-8; overall scale (x+4)/4
+    assert np.allclose(mel, mel.max() - 0.0, atol=2.0)
+    assert mel.max() <= 0.0  # silence is far below 0 after scaling... floor
+    assert np.isfinite(mel).all()
+
+
+def test_encoder_shape(model):
+    mel = jnp.zeros((1, 200, 80))
+    feats = model.encoder(mel)
+    assert feats.shape == (1, 100, 32)
+
+
+def test_greedy_decode_runs(model, tokenizer):
+    mel = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 200, 80)) * 0.1,
+        dtype=jnp.float32,
+    )
+    res = api.decode(model, mel[0], DecodingOptions(language="en", sample_len=12),
+                     tokenizer=tokenizer)
+    assert res.language == "en"
+    assert isinstance(res.tokens, list)
+    assert all(t < tokenizer.encoding.n_vocab for t in res.tokens)
+    assert np.isfinite(res.avg_logprob)
+    assert res.compression_ratio > 0 or res.text == ""
+
+
+def test_decode_batched(model, tokenizer):
+    mel = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 200, 80)) * 0.1,
+        dtype=jnp.float32,
+    )
+    res = api.decode(model, mel, DecodingOptions(language="en", sample_len=8),
+                     tokenizer=tokenizer)
+    assert len(res) == 2
+
+
+def test_beam_search_decode(model, tokenizer):
+    mel = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 200, 80)) * 0.1,
+        dtype=jnp.float32,
+    )
+    res_beam = api.decode(
+        model, mel[0],
+        DecodingOptions(language="en", sample_len=12, beam_size=3),
+        tokenizer=tokenizer,
+    )
+    res_greedy = api.decode(
+        model, mel[0], DecodingOptions(language="en", sample_len=12),
+        tokenizer=tokenizer,
+    )
+    assert isinstance(res_beam.tokens, list)
+    # beam search explores a superset of greedy's single path: its selected
+    # cumulative logprob can't be (meaningfully) worse
+    def total_lp(r):
+        return r.avg_logprob * (len(r.tokens) + 1)
+    assert total_lp(res_beam) >= total_lp(res_greedy) - 1e-3
+
+
+def test_temperature_sampling_decode(model, tokenizer):
+    mel = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, 200, 80)) * 0.1,
+        dtype=jnp.float32,
+    )
+    res = api.decode(
+        model, mel[0],
+        DecodingOptions(language="en", sample_len=8, temperature=0.8, best_of=2),
+        tokenizer=tokenizer,
+    )
+    assert isinstance(res.tokens, list)
+
+
+def test_without_timestamps(model, tokenizer):
+    mel = jnp.zeros((1, 200, 80))
+    res = api.decode(
+        model, mel[0],
+        DecodingOptions(language="en", sample_len=8, without_timestamps=True),
+        tokenizer=tokenizer,
+    )
+    assert all(t < tokenizer.timestamp_begin for t in res.tokens)
+
+
+def test_timestamp_rules_filter(tokenizer):
+    """At sample start, only timestamps may be emitted; after a lone
+    timestamp token, text is allowed; after a pair, text is forced."""
+    from mlx_audio_tpu.models.stt.whisper.decoding import FilterConfig, apply_filters
+
+    v = tokenizer.encoding.n_vocab
+    cfg = FilterConfig(
+        eot=tokenizer.eot,
+        timestamp_begin=tokenizer.timestamp_begin,
+        no_timestamps=tokenizer.no_timestamps,
+        max_initial_timestamp_index=50,
+        apply_timestamp_rules=True,
+    )
+    zeros = jnp.zeros((1, v))
+    sup = jnp.zeros((v,))
+    blank = jnp.zeros((v,))
+    ts0 = tokenizer.timestamp_begin
+
+    # at start: non-timestamp tokens are -inf
+    tokens = jnp.full((1, 16), tokenizer.eot, dtype=jnp.int32)
+    out = apply_filters(zeros, tokens, jnp.asarray(3), jnp.asarray(3), cfg, sup, blank)
+    out = np.asarray(out)[0]
+    assert np.isneginf(out[: ts0 - 1]).all()  # text suppressed (except maybe none)
+    assert np.isfinite(out[ts0])
+
+    # after a pair of timestamps, next must be text
+    tokens = jnp.asarray([[ts0 + 60, ts0 + 1, ts0 + 2] + [0] * 13], dtype=jnp.int32)
+    # seq: positions 0.. with sample_begin=0, t=3; last two are timestamps
+    out2 = np.asarray(apply_filters(zeros, tokens, jnp.asarray(3), jnp.asarray(0),
+                                    cfg, sup, blank))[0]
+    assert np.isneginf(out2[ts0:]).all()
+
+
+def test_transcribe_end_to_end(model, tokenizer, monkeypatch):
+    """Drive Model.generate on 1 s of noise with the synthetic tokenizer."""
+    from mlx_audio_tpu.models.stt.whisper.transcribe import Model
+
+    m = Model(tiny_dims(tokenizer))
+    monkeypatch.setattr(Model, "_tokenizer", lambda self, language=None, task=None: tokenizer)
+    audio = np.random.default_rng(5).standard_normal(2 * 16000).astype(np.float32) * 0.05
+
+    out = m.generate(audio, temperature=0.0, language="en",
+                     no_speech_threshold=None, logprob_threshold=None,
+                     compression_ratio_threshold=None)
+    assert out.language == "en"
+    assert isinstance(out.text, str)
+    assert isinstance(out.segments, list)
+
+
+def test_writers(tmp_path):
+    from mlx_audio_tpu.models.stt.whisper.writers import get_writer
+
+    result = {
+        "text": "hello world",
+        "segments": [
+            {"start": 0.0, "end": 1.5, "text": " hello"},
+            {"start": 1.5, "end": 3.0, "text": " world"},
+        ],
+        "language": "en",
+    }
+    for fmt, check in [
+        ("txt", "hello"),
+        ("srt", "00:00:00,000 --> 00:00:01,500"),
+        ("vtt", "WEBVTT"),
+        ("json", '"text"'),
+        ("tsv", "start\tend\ttext"),
+    ]:
+        w = get_writer(fmt, str(tmp_path))
+        path = w(result, "audio.wav")
+        content = open(path).read()
+        assert check in content, (fmt, content)
