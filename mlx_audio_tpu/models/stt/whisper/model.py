@@ -41,6 +41,11 @@ class ModelDimensions:
     n_text_head: int
     n_text_layer: int
 
+    @classmethod
+    def from_dict(cls, params: dict) -> "ModelDimensions":
+        return cls(**{k: v for k, v in params.items()
+                      if k in cls.__annotations__})
+
 
 def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.ndarray:
     assert channels % 2 == 0

@@ -1,0 +1,96 @@
+"""Distribution layer: device meshes + sharding rules (SURVEY.md §2.5).
+
+The reference is single-device by construction; this layer is the TPU-native
+addition: utterance batches data-parallel over a ('data', 'model') mesh, and
+tensor-parallel rules for Llama-class backbones (CSM-1B) when a model
+exceeds one chip.  Collectives are inserted by XLA from the shardings —
+all-reduce/all-gather ride ICI inside a host, DCN across hosts
+(`jax.distributed.initialize` for multi-host).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mlx_audio_tpu.nn.module import map_arrays
+
+
+def get_mesh(
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+    axis_names: tuple = ("data", "model"),
+) -> Mesh:
+    """('data', 'model') mesh over the available devices.
+
+    `model_parallel` is the TP degree; remaining devices form the DP axis.
+    On multi-host slices the TP axis should be the innermost (ICI-adjacent)
+    axis, which this layout guarantees.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    return Mesh(devices.reshape(n // model_parallel, model_parallel), axis_names)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place every leaf replicated on the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Shard the leading (batch) axis of every array leaf."""
+    s = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel rules
+# ---------------------------------------------------------------------------
+
+# Llama-family column/row parallel split: q/k/v/gate/up shard the output dim
+# (Linear weight is [out, in] -> P('model', None)); o/down shard the input
+# dim (P(None, 'model')); embeddings shard the vocab dim; norms replicate.
+_TP_COL = re.compile(r"\.(q_proj|k_proj|v_proj|gate_proj|up_proj)\.weight$")
+_TP_ROW = re.compile(r"\.(o_proj|down_proj)\.weight$")
+_TP_EMBED = re.compile(r"(embed_tokens|text_embeddings|audio_embeddings)\.weight$")
+
+
+def tp_rules_llama(path: str, x) -> P:
+    """PartitionSpec for a Llama-model leaf under ('data', 'model')."""
+    if x.ndim == 2:
+        if _TP_COL.search(path):
+            return P("model", None)
+        if _TP_ROW.search(path):
+            return P(None, "model")
+        if _TP_EMBED.search(path):
+            return P("model", None)
+    return P()
+
+
+def shard_module(mesh: Mesh, module, rules: Callable[[str, object], P]):
+    """Apply per-leaf PartitionSpec rules; leaves whose dims don't divide the
+    mesh axis fall back to replication."""
+
+    def place(path, x):
+        spec = rules(path, x)
+        # verify divisibility; fall back to replicated
+        for dim, axis in zip(x.shape, spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis] if isinstance(axis, str) else int(
+                np.prod([mesh.shape[a] for a in axis])
+            )
+            if dim % size != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return map_arrays(module, place)

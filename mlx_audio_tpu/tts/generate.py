@@ -1,0 +1,167 @@
+"""TTS CLI: `python -m mlx_audio_tpu.tts.generate --model ... --text ...`
+
+Capability parity with /root/reference/mlx_audio/tts/generate.py:17-452:
+load model -> optional reference-audio (auto-transcribed with Whisper when
+ref_text missing) -> generate segments -> play/save/join + RTF metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def load_ref_audio(path: str, sample_rate: int = 24000,
+                   max_seconds: float = 15.0) -> np.ndarray:
+    from mlx_audio_tpu.utils.audio_io import load_audio
+
+    audio = load_audio(path, sample_rate)
+    max_samples = int(max_seconds * sample_rate)
+    if audio.shape[0] > max_samples:
+        audio = audio[:max_samples]
+    peak = np.abs(audio).max()
+    if peak > 0:
+        audio = audio / peak * 0.95
+    return audio
+
+
+def generate_audio(
+    text: str,
+    model_path: str = "prince-canuma/Kokoro-82M",
+    model=None,
+    voice: Optional[str] = None,
+    speed: float = 1.0,
+    lang_code: str = "a",
+    file_prefix: str = "audio",
+    audio_format: str = "wav",
+    join_audio: bool = False,
+    play: bool = False,
+    verbose: bool = True,
+    ref_audio: Optional[str] = None,
+    ref_text: Optional[str] = None,
+    stt_model: str = "mlx-community/whisper-large-v3-turbo",
+    **kwargs,
+):
+    """Generate speech from text; returns the list of GenerationResults."""
+    from mlx_audio_tpu.utils.loader import load_model
+
+    if model is None:
+        model = load_model(model_path, domain="tts")
+
+    sample_rate = getattr(model, "sample_rate", 24000)
+
+    ref_audio_arr = None
+    if ref_audio is not None:
+        ref_audio_arr = load_ref_audio(ref_audio, sample_rate)
+        if ref_text is None:
+            # auto-transcribe the reference (reference tts/generate.py:262-275)
+            if verbose:
+                print("Transcribing reference audio with Whisper...")
+            from mlx_audio_tpu.models.stt.whisper import Model as WhisperModel
+            from mlx_audio_tpu.utils.audio_io import resample_audio
+
+            stt = WhisperModel.from_pretrained(stt_model)
+            ref_text = stt.generate(
+                resample_audio(ref_audio_arr, sample_rate, 16000)
+            ).text.strip()
+            if verbose:
+                print(f"Reference text: {ref_text}")
+
+    player = None
+    if play:
+        from mlx_audio_tpu.tts.audio_player import AudioPlayer
+
+        player = AudioPlayer(sample_rate=sample_rate)
+
+    results = []
+    segments = []
+    for result in model.generate(
+        text=text, voice=voice, speed=speed, lang_code=lang_code,
+        ref_audio=ref_audio_arr, ref_text=ref_text, **kwargs,
+    ):
+        results.append(result)
+        segments.append(np.asarray(result.audio).reshape(-1))
+        if verbose:
+            print("==========")
+            print(f"Duration:              {result.audio_duration}")
+            print(f"Samples/sec:           {result.audio_samples['samples-per-sec']}")
+            print(f"Real-time factor:      {result.real_time_factor}")
+            print(f"Processing time:       {result.processing_time_seconds:.2f}s")
+            print(f"Peak memory:           {result.peak_memory_usage:.2f}GB")
+        if player is not None:
+            player.queue_audio(segments[-1])
+        if not join_audio and file_prefix:
+            from mlx_audio_tpu.utils.audio_io import save_audio
+
+            fname = f"{file_prefix}_{result.segment_idx:03d}.{audio_format}"
+            save_audio(fname, segments[-1], sample_rate)
+            if verbose:
+                print(f"Saved: {fname}")
+
+    if join_audio and segments and file_prefix:
+        from mlx_audio_tpu.utils.audio_io import save_audio
+
+        fname = f"{file_prefix}.{audio_format}"
+        save_audio(fname, np.concatenate(segments), sample_rate)
+        if verbose:
+            print(f"Saved joined audio: {fname}")
+
+    if player is not None:
+        player.wait_for_drain()
+        player.stop()
+    return results
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Generate speech from text")
+    parser.add_argument("--model", type=str, default="prince-canuma/Kokoro-82M")
+    parser.add_argument("--text", type=str, default=None)
+    parser.add_argument("--voice", type=str, default=None)
+    parser.add_argument("--speed", type=float, default=1.0)
+    parser.add_argument("--lang_code", type=str, default="a")
+    parser.add_argument("--file_prefix", type=str, default="audio")
+    parser.add_argument("--audio_format", type=str, default="wav")
+    parser.add_argument("--join_audio", action="store_true")
+    parser.add_argument("--play", action="store_true")
+    parser.add_argument("--verbose", action="store_true", default=True)
+    parser.add_argument("--ref_audio", type=str, default=None)
+    parser.add_argument("--ref_text", type=str, default=None)
+    parser.add_argument("--temperature", type=float, default=0.9)
+    parser.add_argument("--top_k", type=int, default=50)
+    parser.add_argument("--stream", action="store_true")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    text = args.text
+    if text is None:
+        if not sys.stdin.isatty():
+            text = sys.stdin.read().strip()
+        else:
+            print("Please enter the text to generate:")
+            text = input("> ").strip()
+    generate_audio(
+        text=text,
+        model_path=args.model,
+        voice=args.voice,
+        speed=args.speed,
+        lang_code=args.lang_code,
+        file_prefix=args.file_prefix,
+        audio_format=args.audio_format,
+        join_audio=args.join_audio,
+        play=args.play,
+        verbose=args.verbose,
+        ref_audio=args.ref_audio,
+        ref_text=args.ref_text,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        stream=args.stream,
+    )
+
+
+if __name__ == "__main__":
+    main()
