@@ -1,0 +1,115 @@
+"""DAC and SNAC shape-contract tests (frame-rate arithmetic from the
+reference suites codec/tests/test_descript.py and test_snac.py, run at
+reduced channel widths — lengths depend only on rates/kernels)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_audio_tpu.codec.dac import DAC, DACConfig
+from mlx_audio_tpu.codec.snac import SNAC, SNACConfig
+
+
+def small_dac(sample_rate=16000, rates=(2, 4, 5, 8), n_codebooks=4):
+    return DAC(DACConfig(
+        encoder_dim=16,
+        encoder_rates=list(rates),
+        decoder_dim=128,
+        decoder_rates=list(rates[::-1]),
+        n_codebooks=n_codebooks,
+        codebook_size=64,
+        codebook_dim=8,
+        sample_rate=sample_rate,
+    ))
+
+
+def test_dac_16khz_contract():
+    model = small_dac()
+    audio = jnp.zeros((1, 1, 80_000))
+    z, codes, latents = model.encode(audio)
+    assert z.shape == (1, 250, model.latent_dim)
+    assert codes.shape == (1, 4, 250)
+    assert latents.shape == (1, 250, 4 * 8)
+    y = model.decode(z)
+    # True torch-DAC arithmetic: 250 frames x 320 hop, with the 5-stride
+    # transposed conv losing 8 samples total -> 79,992.  (The reference's
+    # 80,043 comes from an MLX-port bug: positional `groups` lands in
+    # conv_transpose1d's output_padding, adding +1 per stage.)
+    assert y.shape == (1, 1, 79_992)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_dac_codes_roundtrip():
+    model = small_dac()
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 1, 3200)) * 0.1,
+        dtype=jnp.float32,
+    )
+    z, codes, _ = model.encode(audio)
+    y1 = np.asarray(model.decode(z))
+    y2 = np.asarray(model.decode_codes(codes))
+    assert y1.shape == y2.shape
+    np.testing.assert_allclose(y1, y2, atol=1e-4)
+    c = np.asarray(codes)
+    assert (c >= 0).all() and (c < 64).all()
+
+
+def small_snac():
+    return SNAC(SNACConfig(
+        sampling_rate=24000,
+        encoder_dim=16,
+        encoder_rates=[2, 4, 8, 8],
+        decoder_dim=128,
+        decoder_rates=[8, 8, 4, 2],
+        attn_window_size=None,
+        codebook_size=64,
+        codebook_dim=8,
+        vq_strides=[4, 2, 1],
+        noise=True,
+        depthwise=True,
+    ))
+
+
+def test_snac_24khz_contract():
+    model = small_snac()
+    audio = jnp.zeros((1, 1, 120_000))
+    codes = model.encode(audio)
+    assert len(codes) == 3
+    assert codes[0].shape == (1, 59)
+    assert codes[1].shape == (1, 118)
+    assert codes[2].shape == (1, 236)
+    recon = model.decode(codes)
+    # true torch-SNAC arithmetic: 236 frames x 512 hop (the reference's
+    # 120,907 reflects the same output_padding port bug as DAC)
+    assert recon.shape == (1, 1, 120_832)
+    assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_snac_with_attention():
+    model = SNAC(SNACConfig(
+        sampling_rate=24000,
+        encoder_dim=16,
+        encoder_rates=[2, 4, 8, 8],
+        decoder_dim=128,
+        decoder_rates=[8, 8, 4, 2],
+        attn_window_size=8,
+        codebook_size=64,
+        codebook_dim=8,
+        vq_strides=[4, 2, 1],
+        noise=False,
+        depthwise=False,
+    ))
+    audio = jnp.zeros((1, 1, 24_000))
+    codes = model.encode(audio)
+    assert len(codes) == 3
+    recon = model.decode(codes)
+    assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_dac_call_returns_original_length():
+    model = small_dac()
+    audio = jnp.zeros((1, 1, 12_345))
+    out = model(audio)
+    assert out["audio"].shape == (1, 1, 12_345)
