@@ -1,0 +1,162 @@
+"""Generic causal-LM wrapper + jitted chunked token generation.
+
+The reference delegates LLM-over-audio-token decoding to mlx_lm's
+stream_generate (tts/models/llama/llama.py:238-258, outetts, spark); here
+it is one shared TPU-first loop: left-padded prefill buckets + `lax.scan`
+decode chunks with on-device sampling and repetition penalty, reused by
+Orpheus, OuteTTS, Spark and the CSM backbone family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.models.lm.llama import LlamaConfig, LlamaModel
+from mlx_audio_tpu.models.sampling import sample_top_k, sample_top_p
+from mlx_audio_tpu.nn import Linear, Module
+
+
+class LlamaForCausalLM(Module):
+    """LlamaModel + LM head (tied embeddings supported)."""
+
+    def __init__(self, config: LlamaConfig):
+        self.config = config
+        self.model = LlamaModel(config)
+        self.tie_word_embeddings = config.tie_word_embeddings
+        if not config.tie_word_embeddings:
+            self.lm_head = Linear(config.hidden_size, config.vocab_size, bias=False)
+
+    def logits(self, hidden: jax.Array) -> jax.Array:
+        if self.tie_word_embeddings:
+            return self.model.embed_tokens.as_linear(hidden)
+        return self.lm_head(hidden)
+
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        return self.logits(self.model(input_ids))
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, -(-n // step) * step)
+
+
+@partial(jax.jit, static_argnames=("temp", "top_k", "top_p", "rep_penalty",
+                                   "rep_context", "chunk"))
+def _decode_chunk(model, caches, pad_len, last_token, rep_window, key,
+                  temp: float, top_k: int, top_p: float, rep_penalty: float,
+                  rep_context: int, chunk: int):
+    """Generate `chunk` tokens via lax.scan.
+
+    rep_window: [B, rep_context] rolling buffer of recent tokens (-1 = empty).
+    Returns (tokens [chunk, B], caches, rep_window, last_token).
+    """
+
+    def sample(k, logits):
+        if temp == 0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if top_p < 1.0:
+            return sample_top_p(k, logits, temp, top_p)
+        return sample_top_k(k, logits, temp, top_k)
+
+    def body(carry, k):
+        caches_s, prev, window = carry
+        h, caches_s = model.model.step(caches_s, prev[:, None], pad_len)
+        logits = model.logits(h[:, -1]).astype(jnp.float32)
+        if rep_penalty != 1.0:
+            v = logits.shape[-1]
+            hist = jnp.where(window < 0, v, window)
+            onehot = (jax.nn.one_hot(hist, v + 1, dtype=jnp.bool_)).any(axis=1)[:, :v]
+            penalized = jnp.where(logits > 0, logits / rep_penalty,
+                                  logits * rep_penalty)
+            logits = jnp.where(onehot, penalized, logits)
+        tok = sample(k, logits)
+        window = jnp.concatenate([window[:, 1:], tok[:, None]], axis=1)
+        return (caches_s, tok, window), tok
+
+    keys = jax.random.split(key, chunk)
+    (caches, last, rep_window), toks = jax.lax.scan(
+        body, (caches, last_token, rep_window), keys
+    )
+    return toks, caches, rep_window, last
+
+
+@partial(jax.jit, static_argnames=())
+def _prefill(model, caches, pad_len, input_ids):
+    h, caches = model.model.prefill(caches, input_ids, pad_len)
+    logits = model.logits(h[:, -1]).astype(jnp.float32)
+    return logits, caches
+
+
+def generate_tokens(
+    model: LlamaForCausalLM,
+    input_ids: np.ndarray,
+    max_tokens: int = 1200,
+    temperature: float = 0.6,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    repetition_context_size: int = 20,
+    stop_tokens: tuple = (),
+    chunk: int = 64,
+    seed: int = 0,
+    max_cache_len: Optional[int] = None,
+) -> Iterator[np.ndarray]:
+    """Yield generated token chunks (np.int32 [<=chunk]) for a single prompt
+    [T] until a stop token or the budget; host checks stops per chunk."""
+    input_ids = np.asarray(input_ids).reshape(-1)
+    t = len(input_ids)
+    bucket = _bucket(t)
+    pad = bucket - t
+    prompt = np.full((1, bucket), 0, dtype=np.int32)
+    prompt[0, pad:] = input_ids
+    pad_len = jnp.asarray([pad], dtype=jnp.int32)
+
+    cache_len = max_cache_len or (bucket + max_tokens)
+    caches = model.model.init_cache(1, max_len=cache_len)
+    key = jax.random.PRNGKey(seed)
+
+    logits, caches = _prefill(model, caches, pad_len, jnp.asarray(prompt))
+    key, k0 = jax.random.split(key)
+    if temperature == 0:
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    elif top_p < 1.0:
+        first = sample_top_p(k0, logits, temperature, top_p)
+    else:
+        first = sample_top_k(k0, logits, temperature, top_k)
+    first_np = int(np.asarray(first)[0])
+    if first_np in stop_tokens:
+        return
+    yield np.asarray([first_np], dtype=np.int32)
+
+    rep_window = np.full((1, max(repetition_context_size, 1)), -1, dtype=np.int32)
+    rep_window[0, -1] = first_np
+    rep_window = jnp.asarray(rep_window)
+    last = first
+    produced = 1
+    while produced < max_tokens:
+        n = min(chunk, max_tokens - produced)
+        key, kc = jax.random.split(key)
+        toks, caches, rep_window, last = _decode_chunk(
+            model, caches, pad_len, last, rep_window, kc,
+            temp=temperature, top_k=top_k, top_p=top_p,
+            rep_penalty=repetition_penalty,
+            rep_context=max(repetition_context_size, 1), chunk=n,
+        )
+        toks_np = np.asarray(toks)[:, 0]
+        out = []
+        done = False
+        for tok in toks_np:
+            if int(tok) in stop_tokens:
+                done = True
+                break
+            out.append(int(tok))
+        if out:
+            yield np.asarray(out, dtype=np.int32)
+        produced += len(out)
+        if done or len(out) < len(toks_np):
+            return
