@@ -1,0 +1,94 @@
+"""Bark tests: three-stage generation with tiny GPTs + tiny EnCodec
+(cf. reference tts/tests/test_models.py Bark suites)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mlx_audio_tpu.models.tts.bark.bark import (
+    CODEBOOK_SIZE,
+    N_COARSE_CODEBOOKS,
+    N_FINE_CODEBOOKS,
+    SEMANTIC_VOCAB_SIZE,
+    Model,
+    ModelConfig,
+)
+from test_encodec import small_encodec
+
+
+class FakeBertTokenizer:
+    def encode(self, text, add_special_tokens=False):
+        return [ord(c) % 500 + 1 for c in text[:30]]
+
+
+def tiny_gpt_cfg(in_vocab, out_vocab, **kw):
+    d = dict(block_size=1024, input_vocab_size=in_vocab,
+             output_vocab_size=out_vocab, n_layer=1, n_head=2, n_embd=32,
+             bias=False)
+    d.update(kw)
+    return d
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = ModelConfig(
+        semantic_config=tiny_gpt_cfg(129600, 129600),
+        coarse_acoustics_config=tiny_gpt_cfg(12096, 12096),
+        fine_acoustics_config=tiny_gpt_cfg(1056, 1056, n_codes_total=8,
+                                           n_codes_given=1),
+    )
+    return Model(cfg, codec=small_encodec(), tokenizer=FakeBertTokenizer())
+
+
+def test_semantic_stage(model):
+    toks = model.generate_text_semantic("hello world", temperature=0.7,
+                                        max_steps=24)
+    assert toks.ndim == 1
+    assert len(toks) <= 24
+    assert (toks < SEMANTIC_VOCAB_SIZE).all()
+
+
+def test_coarse_stage(model):
+    sem = np.random.default_rng(0).integers(0, SEMANTIC_VOCAB_SIZE, size=20)
+    coarse = model.generate_coarse(sem.astype(np.int32), sliding_window_len=12)
+    assert coarse.shape[0] == N_COARSE_CODEBOOKS
+    # ~75/49.9*2 tokens per semantic token, interleaved into 2 codebooks
+    assert coarse.shape[1] == int(20 * 75 / 49.9)
+    assert (coarse >= 0).all() and (coarse < CODEBOOK_SIZE).all()
+
+
+def test_fine_stage(model):
+    coarse = np.random.default_rng(1).integers(
+        0, CODEBOOK_SIZE, size=(N_COARSE_CODEBOOKS, 30)
+    ).astype(np.int32)
+    fine = model.generate_fine(coarse, temperature=0.5)
+    assert fine.shape == (N_FINE_CODEBOOKS, 30)
+    # coarse codebooks pass through unchanged
+    np.testing.assert_array_equal(fine[:N_COARSE_CODEBOOKS], coarse)
+    assert (fine >= 0).all() and (fine < CODEBOOK_SIZE + 1).all()
+
+
+def test_end_to_end_generate(model):
+    results = list(model.generate("hi", temperature=0.7, seed=0))
+    assert len(results) == 1
+    r = results[0]
+    assert r.sample_rate == 24000
+    assert r.samples > 0
+    assert np.isfinite(r.audio).all()
+
+
+def test_sanitize_gpt2_keys():
+    m_cfg = ModelConfig(
+        semantic_config=tiny_gpt_cfg(129600, 129600),
+        coarse_acoustics_config=tiny_gpt_cfg(12096, 12096),
+        fine_acoustics_config=tiny_gpt_cfg(1056, 1056),
+    )
+    m = Model(m_cfg, codec=None, tokenizer=FakeBertTokenizer())
+    w = {
+        "semantic._orig_mod.transformer.h.0.attn.att_proj.weight": np.zeros((96, 32)),
+        "semantic._orig_mod.lm_head.weight": np.zeros((129600, 32)),
+    }
+    out = m.sanitize(w)
+    assert "semantic.layers.0.attn.att_proj.weight" in out
+    assert "semantic.lm_head.weight" in out
