@@ -1,0 +1,67 @@
+"""Dia delay-pattern utilities — pure vectorized gathers.
+
+Capability parity with /root/reference/mlx_audio/tts/models/dia/audio.py:
+8-287 (whose gather_nd is a Python loop; here one jnp.take_along_axis)."""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def apply_audio_delay(audio_btc: jax.Array, pad_value: int, bos_value: int,
+                      delay_pattern: List[int]) -> jax.Array:
+    """out[b, t, c] = in[b, t - delay[c], c]; BOS where t < delay, PAD where
+    t - delay >= T."""
+    b, t, c = audio_btc.shape
+    delay = jnp.asarray(delay_pattern)[None, None, :]
+    t_idx = jnp.arange(t)[None, :, None] - delay      # [1, T, C]
+    clamped = jnp.clip(t_idx, 0, t - 1)
+    gathered = jnp.take_along_axis(
+        audio_btc, jnp.broadcast_to(clamped, (b, t, c)), axis=1
+    )
+    out = jnp.where(t_idx < 0, bos_value, gathered)
+    return jnp.where(t_idx >= t, pad_value, out)
+
+
+def revert_audio_delay(audio_btc: jax.Array, pad_value: int,
+                       delay_pattern: List[int], t_orig: int) -> jax.Array:
+    """out[b, t, c] = in[b, t + delay[c], c]; PAD beyond the original length."""
+    b, t, c = audio_btc.shape
+    delay = jnp.asarray(delay_pattern)[None, None, :]
+    t_idx = jnp.arange(t)[None, :, None] + delay
+    clamped = jnp.minimum(t_idx, t - 1)
+    gathered = jnp.take_along_axis(
+        audio_btc, jnp.broadcast_to(clamped, (b, t, c)), axis=1
+    )
+    return jnp.where(t_idx >= t_orig, pad_value, gathered)
+
+
+def audio_to_codebook(dac_model, audio, data_config):
+    """Encode audio with DAC and apply the per-channel delay (audio.py:98-145).
+    audio: [B, 1, T] -> delayed codes [B, T', C]."""
+    _, codes, _ = dac_model.encode(audio)  # [B, C, T']
+    codes_btc = jnp.swapaxes(codes, 1, 2)
+    return apply_audio_delay(
+        codes_btc, data_config.audio_pad_value, data_config.audio_bos_value,
+        data_config.delay_pattern,
+    )
+
+
+def codebook_to_audio(generated_codes, dac_model, delay_pattern,
+                      c: int = 9) -> np.ndarray:
+    """[C, T] delayed codes (incl. BOS col) -> waveform (audio.py:246-287)."""
+    codes = generated_codes[:, 1:]  # drop BOS
+    t = codes.shape[1]
+    reverted = revert_audio_delay(
+        jnp.asarray(codes.T)[None], pad_value=0, delay_pattern=delay_pattern,
+        t_orig=t,
+    )
+    reverted = reverted[:, :-30, :] if reverted.shape[1] > 30 else reverted
+    codebook = jnp.swapaxes(reverted, 1, 2)  # [1, C, T]
+    codebook = jnp.where((codebook < 0) | (codebook > 1023), 0, codebook)
+    audio = dac_model.decode_codes(codebook)
+    return np.asarray(audio)[0, 0]

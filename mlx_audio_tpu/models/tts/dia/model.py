@@ -1,0 +1,265 @@
+"""Dia-1.6B — encoder-decoder dialogue TTS over 9 DAC codebooks, TPU-first.
+
+Capability parity with /root/reference/mlx_audio/tts/models/dia/dia.py:
+32-592: byte-level text encoding with [S1]/[S2] speaker tags, 2-row
+(uncond/cond) classifier-free-guidance decoding, per-channel delay pattern,
+EOS countdown tail, DAC synthesis.  The AR loop runs as jitted `lax.scan`
+chunks with CFG + top-k sampling on device.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.models.base import make_generation_result
+from mlx_audio_tpu.models.tts.dia.audio import (
+    audio_to_codebook,
+    codebook_to_audio,
+)
+from mlx_audio_tpu.models.tts.dia.config import DiaConfig
+from mlx_audio_tpu.models.tts.dia.layers import DiaDecoder, DiaEncoder
+from mlx_audio_tpu.nn import Module
+
+_EXTRA_STEPS_AFTER_EOS = 30
+
+
+class DiaModel(Module):
+    def __init__(self, config: DiaConfig):
+        self.encoder = DiaEncoder(config)
+        self.decoder = DiaDecoder(config)
+
+
+@partial(jax.jit, static_argnames=("chunk", "temperature", "top_k",
+                                   "cfg_scale", "force_bos"))
+def _dia_chunk(model, sa_caches, cross_kvs, ca_mask, last_tokens, step0,
+               gen_start, delay, key, bos_value, chunk: int,
+               temperature: float, top_k: int, cfg_scale: float,
+               force_bos: bool):
+    """Scan `chunk` decode steps with CFG over the 2-row batch.
+
+    last_tokens: [2, C] codes fed at position step0 (the current step's
+    input); returns sampled codes [chunk, C] (with delay-pattern BOS forcing
+    applied in-graph, dia.py:521-526, so the fed-back tokens match).
+    """
+
+    def body(carry, xs):
+        caches_s, prev, step = carry
+        k = xs
+        logits, caches_s = model.decoder.step(
+            prev[:, None, :], step[None, None], caches_s, cross_kvs,
+            None, ca_mask,
+        )
+        logits = logits[:, -1]              # [2, C, V]
+        uncond, cond = logits[0], logits[1]
+        cfg = cond + cfg_scale * (cond - uncond)  # [C, V]
+        v = cfg.shape[-1]
+        # restrict to the 1025 valid classes (codes + EOS)
+        ids = jnp.arange(v)[None, :]
+        cfg = jnp.where(ids < 1025, cfg, -jnp.inf)
+        if top_k > 0:
+            kth = jnp.sort(cfg, axis=-1)[:, -top_k][:, None]
+            cfg = jnp.where(cfg < kth, -jnp.inf, cfg)
+        if temperature == 0:
+            pred = jnp.argmax(cfg, axis=-1).astype(jnp.int32)
+        else:
+            pred = jax.random.categorical(k, cfg / temperature, axis=-1).astype(jnp.int32)
+        if force_bos:
+            gen_idx = step - gen_start
+            pred = jnp.where(gen_idx >= delay, pred, bos_value)
+        return (caches_s, jnp.broadcast_to(pred[None], prev.shape), step + 1), pred
+
+    keys = jax.random.split(key, chunk)
+    (sa_caches, last, _), preds = jax.lax.scan(
+        body, (sa_caches, last_tokens, step0), keys
+    )
+    return preds, sa_caches, last
+
+
+class Model(Module):
+    def __init__(self, config, dac_model=None):
+        if isinstance(config, DiaConfig):
+            self.config = config
+        else:
+            self.config = DiaConfig.load_dict(config)
+        self.model = DiaModel(self.config)
+        self._dac = dac_model
+
+    @property
+    def sample_rate(self):
+        return self.config.model.sample_rate
+
+    def _get_dac(self):
+        if self._dac is None:
+            from mlx_audio_tpu.codec.dac import DAC, DACConfig
+
+            self._dac = DAC(DACConfig(sample_rate=44100))
+        return self._dac
+
+    # -- text prep (dia.py:171-203) ---------------------------------------
+
+    def _prepare_text_input(self, text: str):
+        pad = self.config.data.text_pad_value
+        max_len = self.config.data.text_length
+        b = text.encode("utf-8").replace(b"[S1]", b"\x01").replace(b"[S2]", b"\x02")
+        tokens = list(b)[:max_len]
+        padded = np.full(max_len, pad, dtype=np.int32)
+        padded[: len(tokens)] = tokens
+        src = jnp.asarray(padded)[None]
+        positions = jnp.arange(max_len)[None]
+        pad_mask = src != pad
+        # segment-compatible mask: non-pad<->non-pad or pad<->pad
+        q = pad_mask[:, :, None]
+        kk = pad_mask[:, None, :]
+        mask = (q & kk) | (~q & ~kk)
+        return src, positions, pad_mask, mask[:, None]
+
+    def _split_turns(self, text: str) -> List[str]:
+        pattern = re.compile(
+            r"\[S1\]\s*(.*?)\s*\[S2\]\s*(.*?)(?=(?:\[S1\])|$)", re.DOTALL
+        )
+        segments = [
+            f"[S1] {a.strip()} [S2] {b.strip()}" for a, b in pattern.findall(text)
+        ]
+        if len(segments) > 1:
+            merged = []
+            for i in range(0, len(segments), 2):
+                if i + 1 < len(segments):
+                    merged.append(f"{segments[i]} {segments[i + 1]}")
+                else:
+                    merged.append(segments[i])
+            segments = merged
+        return segments
+
+    # -- generation --------------------------------------------------------
+
+    def _generate(self, text: str, max_tokens: Optional[int] = None,
+                  cfg_scale: float = 3.0, temperature: float = 1.3,
+                  cfg_filter_top_k: int = 35, ref_audio=None,
+                  ref_text: Optional[str] = None, seed: int = 0):
+        data = self.config.data
+        c = data.channels
+        bos, eos, pad_tok = data.audio_bos_value, data.audio_eos_value, data.audio_pad_value
+        delay = data.delay_pattern
+        max_delay = max(delay)
+        max_tokens = max_tokens or data.audio_length
+
+        if ref_text is not None:
+            text = ref_text.strip() + " " + text
+
+        src, src_pos, src_pad_mask, enc_mask = self._prepare_text_input(text)
+        # 2-row batch: row 0 unconditional (zeroed text), row 1 conditional
+        src2 = jnp.concatenate([jnp.zeros_like(src), src], axis=0)
+        src_pos2 = jnp.concatenate([src_pos, src_pos], axis=0)
+        pad2 = jnp.concatenate([src_pad_mask, src_pad_mask], axis=0)
+        enc_mask2 = jnp.concatenate([enc_mask, enc_mask], axis=0)
+
+        encoder_out = self.model.encoder(src2, src_pos2, enc_mask2)
+        cross_kvs = self.model.decoder.precompute_cross_kv(encoder_out, src_pos2)
+        # decode-step cross mask: query (generated, non-pad) attends non-pad keys
+        ca_mask = pad2[:, None, None, :]  # [2,1,1,S]
+
+        cache_len = max_tokens + 64
+        sa_caches = self.model.decoder.init_cache(2, cache_len)
+
+        generated = [np.full((c,), bos, dtype=np.int32)]  # BOS frame
+        current_step = 0
+
+        if ref_audio is not None:
+            prompt_codes = audio_to_codebook(
+                self._get_dac(), jnp.asarray(ref_audio, jnp.float32)[None, None],
+                data,
+            )  # [1, T, C]
+            prompt_np = np.asarray(prompt_codes)[0]
+            frames = np.concatenate([generated[0][None], prompt_np], axis=0)
+            tgt = jnp.asarray(np.stack([frames, frames]))  # [2, T, C]
+            t = tgt.shape[1]
+            positions = jnp.arange(t)[None].repeat(2, 0)
+            i = jnp.arange(t)[:, None]
+            j = jnp.arange(cache_len)[None, :]
+            sa_mask = ((j <= i) & (j < t))[None, None]
+            _, sa_caches = self.model.decoder.step(
+                tgt, positions, sa_caches, cross_kvs, sa_mask, ca_mask
+            )
+            generated = [f for f in frames]
+            current_step = t - 1
+            # rewind: the last frame is re-fed as the next step's input
+            sa_caches = [cc._replace(idx=jnp.asarray(t - 1, jnp.int32))
+                         for cc in sa_caches]
+
+        key = jax.random.PRNGKey(seed)
+        last = jnp.asarray(np.stack([generated[-1], generated[-1]]))
+        step = current_step
+        out_frames = list(generated)
+        eos_seen = False
+        while (step - current_step) < max_tokens and not eos_seen:
+            n = min(64, max_tokens - (step - current_step))
+            key, kc = jax.random.split(key)
+            preds, sa_caches, last = _dia_chunk(
+                self.model, sa_caches, cross_kvs, ca_mask, last,
+                jnp.asarray(step, jnp.int32),
+                jnp.asarray(current_step, jnp.int32), jnp.asarray(delay), kc,
+                bos, chunk=int(n), temperature=temperature,
+                top_k=cfg_filter_top_k, cfg_scale=cfg_scale,
+                force_bos=ref_audio is None,
+            )
+            preds_np = np.asarray(preds)  # [n, C]
+            for row in preds_np:
+                out_frames.append(row.astype(np.int32))
+                step += 1
+                if row[0] == eos:
+                    eos_seen = True
+                    break
+
+        # EOS tail: force EOS/PAD per channel delay (dia.py:545-573).  NB the
+        # reference keeps sampling the not-yet-EOS channels during the
+        # countdown; we fill them with code 0 — the revert step discards the
+        # last 30 frames, which covers the max_delay=15 tail.
+        if eos_seen:
+            tail_start = len(out_frames) - 1
+            for extra in range(1, max_delay + 1):
+                row = np.full((c,), pad_tok, dtype=np.int32)
+                for i, d in enumerate(delay):
+                    if extra == d:
+                        row[i] = eos
+                    elif extra < d:
+                        row[i] = 0
+                out_frames.append(row)
+
+        codes = np.stack(out_frames, axis=1)  # [C, T]
+        audio = codebook_to_audio(codes, self._get_dac(), delay, c=c)
+        return audio, len(out_frames)
+
+    def generate(self, text: str, temperature: float = 1.3, top_p: float = 0.95,
+                 split_pattern: str = "\n", max_tokens: Optional[int] = None,
+                 ref_audio=None, ref_text: Optional[str] = None,
+                 cfg_scale: float = 3.0, seed: int = 0, **kwargs):
+        prompt = text.replace("\\n", "\n").replace("\\t", "\t")
+        prompts = prompt.split(split_pattern)
+        segments = []
+        for p in prompts:
+            if "[S1]" in p and "[S2]" in p:
+                segments.extend(self._split_turns(p))
+            else:
+                segments.append(p)
+        for seg_idx, segment in enumerate(segments):
+            start = time.perf_counter()
+            audio, token_count = self._generate(
+                segment, max_tokens=max_tokens, cfg_scale=cfg_scale,
+                temperature=temperature, ref_audio=ref_audio,
+                ref_text=ref_text, seed=seed + seg_idx,
+            )
+            yield make_generation_result(
+                audio, self.config.model.sample_rate, seg_idx, token_count,
+                time.perf_counter() - start,
+            )
+
+    def sanitize(self, weights: dict) -> dict:
+        return {k if k.startswith("model.") else f"model.{k}": np.asarray(v)
+                for k, v in weights.items()}

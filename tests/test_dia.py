@@ -1,0 +1,91 @@
+"""Dia tests: delay pattern round-trip, CFG decode loop, end-to-end tiny
+generation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mlx_audio_tpu.models.tts.dia.audio import (
+    apply_audio_delay,
+    revert_audio_delay,
+)
+from mlx_audio_tpu.models.tts.dia.config import (
+    DataConfig,
+    DecoderConfig,
+    DiaConfig,
+    DiaModelConfig,
+    EncoderConfig,
+)
+from mlx_audio_tpu.models.tts.dia.model import Model
+from test_dac_snac import small_dac
+
+
+def test_delay_roundtrip():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 1024, size=(1, 40, 4)).astype(np.int32)
+    delay = [0, 2, 3, 5]
+    delayed = apply_audio_delay(jnp.asarray(codes), pad_value=1025,
+                                bos_value=1026, delay_pattern=delay)
+    d = np.asarray(delayed)
+    # channel c at time t holds codes[t - delay[c]]
+    assert (d[0, :2, 1] == 1026).all()
+    np.testing.assert_array_equal(d[0, 5:, 3], codes[0, :-5, 3])
+    reverted = revert_audio_delay(delayed, pad_value=0, delay_pattern=delay,
+                                  t_orig=40)
+    r = np.asarray(reverted)
+    # interior reverts exactly
+    np.testing.assert_array_equal(r[0, : 40 - 5], codes[0, : 40 - 5])
+
+
+def tiny_dia():
+    cfg = DiaConfig(
+        data=DataConfig(text_length=64, audio_length=128, channels=4,
+                        delay_pattern=[0, 1, 2, 3]),
+        model=DiaModelConfig(
+            encoder=EncoderConfig(n_layer=1, n_embd=32, n_hidden=64,
+                                  n_head=2, head_dim=16),
+            decoder=DecoderConfig(n_layer=1, n_embd=32, n_hidden=64,
+                                  gqa_query_heads=4, kv_heads=2,
+                                  gqa_head_dim=8, cross_query_heads=2,
+                                  cross_head_dim=16),
+            src_vocab_size=128, tgt_vocab_size=1028, sample_rate=16000,
+        ),
+    )
+    from mlx_audio_tpu.codec.dac import DAC, DACConfig
+
+    # Dia samples codes in [0, 1024); the codec must have >= 1024 entries
+    dac = DAC(DACConfig(
+        encoder_dim=16, encoder_rates=[2, 4, 5, 8], decoder_dim=128,
+        decoder_rates=[8, 5, 4, 2], n_codebooks=4, codebook_size=1024,
+        codebook_dim=8, sample_rate=16000,
+    ))
+    return Model(cfg, dac_model=dac)
+
+
+def test_dia_generate_end_to_end():
+    model = tiny_dia()
+    results = list(model.generate("[S1] hi [S2] hello", max_tokens=40,
+                                  temperature=1.0, seed=0))
+    assert len(results) == 1
+    r = results[0]
+    assert r.samples > 0
+    assert np.isfinite(r.audio).all()
+
+
+def test_split_turns():
+    model = tiny_dia()
+    text = "[S1] a [S2] b [S1] c [S2] d [S1] e [S2] f"
+    segs = model._split_turns(text)
+    assert all("[S1]" in s and "[S2]" in s for s in segs)
+    joined = " ".join(segs)
+    for ch in "abcdef":
+        assert ch in joined
+
+
+def test_text_input_special_tokens():
+    model = tiny_dia()
+    src, pos, pad_mask, mask = model._prepare_text_input("[S1] hi")
+    s = np.asarray(src)[0]
+    assert s[0] == 1  # [S1] -> 0x01
+    assert pad_mask.shape == (1, 64)
