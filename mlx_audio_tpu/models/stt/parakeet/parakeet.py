@@ -1,0 +1,354 @@
+"""Parakeet STT (NeMo lineage) — Conformer + {TDT, RNNT, CTC} decoders.
+
+Capability parity with /root/reference/mlx_audio/stt/models/parakeet/
+parakeet.py:104-608.  The reference drives its greedy label loops one
+Python step at a time; here TDT and RNNT run as jitted `lax.while_loop`s
+with fixed output buffers — the host only detokenizes and assembles
+aligned sentences.  Long audio chunking + token-merge (alignment.py)
+remains host logic.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.models.stt.parakeet import alignment as al
+from mlx_audio_tpu.models.stt.parakeet.audio import (
+    PreprocessArgs,
+    log_mel_spectrogram,
+)
+from mlx_audio_tpu.models.stt.parakeet.conformer import Conformer, ConformerArgs
+from mlx_audio_tpu.models.stt.parakeet.ctc import (
+    AuxCTCArgs,
+    ConvASRDecoder,
+    ConvASRDecoderArgs,
+)
+from mlx_audio_tpu.models.stt.parakeet.rnnt import (
+    JointArgs,
+    JointNetwork,
+    JointNetworkArgs,
+    PredictArgs,
+    PredictNetwork,
+    PredictNetworkArgs,
+)
+from mlx_audio_tpu.nn import Module
+
+
+def _sub(cls, d):
+    return cls(**{k: v for k, v in d.items() if k in cls.__dataclass_fields__})
+
+
+def _predict_args(d: dict) -> PredictArgs:
+    return PredictArgs(
+        blank_as_pad=d.get("blank_as_pad", True),
+        vocab_size=d["vocab_size"],
+        prednet=_sub(PredictNetworkArgs, d["prednet"]),
+    )
+
+
+def _joint_args(d: dict) -> JointArgs:
+    return JointArgs(
+        num_classes=d["num_classes"],
+        vocabulary=d["vocabulary"],
+        jointnet=_sub(JointNetworkArgs, d["jointnet"]),
+        num_extra_outputs=d.get("num_extra_outputs", 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jitted greedy loops
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("vocab_size", "max_symbols", "max_out",
+                                   "tdt"))
+def _transducer_greedy_loop(model, features, max_length, durations,
+                            vocab_size: int, max_symbols: int, max_out: int,
+                            tdt: bool):
+    """Greedy TDT/RNNT label loop as lax.while_loop.
+
+    features: [1, T, D]; durations: [n_dur] (TDT) or unused.
+    Returns (tokens [max_out], times [max_out], durs [max_out], count).
+    """
+    h0, c0 = model.decoder.init_state(1)
+    blank = vocab_size
+
+    def cond(s):
+        time, count = s[0], s[8]
+        return (time < max_length) & (count < max_out)
+
+    def body(s):
+        (time, last_tok, use_emb, h, c, toks, times, durs, count, new_syms) = s
+        feature = jax.lax.dynamic_slice(
+            features, (0, time, 0), (1, 1, features.shape[2])
+        )[0]
+        dec_out, (h2, c2) = model.decoder.step(
+            last_tok[None], (h, c), use_emb[None]
+        )
+        joint = model.joint(feature, dec_out)[0].astype(jnp.float32)
+        pred = jnp.argmax(joint[: vocab_size + 1]).astype(jnp.int32)
+        if tdt:
+            decision = jnp.argmax(joint[vocab_size + 1:]).astype(jnp.int32)
+            dur = durations[decision]
+        else:
+            dur = jnp.where(pred == blank, 1, 0).astype(jnp.int32)
+        emit = pred != blank
+
+        toks = jnp.where(jnp.arange(max_out) == count, pred, toks)
+        times = jnp.where(jnp.arange(max_out) == count, time, times)
+        durs = jnp.where(jnp.arange(max_out) == count,
+                         jnp.where(tdt, dur, 1), durs)
+        count = count + emit.astype(jnp.int32)
+        last_tok = jnp.where(emit, pred, last_tok)
+        use_emb = use_emb | emit
+        h = jnp.where(emit, h2, h)
+        c = jnp.where(emit, c2, c)
+
+        time = time + dur
+        if tdt:
+            new_syms = jnp.where(dur != 0, 0, new_syms + 1)
+            bump = (max_symbols > 0) & (new_syms >= max_symbols)
+            time = time + bump.astype(jnp.int32)
+            new_syms = jnp.where(bump, 0, new_syms)
+        else:
+            new_syms = jnp.where(emit, new_syms + 1, 0)
+            bump = emit & (max_symbols > 0) & (new_syms >= max_symbols)
+            time = time + bump.astype(jnp.int32)
+            new_syms = jnp.where(bump, 0, new_syms)
+        return (time, last_tok, use_emb, h, c, toks, times, durs, count, new_syms)
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(blank, jnp.int32),
+        jnp.asarray(False),
+        h0, c0,
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out[5], out[6], out[7], out[8]
+
+
+@jax.jit
+def _encode_jit(model, mel):
+    return model.encoder(mel)
+
+
+@jax.jit
+def _ctc_logits_jit(model, mel):
+    feats, lengths = model.encoder(mel)
+    return model.decoder(feats), lengths
+
+
+# ---------------------------------------------------------------------------
+
+
+class BaseParakeet(Module):
+    """Shared transcription driver (chunking + merge, parakeet.py:129-225)."""
+
+    def decode(self, mel: jax.Array):
+        raise NotImplementedError
+
+    def decode_chunk(self, audio_data, verbose=False) -> al.AlignedResult:
+        mel = log_mel_spectrogram(audio_data, self.preprocessor_config)
+        result = self.decode(mel)[0]
+        if verbose:
+            print(result.text)
+        return result
+
+    def generate(self, path, *, chunk_duration: Optional[float] = None,
+                 overlap_duration: float = 15.0,
+                 chunk_callback: Optional[Callable] = None,
+                 **kwargs) -> al.AlignedResult:
+        kwargs.pop("max_tokens", None)
+        verbose = kwargs.pop("verbose", False)
+        if isinstance(path, (str, Path)):
+            from mlx_audio_tpu.utils.audio_io import load_audio
+
+            audio_data = load_audio(path, self.preprocessor_config.sample_rate)
+        else:
+            audio_data = np.asarray(path)
+
+        if chunk_duration is None:
+            return self.decode_chunk(audio_data, verbose)
+        sr = self.preprocessor_config.sample_rate
+        if len(audio_data) / sr <= chunk_duration:
+            return self.decode_chunk(audio_data, verbose)
+
+        chunk_samples = int(chunk_duration * sr)
+        overlap_samples = int(overlap_duration * sr)
+        all_tokens = []
+        for start in range(0, len(audio_data), chunk_samples - overlap_samples):
+            end = min(start + chunk_samples, len(audio_data))
+            if chunk_callback is not None:
+                chunk_callback(end, len(audio_data))
+            chunk_result = self.decode_chunk(audio_data[start:end])
+            offset = start / sr
+            chunk_tokens = []
+            for sentence in chunk_result.sentences:
+                for token in sentence.tokens:
+                    token.start += offset
+                    token.end = token.start + token.duration
+                chunk_tokens.extend(sentence.tokens)
+            if all_tokens:
+                try:
+                    all_tokens = al.merge_longest_contiguous(
+                        all_tokens, chunk_tokens, overlap_duration=overlap_duration
+                    )
+                except RuntimeError:
+                    all_tokens = al.merge_longest_common_subsequence(
+                        all_tokens, chunk_tokens, overlap_duration=overlap_duration
+                    )
+            else:
+                all_tokens = chunk_tokens
+        return al.sentences_to_result(al.tokens_to_sentences(all_tokens))
+
+    def _time_scale(self) -> float:
+        return (self.encoder_config.subsampling_factor
+                / self.preprocessor_config.sample_rate
+                * self.preprocessor_config.hop_length)
+
+    @classmethod
+    def from_config(cls, config: dict):
+        target = config.get("target", "")
+        has_tdt = config.get("model_defaults", {}).get("tdt_durations") is not None
+        pre = PreprocessArgs.from_dict(config["preprocessor"])
+        enc = ConformerArgs.from_dict(config["encoder"])
+        if "rnnt" in target and has_tdt and "hybrid" not in target:
+            return ParakeetTDT(pre, enc, _predict_args(config["decoder"]),
+                               _joint_args(config["joint"]),
+                               config["decoding"])
+        if "hybrid" in target and has_tdt:
+            m = ParakeetTDT(pre, enc, _predict_args(config["decoder"]),
+                            _joint_args(config["joint"]), config["decoding"])
+            m.ctc_decoder = ConvASRDecoder(
+                _sub(ConvASRDecoderArgs, config["aux_ctc"]["decoder"])
+            )
+            return m
+        if "rnnt" in target:
+            return ParakeetRNNT(pre, enc, _predict_args(config["decoder"]),
+                                _joint_args(config["joint"]),
+                                config["decoding"])
+        if "ctc" in target:
+            return ParakeetCTC(pre, enc,
+                               _sub(ConvASRDecoderArgs, config["decoder"]))
+        raise ValueError("Model is not supported yet!")
+
+
+class ParakeetTDT(BaseParakeet):
+    def __init__(self, preprocess_args, encoder_args, decoder_args, joint_args,
+                 decoding: dict, tdt: bool = True):
+        self.preprocessor_config = preprocess_args
+        self.encoder_config = encoder_args
+        self.vocabulary = joint_args.vocabulary
+        self.durations = decoding.get("durations", [0, 1, 2, 3, 4]) if tdt else [1]
+        greedy = decoding.get("greedy") or {}
+        self.max_symbols = greedy.get("max_symbols") or 10
+        self.is_tdt = tdt
+        self.encoder = Conformer(encoder_args)
+        self.decoder = PredictNetwork(decoder_args)
+        self.joint = JointNetwork(joint_args)
+
+    def decode(self, mel: jax.Array):
+        if mel.ndim == 2:
+            mel = mel[None]
+        features, lengths = _encode_jit(self, jnp.asarray(mel))
+        results = []
+        scale = self._time_scale()
+        for b in range(features.shape[0]):
+            max_len = int(lengths[b])
+            max_out = max(16, 2 * max_len)
+            toks, times, durs, count = _transducer_greedy_loop(
+                self, features[b: b + 1], jnp.asarray(max_len, jnp.int32),
+                jnp.asarray(self.durations, jnp.int32),
+                vocab_size=len(self.vocabulary),
+                max_symbols=int(self.max_symbols), max_out=max_out,
+                tdt=self.is_tdt,
+            )
+            n = int(count)
+            hypothesis = [
+                al.AlignedToken(
+                    int(toks[i]),
+                    start=float(times[i]) * scale,
+                    duration=float(durs[i]) * scale,
+                    text=al.decode_tokens([int(toks[i])], self.vocabulary),
+                )
+                for i in range(n)
+            ]
+            results.append(al.sentences_to_result(al.tokens_to_sentences(hypothesis)))
+        return results
+
+
+class ParakeetRNNT(ParakeetTDT):
+    def __init__(self, preprocess_args, encoder_args, decoder_args, joint_args,
+                 decoding: dict):
+        super().__init__(preprocess_args, encoder_args, decoder_args,
+                         joint_args, decoding, tdt=False)
+
+
+class ParakeetCTC(BaseParakeet):
+    def __init__(self, preprocess_args, encoder_args, decoder_args):
+        self.preprocessor_config = preprocess_args
+        self.encoder_config = encoder_args
+        self.vocabulary = decoder_args.vocabulary
+        self.encoder = Conformer(encoder_args)
+        self.decoder = ConvASRDecoder(decoder_args)
+
+    def decode(self, mel: jax.Array):
+        if mel.ndim == 2:
+            mel = mel[None]
+        logits, lengths = _ctc_logits_jit(self, jnp.asarray(mel))
+        logits_np = np.asarray(logits)
+        scale = self._time_scale()
+        blank = len(self.vocabulary)
+        results = []
+        for b in range(logits_np.shape[0]):
+            n = int(lengths[b])
+            best = logits_np[b, :n].argmax(axis=-1)
+            hypothesis = []
+            prev = -1
+            boundaries = []
+            for t, tok in enumerate(best):
+                tok = int(tok)
+                if tok == blank or tok == prev:
+                    continue
+                if prev != -1:
+                    start = boundaries[-1] * scale
+                    hypothesis.append(al.AlignedToken(
+                        prev, start=start, duration=t * scale - start,
+                        text=al.decode_tokens([prev], self.vocabulary),
+                    ))
+                boundaries.append(t)
+                prev = tok
+            if prev != -1:
+                last_non_blank = boundaries[-1]
+                for t in range(n - 1, boundaries[-1], -1):
+                    if int(best[t]) != blank:
+                        last_non_blank = t
+                        break
+                start = boundaries[-1] * scale
+                hypothesis.append(al.AlignedToken(
+                    prev, start=start,
+                    duration=(last_non_blank + 1) * scale - start,
+                    text=al.decode_tokens([prev], self.vocabulary),
+                ))
+            results.append(al.sentences_to_result(al.tokens_to_sentences(hypothesis)))
+        return results
+
+
+class Model:
+    """Registry entry point: dispatches on the NeMo config target."""
+
+    def __new__(cls, config: Union[dict]):
+        return BaseParakeet.from_config(config)

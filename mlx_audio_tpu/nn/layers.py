@@ -104,6 +104,22 @@ class RMSNorm(Module):
         return (y * self.weight).astype(x.dtype)
 
 
+class BatchNorm(Module):
+    """Inference-mode batch norm over the channel (last) axis of NLC input,
+    using running statistics."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5):
+        self.eps = eps
+        self.weight = jnp.ones((num_features,))
+        self.bias = jnp.zeros((num_features,))
+        self.running_mean = jnp.zeros((num_features,))
+        self.running_var = jnp.ones((num_features,))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = (x - self.running_mean) * jax.lax.rsqrt(self.running_var + self.eps)
+        return y * self.weight + self.bias
+
+
 class InstanceNorm1d(Module):
     """Instance norm over the time axis of NLC input (reference
     istftnet.py:173-325 operates NCL; semantics are identical)."""

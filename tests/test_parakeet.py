@@ -1,0 +1,126 @@
+"""Parakeet tests: conformer shapes, TDT/RNNT/CTC greedy loops, chunk
+merging (cf. reference stt/tests/test_models.py Parakeet suite)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mlx_audio_tpu.models.stt.parakeet import BaseParakeet
+from mlx_audio_tpu.models.stt.parakeet.alignment import (
+    AlignedToken,
+    merge_longest_common_subsequence,
+    merge_longest_contiguous,
+    tokens_to_sentences,
+)
+
+
+VOCAB = [c for c in "abcdefghij"] + ["▁the", "▁cat", ".", "!"]
+
+
+def tdt_config(target="nemo.collections.asr.models.rnnt_bpe_models.EncDecRNNTBPEModel",
+               tdt=True):
+    return {
+        "target": target,
+        "model_defaults": {"tdt_durations": [0, 1, 2, 3, 4] if tdt else None},
+        "preprocessor": {
+            "sample_rate": 16000, "normalize": "per_feature",
+            "window_size": 0.025, "window_stride": 0.01, "window": "hann",
+            "features": 80, "n_fft": 512, "dither": 0.0,
+        },
+        "encoder": {
+            "feat_in": 80, "n_layers": 2, "d_model": 64, "n_heads": 4,
+            "ff_expansion_factor": 2, "subsampling_factor": 4,
+            "self_attention_model": "rel_pos", "subsampling": "dw_striding",
+            "conv_kernel_size": 9, "subsampling_conv_channels": 32,
+            "pos_emb_max_len": 5000,
+        },
+        "decoder": {
+            "blank_as_pad": True, "vocab_size": len(VOCAB),
+            "prednet": {"pred_hidden": 32, "pred_rnn_layers": 1},
+        },
+        "joint": {
+            "num_classes": len(VOCAB),
+            "vocabulary": VOCAB,
+            "jointnet": {"joint_hidden": 32, "activation": "relu",
+                         "encoder_hidden": 64, "pred_hidden": 32},
+            "num_extra_outputs": 5 if tdt else 0,
+        },
+        "decoding": {"model_type": "tdt", "durations": [0, 1, 2, 3, 4],
+                     "greedy": {"max_symbols": 5}} if tdt
+        else {"greedy": {"max_symbols": 5}},
+    }
+
+
+def ctc_config():
+    cfg = tdt_config("nemo.collections.asr.models.ctc_bpe_models.EncDecCTCModelBPE",
+                     tdt=False)
+    cfg["model_defaults"] = {}
+    cfg["decoder"] = {"feat_in": 64, "num_classes": -1, "vocabulary": VOCAB}
+    cfg["decoding"] = {"greedy": None}
+    return cfg
+
+
+def test_tdt_decode():
+    model = BaseParakeet.from_config(tdt_config())
+    audio = np.random.default_rng(0).standard_normal(16000).astype(np.float32) * 0.1
+    result = model.generate(audio)
+    assert isinstance(result.text, str)
+    for s in result.sentences:
+        for t in s.tokens:
+            assert t.start >= 0 and t.duration >= 0
+
+
+def test_rnnt_decode():
+    cfg = tdt_config(tdt=False)
+    cfg["model_defaults"] = {"tdt_durations": None}
+    model = BaseParakeet.from_config(cfg)
+    audio = np.zeros(8000, dtype=np.float32)
+    result = model.generate(audio)
+    assert isinstance(result.text, str)
+
+
+def test_ctc_decode():
+    model = BaseParakeet.from_config(ctc_config())
+    audio = np.random.default_rng(1).standard_normal(8000).astype(np.float32) * 0.1
+    result = model.generate(audio)
+    assert isinstance(result.text, str)
+
+
+def test_chunked_generate_merges():
+    model = BaseParakeet.from_config(ctc_config())
+    audio = np.random.default_rng(2).standard_normal(4 * 16000).astype(np.float32) * 0.1
+    result = model.generate(audio, chunk_duration=2.0, overlap_duration=1.0)
+    assert isinstance(result.text, str)
+
+
+def _tok(i, start, dur=0.1):
+    from mlx_audio_tpu.models.stt.parakeet.alignment import decode_tokens
+
+    return AlignedToken(i, text=decode_tokens([i], VOCAB), start=start,
+                        duration=dur)
+
+
+def test_merge_contiguous_agreeing_overlap():
+    a = [_tok(0, 0.0), _tok(1, 0.2), _tok(2, 0.4), _tok(3, 0.6)]
+    b = [_tok(2, 0.4), _tok(3, 0.6), _tok(4, 0.8)]
+    merged = merge_longest_contiguous(a, b, overlap_duration=0.5)
+    ids = [t.id for t in merged]
+    assert ids == [0, 1, 2, 3, 4]
+
+
+def test_merge_lcs_fallback():
+    a = [_tok(0, 0.0), _tok(1, 0.2), _tok(2, 0.4)]
+    b = [_tok(1, 0.21), _tok(5, 0.3), _tok(2, 0.41), _tok(4, 0.6)]
+    merged = merge_longest_common_subsequence(a, b, overlap_duration=0.5)
+    ids = [t.id for t in merged]
+    assert ids[0] == 0 and ids[-1] == 4
+
+
+def test_sentences_split_on_punctuation():
+    # "!" always ends a sentence; "." only when followed by a space token
+    toks = [_tok(11, 0.0), _tok(13, 0.2), _tok(12, 0.4), _tok(10, 0.6)]
+    # "!": sentence 1; "." followed by a space token: sentence 2; tail: 3
+    sentences = tokens_to_sentences(toks)
+    assert len(sentences) == 3
+    assert sentences[0].text.endswith("!")
