@@ -51,6 +51,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rope_scaling: Optional[dict] = None
     tie_word_embeddings: bool = False
+    # Qwen2: bias on q/k/v only; Qwen3: per-head RMS norm on q/k
+    qkv_bias: bool = False
+    use_qk_norm: bool = False
 
 
 class LlamaAttention(Module):
@@ -60,10 +63,17 @@ class LlamaAttention(Module):
         self.head_dim = cfg.head_dim
         inner = cfg.num_attention_heads * cfg.head_dim
         inner_kv = cfg.num_key_value_heads * cfg.head_dim
-        self.q_proj = Linear(cfg.hidden_size, inner, bias=cfg.attention_bias)
-        self.k_proj = Linear(cfg.hidden_size, inner_kv, bias=cfg.attention_bias)
-        self.v_proj = Linear(cfg.hidden_size, inner_kv, bias=cfg.attention_bias)
+        qkv_bias = cfg.attention_bias or cfg.qkv_bias
+        self.q_proj = Linear(cfg.hidden_size, inner, bias=qkv_bias)
+        self.k_proj = Linear(cfg.hidden_size, inner_kv, bias=qkv_bias)
+        self.v_proj = Linear(cfg.hidden_size, inner_kv, bias=qkv_bias)
         self.o_proj = Linear(inner, cfg.hidden_size, bias=cfg.attention_bias)
+        if cfg.use_qk_norm:
+            self.q_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps)
+            self.k_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps)
+        else:
+            self.q_norm = None
+            self.k_norm = None
 
     def _split(self, x, heads):
         b, l, _ = x.shape
@@ -77,6 +87,9 @@ class LlamaAttention(Module):
         q = self._split(self.q_proj(x), self.num_heads)
         k = self._split(self.k_proj(x), self.num_kv_heads)
         v = self._split(self.v_proj(x), self.num_kv_heads)
+        if self.q_norm is not None:
+            q = self.q_norm(q)
+            k = self.k_norm(k)
         cos, sin = rope
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
