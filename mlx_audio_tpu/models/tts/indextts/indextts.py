@@ -1,0 +1,334 @@
+"""IndexTTS: GPT-2 mel-code LM with conformer-perceiver voice conditioning
+and a speaker-conditioned BigVGAN latent vocoder.
+
+Capability parity with /root/reference/mlx_audio/tts/models/indextts/
+indextts.py:29-413.
+
+TPU design:
+* The reference decodes one token per python iteration through mlx_lm's
+  GPT2 (indextts.py:381-401); here prefill is one bucketed jitted call and
+  decode runs in jitted lax.scan chunks that emit (latent, token) pairs —
+  the latent stream is assembled on host and fed to BigVGAN in one call.
+* Learned mel positions follow the reference quirk of offsetting by the
+  full prompt length (indextts.py:396-397), clipped to the table size.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_audio_tpu.models.base import make_generation_result
+from mlx_audio_tpu.models.sampling import sample_top_k
+from mlx_audio_tpu.nn import Embedding, LayerNorm, Linear, Module
+
+from . import normalize
+from .attention import LearnedPositionEncoding
+from .conformer import Conformer, ConformerArgs
+from .gpt import GPT2Args, GPT2Model
+from .perceiver import PerceiverResampler
+from .vocoder import (
+    BigVGANConditioning,
+    BigVGANConditioningConfig,
+    log_mel_spectrogram,
+)
+
+
+@dataclass
+class GPTConfig:
+    model_dim: int
+    heads: int
+    layers: int
+    max_mel_tokens: int
+    max_text_tokens: int
+    number_text_tokens: int
+    number_mel_codes: int
+    start_mel_token: int
+    stop_mel_token: int
+    start_text_token: int
+    stop_text_token: int
+    use_mel_codes_as_input: bool = True
+    mel_length_compression: int = 1024
+    condition_type: str = "conformer_perceiver"
+    condition_module: ConformerArgs = field(default_factory=ConformerArgs)
+    max_conditioning_inputs: int = 1
+    condition_num_latent: int = 32
+
+
+@dataclass
+class ModelConfig:
+    bigvgan: BigVGANConditioningConfig
+    gpt: GPTConfig
+    tokenizer_name: Any = ""
+    sample_rate: int = 24000
+
+    @classmethod
+    def from_dict(cls, params: Dict[str, Any]) -> "ModelConfig":
+        p = dict(params)
+        gpt = dict(p["gpt"])
+        cond = gpt.get("condition_module", {})
+        if isinstance(cond, dict):
+            gpt["condition_module"] = ConformerArgs(**{
+                k: v for k, v in cond.items()
+                if k in ConformerArgs.__dataclass_fields__
+            })
+        gpt = {k: v for k, v in gpt.items()
+               if k in GPTConfig.__dataclass_fields__}
+        bigvgan = p["bigvgan"]
+        if isinstance(bigvgan, dict):
+            bigvgan = BigVGANConditioningConfig.from_dict(bigvgan)
+        return cls(
+            bigvgan=bigvgan, gpt=GPTConfig(**gpt),
+            tokenizer_name=p.get("tokenizer_name", ""),
+            sample_rate=p.get("sample_rate", 24000),
+        )
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, -(-n // step) * step)
+
+
+@jax.jit
+def _prefill_jit(model, caches, embeds, n_valid):
+    hidden, caches = model.gpt.prefill(caches, embeds, n_valid)
+    return model.final_norm(hidden), caches
+
+
+@partial(jax.jit, static_argnames=("temp", "top_k", "chunk"))
+def _decode_chunk(model, caches, last_token, prompt_len, mel_pos0, key,
+                  temp: float, top_k: int, chunk: int):
+    """Scan `chunk` decode steps.  Each step embeds the previous mel code,
+    runs one GPT step, emits (latent [D], next token)."""
+    pos_table_len = model.mel_pos_embedding.emb.weight.shape[0]
+
+    def body(carry, _):
+        caches, tok, mel_pos, key = carry
+        pos = jnp.minimum(prompt_len + mel_pos, pos_table_len - 1)
+        emb = (model.mel_embedding(tok[:, None])
+               + model.mel_pos_embedding.emb(pos)[None, None])
+        hidden, caches = model.gpt.step(caches, emb)
+        latent = model.final_norm(hidden)  # [B, D]
+        logits = model.mel_head(latent)
+        key, sub = jax.random.split(key)
+        nxt = sample_top_k(sub, logits, temp, top_k).astype(jnp.int32)
+        return (caches, nxt[:, 0] if nxt.ndim > 1 else nxt,
+                mel_pos + 1, key), (latent, nxt.reshape(-1))
+
+    (caches, tok, mel_pos, key), (latents, tokens) = jax.lax.scan(
+        body, (caches, last_token, mel_pos0, key), None, length=chunk
+    )
+    return caches, tok, mel_pos, key, latents, tokens
+
+
+class Model(Module):
+    def __init__(self, config, tokenizer=None):
+        if isinstance(config, dict):
+            config = ModelConfig.from_dict(config)
+        if not config.gpt.use_mel_codes_as_input:
+            raise NotImplementedError("use_mel_codes_as_input=false")
+        if config.gpt.condition_type != "conformer_perceiver":
+            raise NotImplementedError(
+                f"condition_type={config.gpt.condition_type}")
+        self.args = config
+        self.sample_rate = config.sample_rate
+        self._tokenizer = tokenizer
+
+        g = config.gpt
+        self.bigvgan = BigVGANConditioning(config.bigvgan)
+        self.text_embedding = Embedding(g.number_text_tokens + 1, g.model_dim)
+        self.mel_embedding = Embedding(g.number_mel_codes, g.model_dim)
+        self.mel_pos_embedding = LearnedPositionEncoding(
+            g.max_mel_tokens + 2 + g.max_conditioning_inputs, g.model_dim
+        )
+        self.text_pos_embedding = LearnedPositionEncoding(
+            g.max_text_tokens + 2, g.model_dim
+        )
+        self.text_head = Linear(g.model_dim, g.number_text_tokens + 1)
+        self.mel_head = Linear(g.model_dim, g.number_mel_codes)
+        self.conditioning_encoder = Conformer(g.condition_module)
+        self.perceiver_encoder = PerceiverResampler(
+            g.model_dim,
+            n_dim_context=g.condition_module.output_size,
+            n_ff_mult=g.condition_module.perceiver_mult,
+            n_heads=g.condition_module.attention_heads,
+            n_latents=g.condition_num_latent,
+        )
+        self.gpt = GPT2Model(GPT2Args(g.model_dim, g.heads, g.layers))
+        self.final_norm = LayerNorm(g.model_dim)
+
+    @property
+    def model_type(self) -> str:
+        return "indextts"
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            try:
+                import sentencepiece as spm
+            except ImportError as e:  # pragma: no cover - env without spm
+                raise RuntimeError(
+                    "IndexTTS needs sentencepiece (tokenizer.model); install "
+                    "it or pass tokenizer= to Model()"
+                ) from e
+            self._tokenizer = spm.SentencePieceProcessor(
+                model_file=str(
+                    Path(self.args.tokenizer_name) / "tokenizer.model")
+            )
+        return self._tokenizer
+
+    # -- conditioning (indextts.py:253-302) --------------------------------
+
+    def get_conditioning(self, mel: jax.Array) -> jax.Array:
+        """ref log-mel [B, T, 100] -> conditioning latents [B, 32, D]."""
+        return self.perceiver_encoder(self.conditioning_encoder(mel))
+
+    def prepare_input_embedding(self, prompts: List[str],
+                                ref_mel: jax.Array) -> jax.Array:
+        conditioning = self.get_conditioning(ref_mel)
+        conditioning = jnp.repeat(conditioning, len(prompts), axis=0)
+        g = self.args.gpt
+        rows = []
+        for idx, prompt in enumerate(prompts):
+            tokens = list(self.tokenizer.encode(
+                normalize.tokenize_by_CJK_char(normalize.normalize(prompt))
+            ))
+            tokens = [g.start_text_token] + tokens + [g.stop_text_token,
+                                                     g.start_mel_token]
+            tok = jnp.asarray(tokens, dtype=jnp.int32)[None]
+            text_emb = self.text_embedding(tok) + self.text_pos_embedding(tok)
+            rows.append(jnp.concatenate(
+                [conditioning[idx:idx + 1], text_emb], axis=1))
+        return rows[0] if len(rows) == 1 else rows
+
+    # -- generation --------------------------------------------------------
+
+    def generate(self, text: str, ref_audio=None, ref_mel=None,
+                 verbose: bool = False, max_tokens: int = 5000,
+                 temperature: float = 0.8, top_k: int = 30, seed: int = 0,
+                 chunk: int = 64, **kwargs):
+        if ref_audio is not None:
+            ref_mel = log_mel_spectrogram(
+                jnp.asarray(ref_audio, dtype=jnp.float32))
+        if ref_mel is None:
+            raise ValueError("Must provide one of ref_audio or ref_mel")
+
+        t0 = time.perf_counter()
+        g = self.args.gpt
+        embeds = self.prepare_input_embedding([text], ref_mel)
+        b, t, d = embeds.shape
+
+        bucket = _bucket(t)
+        padded = jnp.zeros((b, bucket, d), dtype=embeds.dtype)
+        padded = jax.lax.dynamic_update_slice(padded, embeds, (0, 0, 0))
+        caches = self.gpt.init_cache(b, max_len=bucket + max_tokens)
+
+        latent0, caches = _prefill_jit(
+            self, caches, padded, jnp.asarray(t, dtype=jnp.int32))
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        first = sample_top_k(sub, self.mel_head(latent0), temperature,
+                             top_k).astype(jnp.int32).reshape(-1)
+
+        latents = [np.asarray(latent0)[:, None]]  # [B, 1, D]
+        tokens: List[int] = []
+        stopped = int(first[0]) == g.stop_mel_token
+        last = first
+        mel_pos = jnp.zeros((), dtype=jnp.int32)
+        prompt_len = jnp.asarray(t, dtype=jnp.int32)
+        while not stopped and len(tokens) < max_tokens:
+            tokens.append(int(last[0]))
+            caches, last, mel_pos, key, lat_c, tok_c = _decode_chunk(
+                self, caches, last, prompt_len, mel_pos, key,
+                temperature, top_k, chunk,
+            )
+            lat_c = np.asarray(lat_c)  # [chunk, B, D]
+            tok_c = np.asarray(tok_c)  # [chunk, B]
+            stop_hits = np.nonzero(tok_c[:, 0] == g.stop_mel_token)[0]
+            n_valid = int(stop_hits[0]) + 1 if len(stop_hits) else chunk
+            latents.append(lat_c[:n_valid].transpose(1, 0, 2))
+            tokens.extend(int(x) for x in tok_c[:n_valid - 1, 0])
+            if len(stop_hits):
+                stopped = True
+            if sum(a.shape[1] for a in latents) >= max_tokens:
+                break
+
+        latent_states = jnp.asarray(
+            np.concatenate(latents, axis=1), dtype=jnp.float32)
+        audio = self.bigvgan(latent_states, ref_mel)
+        audio = np.asarray(audio).reshape(-1)
+        yield make_generation_result(
+            audio, self.sample_rate, 0, latent_states.shape[1],
+            time.perf_counter() - t0,
+        )
+
+    # -- weights -----------------------------------------------------------
+
+    def sanitize(self, weights: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Torch IndexTTS checkpoint -> our layouts (reference
+        indextts.py:138-251 does the analogous MLX mapping)."""
+        gpt_w, bigvgan_w = {}, {}
+        bigvgan_prefixes = ("ups.", "speaker_encoder.", "resblocks.",
+                            "conv_pre.", "conv_post.", "conds.", "cond_layer.",
+                            "activation_post.")
+        for k, v in weights.items():
+            (bigvgan_w if k.startswith(bigvgan_prefixes) else gpt_w)[k] = v
+
+        out: Dict[str, np.ndarray] = {}
+        for k, v in gpt_w.items():
+            v = np.asarray(v)
+            if "pos_enc" in k or "num_batches_tracked" in k:
+                continue  # computed tables / torch counters
+            if k.endswith(".attn.bias") and ".c_" not in k:
+                continue  # HF causal-mask buffer
+            # speechbrain wrapper flattening (as reference bigvgan.py:91-98)
+            k = (k.replace("norm.norm", "norm").replace("conv.conv", "conv")
+                 .replace("fc.conv", "fc").replace("asp_bn.norm", "asp_bn"))
+            if "conv" in k and v.ndim == 3:
+                v = v.transpose(2, 1, 0)  # torch [O, I, K] -> [K, I, O]
+            elif "conv" in k and v.ndim == 4:
+                v = v.transpose(2, 3, 1, 0)  # [O, I, kh, kw] -> HWIO
+            if ("gpt.h." in k and v.ndim == 2 and k.endswith(".weight")
+                    and (".c_attn." in k or ".c_proj." in k or ".c_fc." in k)):
+                v = v.T  # HF GPT2 Conv1D stores [in, out]
+            # perceiver naming: to_q / to_kv / to_out -> linear_{q,k,v,out}
+            if "perceiver_encoder.layers." in k:
+                if ".0.to_q." in k:
+                    k = k.replace(".0.to_q.", ".0.linear_q.")
+                elif ".0.to_out." in k:
+                    k = k.replace(".0.to_out.", ".0.linear_out.")
+                elif ".0.to_kv." in k:
+                    kk, vv = np.split(v, 2, axis=0)
+                    out[k.replace(".0.to_kv.", ".0.linear_k.")] = kk
+                    out[k.replace(".0.to_kv.", ".0.linear_v.")] = vv
+                    continue
+                elif ".1.0." in k:
+                    k = k.replace(".1.0.", ".1.w_1.")
+                elif ".1.2." in k:
+                    k = k.replace(".1.2.", ".1.w_2.")
+            if k == "perceiver_encoder.norm.gamma":
+                k = "perceiver_encoder.norm.weight"
+            out[k] = v
+
+        for k, v in bigvgan_w.items():
+            v = np.asarray(v)
+            if "num_batches_tracked" in k or ".filter" in k:
+                continue  # torch counters / computed sinc filters
+            k = (k.replace("norm.norm", "norm").replace("conv.conv", "conv")
+                 .replace("conv1.conv", "conv1").replace("conv2.conv", "conv2")
+                 .replace("fc.conv", "fc").replace("asp_bn.norm", "asp_bn"))
+            if v.ndim == 3:
+                if k.startswith("ups."):
+                    v = v.transpose(2, 0, 1)  # convT [I, O, K] -> [K, I, O]
+                else:
+                    v = v.transpose(2, 1, 0)  # conv [O, I, K] -> [K, I, O]
+            if (".alpha" in k or ".beta" in k) and v.ndim > 1:
+                v = v.reshape(-1)
+            out["bigvgan." + k] = v
+        return out
