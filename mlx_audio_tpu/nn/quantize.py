@@ -1,0 +1,241 @@
+"""Weight-only affine quantization (capability parity with the reference's
+``nn.quantize`` path, /root/reference/mlx_audio/tts/utils.py:326-421 and
+convert-time mixed recipes).
+
+TPU design: grouped affine codes ``w ~= scales * q + biases`` held as uint8
+(4-bit codes occupy one byte each — simplicity over packing; HBM win vs f32
+is still 4x) and dequantized inside the matmul in the activation dtype, so
+XLA fuses the expand into the MXU feed.  Quantized modules are drop-in
+pytree replacements for Linear/Embedding: same call signatures, same
+attribute paths for the surrounding tree.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import Embedding, Linear
+from .module import Module
+
+__all__ = [
+    "QuantizedLinear", "QuantizedEmbedding", "quantize_model",
+    "dequantize_model", "mixed_quant_predicate_builder", "QUANT_RECIPES",
+]
+
+QUANT_RECIPES = ["mixed_2_6", "mixed_3_4", "mixed_3_6", "mixed_4_6"]
+
+
+def _affine_quantize(w: np.ndarray, group_size: int, bits: int):
+    """w [O, I] -> (codes uint8 [O, I], scales [O, I/gs], biases [O, I/gs])."""
+    o, i = w.shape
+    assert i % group_size == 0, f"in_features {i} % group_size {group_size}"
+    g = w.reshape(o, i // group_size, group_size).astype(np.float32)
+    lo = g.min(axis=-1)
+    hi = g.max(axis=-1)
+    n_levels = (1 << bits) - 1
+    scales = np.maximum((hi - lo) / n_levels, 1e-8)
+    biases = lo
+    q = np.clip(np.round((g - lo[..., None]) / scales[..., None]),
+                0, n_levels).astype(np.uint8)
+    return q.reshape(o, i), scales, biases
+
+
+def _affine_dequantize(q, scales, biases, group_size: int):
+    o, i = q.shape
+    g = q.reshape(o, i // group_size, group_size).astype(scales.dtype)
+    w = g * scales[..., None] + biases[..., None]
+    return w.reshape(o, i)
+
+
+class QuantizedLinear(Module):
+    """y = x @ dequant(W)^T + b; drop-in for Linear."""
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True,
+                 group_size: int = 64, bits: int = 4):
+        self.group_size = group_size
+        self.bits = bits
+        self.weight = jnp.zeros((out_features, in_features), dtype=jnp.uint8)
+        self.scales = jnp.ones((out_features, in_features // group_size),
+                               dtype=jnp.float32)
+        self.biases = jnp.zeros((out_features, in_features // group_size),
+                                dtype=jnp.float32)
+        self.bias = jnp.zeros((out_features,)) if bias else None
+
+    @classmethod
+    def from_linear(cls, lin: Linear, group_size: int = 64,
+                    bits: int = 4) -> "QuantizedLinear":
+        w = np.asarray(lin.weight)
+        qe = cls(w.shape[1], w.shape[0], bias=lin.bias is not None,
+                 group_size=group_size, bits=bits)
+        q, s, b = _affine_quantize(w, group_size, bits)
+        qe.weight = jnp.asarray(q)
+        qe.scales = jnp.asarray(s, dtype=jnp.float32)
+        qe.biases = jnp.asarray(b, dtype=jnp.float32)
+        if lin.bias is not None:
+            qe.bias = lin.bias
+        return qe
+
+    def to_linear(self) -> Linear:
+        lin = Linear(self.weight.shape[1], self.weight.shape[0],
+                     bias=self.bias is not None)
+        lin.weight = jnp.asarray(_affine_dequantize(
+            np.asarray(self.weight), np.asarray(self.scales),
+            np.asarray(self.biases), self.group_size))
+        if self.bias is not None:
+            lin.bias = self.bias
+        return lin
+
+    def _dequant(self, dtype):
+        return _affine_dequantize(
+            self.weight, self.scales.astype(dtype), self.biases.astype(dtype),
+            self.group_size,
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self._dequant(x.dtype)
+        y = x @ w.T
+        if self.bias is not None:
+            y = y + self.bias.astype(x.dtype)
+        return y
+
+
+class QuantizedEmbedding(Module):
+    """Gather + dequant; supports ``as_linear`` for tied LM heads."""
+
+    def __init__(self, num_embeddings: int, dim: int, group_size: int = 64,
+                 bits: int = 4):
+        self.group_size = group_size
+        self.bits = bits
+        self.weight = jnp.zeros((num_embeddings, dim), dtype=jnp.uint8)
+        self.scales = jnp.ones((num_embeddings, dim // group_size),
+                               dtype=jnp.float32)
+        self.biases = jnp.zeros((num_embeddings, dim // group_size),
+                                dtype=jnp.float32)
+
+    @classmethod
+    def from_embedding(cls, emb: Embedding, group_size: int = 64,
+                       bits: int = 4) -> "QuantizedEmbedding":
+        w = np.asarray(emb.weight)
+        qe = cls(w.shape[0], w.shape[1], group_size=group_size, bits=bits)
+        q, s, b = _affine_quantize(w, group_size, bits)
+        qe.weight = jnp.asarray(q)
+        qe.scales = jnp.asarray(s, dtype=jnp.float32)
+        qe.biases = jnp.asarray(b, dtype=jnp.float32)
+        return qe
+
+    def to_embedding(self) -> Embedding:
+        emb = Embedding(self.weight.shape[0], self.weight.shape[1])
+        emb.weight = jnp.asarray(_affine_dequantize(
+            np.asarray(self.weight), np.asarray(self.scales),
+            np.asarray(self.biases), self.group_size))
+        return emb
+
+    def _dequant_rows(self, idx: jax.Array, dtype):
+        n, d = self.weight.shape
+        q = self.weight[idx].reshape(*idx.shape, d // self.group_size,
+                                     self.group_size).astype(dtype)
+        w = q * self.scales[idx].astype(dtype)[..., None] \
+            + self.biases[idx].astype(dtype)[..., None]
+        return w.reshape(*idx.shape, d)
+
+    def __call__(self, idx: jax.Array) -> jax.Array:
+        return self._dequant_rows(idx, jnp.float32)
+
+    def as_linear(self, x: jax.Array) -> jax.Array:
+        w = _affine_dequantize(self.weight, self.scales.astype(x.dtype),
+                               self.biases.astype(x.dtype), self.group_size)
+        return x @ w.T
+
+
+def _walk_replace(obj, fn: Callable[[str, Module], Optional[Module]],
+                  path: str = ""):
+    """Recursively replace submodules; fn returns a replacement or None."""
+    if isinstance(obj, Module):
+        for name, value in list(vars(obj).items()):
+            sub = f"{path}.{name}" if path else name
+            repl = fn(sub, value) if isinstance(value, Module) else None
+            if repl is not None:
+                setattr(obj, name, repl)
+            else:
+                _walk_replace(value, fn, sub)
+    elif isinstance(obj, (list, tuple)):
+        for i, value in enumerate(obj):
+            sub = f"{path}.{i}"
+            repl = fn(sub, value) if isinstance(value, Module) else None
+            if repl is not None:
+                obj[i] = repl  # lists only; tuples of modules stay untouched
+            else:
+                _walk_replace(value, fn, sub)
+
+
+def quantize_model(model, group_size: int = 64, bits: int = 4,
+                   quant_predicate: Optional[Callable] = None):
+    """In-place convert Linear/Embedding -> quantized counterparts.
+
+    ``quant_predicate(path, module, config)`` may return False (skip), True
+    (use defaults), or a dict {"group_size": g, "bits": b}.  Models can veto
+    via ``model_quant_predicate`` (reference tts/utils.py:349-360).
+    """
+    model_pred = getattr(model, "model_quant_predicate",
+                         lambda p, m, config: True)
+
+    def decide(path, mod):
+        if not isinstance(mod, (Linear, Embedding)):
+            return None
+        in_dim = mod.weight.shape[1]
+        if in_dim % group_size != 0:
+            return None
+        if not model_pred(path, mod, None):
+            return None
+        params = {"group_size": group_size, "bits": bits}
+        if quant_predicate is not None:
+            verdict = quant_predicate(path, mod, None)
+            if verdict is False:
+                return None
+            if isinstance(verdict, dict):
+                params.update(verdict)
+            if in_dim % params["group_size"] != 0:
+                return None
+        if isinstance(mod, Linear):
+            return QuantizedLinear.from_linear(mod, **params)
+        return QuantizedEmbedding.from_embedding(mod, **params)
+
+    _walk_replace(model, decide)
+    return model
+
+
+def dequantize_model(model):
+    """Inverse of :func:`quantize_model` (reference convert --dequantize)."""
+
+    def decide(path, mod):
+        if isinstance(mod, QuantizedLinear):
+            return mod.to_linear()
+        if isinstance(mod, QuantizedEmbedding):
+            return mod.to_embedding()
+        return None
+
+    _walk_replace(model, decide)
+    return model
+
+
+def mixed_quant_predicate_builder(recipe: str, model) -> Callable:
+    """Mixed-bit recipes ``mixed_L_H`` (reference delegates to mlx_lm's
+    builder, tts/utils.py:345-346): embeddings and LM heads always get H
+    bits; one in four indexed layers gets H bits; the rest get L bits."""
+    import re
+
+    low, high = (int(x) for x in recipe.split("_")[1:])
+
+    def predicate(path, mod, config):
+        if "embed" in path or "lm_head" in path or path.endswith("head"):
+            return {"bits": high}
+        m = re.search(r"\.(\d+)\.", path)
+        if m is not None and int(m.group(1)) % 4 == 0:
+            return {"bits": high}
+        return {"bits": low}
+
+    return predicate

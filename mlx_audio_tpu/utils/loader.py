@@ -128,6 +128,16 @@ def load_model(path_or_repo: Union[str, Path], domain: str = "tts",
         model_config = config
     model = arch.Model(model_config)
 
+    # quantized native checkpoints need the quantized module structure in
+    # place before path-based weight loading (reference re-applies
+    # nn.quantize from config, tts/utils.py:250-260)
+    if config.get("native_format") and config.get("quantization"):
+        from mlx_audio_tpu.nn.quantize import quantize_model
+
+        qcfg = config["quantization"]
+        model = quantize_model(model, group_size=qcfg.get("group_size", 64),
+                               bits=qcfg.get("bits", 4))
+
     weights = load_weights_files(model_path)
     # native checkpoints (written by save_checkpoint) already use our pytree
     # paths and layouts; foreign (torch/MLX) checkpoints go through sanitize

@@ -119,5 +119,6 @@ def test_server_routes_exist():
     routes = {r.resource.canonical for r in app.router.routes()
               if r.resource is not None}
     for path in ["/tts", "/audio/{filename}", "/stt", "/play", "/stop",
-                 "/languages", "/models", "/open_output_folder", "/ws/sts"]:
+                 "/languages", "/models", "/open_output_folder", "/ws/sts",
+                 "/"]:  # "/" serves the web UI (tts/audio_player.html)
         assert path in routes, path
