@@ -55,7 +55,7 @@ def main():
     # warmup / compile — run the exact timed loop body twice: the first call
     # compiles, and the runtime does one further lazy re-initialization on
     # the first steady-state execution (observed one-off ~70 s on v5e)
-    for i in (-2, -1):
+    for i in (1_000_001, 1_000_002):
         audio, total = run_once(jax.random.fold_in(key, i))
         jax.block_until_ready((audio, total))
 

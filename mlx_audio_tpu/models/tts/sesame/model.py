@@ -173,6 +173,19 @@ class Model(Module):
         )
         self._text_tokenizer = text_tokenizer
         self._sample_rate = int(self._mimi.sample_rate)
+        # Imperceptible AI-audio watermark on every output (reference
+        # sesame.py:631-642); disable only with apply_watermark=False.
+        self.apply_watermark = config.get("apply_watermark", True)
+
+    def _watermark(self, audio: np.ndarray) -> np.ndarray:
+        if not self.apply_watermark:
+            return audio
+        # built per call: the PN table is tiny, and caching it on the module
+        # would mutate static pytree metadata (jit cache invalidation)
+        from .watermarking import CSM_1B_GH_WATERMARK, load_watermarker, watermark
+
+        return watermark(load_watermarker(), audio, self._sample_rate,
+                         CSM_1B_GH_WATERMARK)
 
     @property
     def sample_rate(self) -> int:
@@ -302,7 +315,7 @@ class Model(Module):
                     audio, mimi_state = self._mimi.decode_frames_stateful(
                         codes, mimi_state
                     )
-                    audio_np = np.asarray(audio)[0, 0]
+                    audio_np = self._watermark(np.asarray(audio)[0, 0])
                     yield make_generation_result(
                         audio_np, self._sample_rate, seg_idx, len(part),
                         time.perf_counter() - start_time,
@@ -318,7 +331,7 @@ class Model(Module):
                 if len(frames_np) == 0:
                     continue
                 codes = jnp.asarray(np.stack(frames_np, axis=-1))[None]
-                audio = np.asarray(self._mimi.decode(codes))[0, 0]
+                audio = self._watermark(np.asarray(self._mimi.decode(codes))[0, 0])
                 yield make_generation_result(
                     audio, self._sample_rate, seg_idx, len(frames_np),
                     time.perf_counter() - start_time,

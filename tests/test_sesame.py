@@ -205,3 +205,34 @@ def test_llama_left_padding_is_exact():
     np.testing.assert_allclose(
         np.asarray(h_pad)[:, 4:], np.asarray(h_ref), atol=1e-4
     )
+
+
+def test_watermark_roundtrip():
+    """DSSS watermark: imperceptible, verifiable, absent from clean audio
+    (reference watermarking.py applies/verifies the CSM public key)."""
+    from mlx_audio_tpu.models.tts.sesame.watermarking import (
+        CSM_1B_GH_WATERMARK,
+        load_watermarker,
+        verify,
+        watermark,
+    )
+
+    from mlx_audio_tpu.utils.audio_io import resample_audio
+
+    rng = np.random.default_rng(0)
+    sr = 24000
+    clean = (rng.standard_normal(sr * 3) * 0.1).astype(np.float32)
+    wm = load_watermarker()
+    marked = watermark(wm, clean, sr, CSM_1B_GH_WATERMARK)
+    assert marked.shape == clean.shape
+    # imperceptible: watermark energy ~36 dB below signal.  Baseline is the
+    # resample roundtrip of the clean signal (white noise near Nyquist is
+    # lost to the 44.1k anti-alias filter either way).
+    base = resample_audio(resample_audio(clean, sr, 44100), 44100, sr)
+    noise = marked - base[:len(marked)]
+    sdr = 10 * np.log10(np.mean(clean**2) / (np.mean(noise**2) + 1e-12))
+    assert sdr > 25, sdr
+    assert verify(wm, marked, sr, CSM_1B_GH_WATERMARK)
+    assert not verify(wm, clean, sr, CSM_1B_GH_WATERMARK)
+    # wrong key must not verify
+    assert not verify(wm, marked, sr, [1, 2, 3, 4, 5])
