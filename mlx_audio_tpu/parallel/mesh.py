@@ -94,3 +94,32 @@ def shard_module(mesh: Mesh, module, rules: Callable[[str, object], P]):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return map_arrays(module, place)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel map (SURVEY.md §2.5(e): long-audio STT chunks and bulk TTS
+# batches are embarrassingly parallel over the mesh)
+# ---------------------------------------------------------------------------
+
+
+def pmap_batches(mesh: Mesh, fn: Callable, model, *arrays, axis: str = "data"):
+    """Run ``fn(model, *batch)`` with the leading axis of every array sharded
+    over ``axis`` and the model replicated.  The batch size must divide the
+    axis size; callers bucket/pad first (all our model drivers already do).
+
+    XLA inserts no collectives for elementwise-per-example programs — each
+    device computes its shard locally; results come back sharded and can be
+    gathered on host with `np.asarray`.
+    """
+    n = mesh.shape[axis]
+    for a in arrays:
+        if a.shape[0] % n != 0:
+            raise ValueError(
+                f"batch {a.shape[0]} not divisible by mesh axis '{axis}'={n}")
+    model = replicate(mesh, model)
+    arrays = tuple(shard_batch(mesh, a, axis) for a in arrays)
+    out_sharding = NamedSharding(mesh, P(axis))
+
+    jitted = jax.jit(fn, out_shardings=out_sharding)
+    with mesh:
+        return jitted(model, *arrays)
