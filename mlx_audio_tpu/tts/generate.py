@@ -131,6 +131,12 @@ def parse_args(argv=None):
     parser.add_argument("--ref_text", type=str, default=None)
     parser.add_argument("--temperature", type=float, default=0.9)
     parser.add_argument("--top_k", type=int, default=50)
+    parser.add_argument("--top_p", type=float, default=0.9)
+    parser.add_argument("--pitch", type=float, default=1.0,
+                        help="Pitch factor (Spark level maps)")
+    parser.add_argument("--gender", type=str, default=None,
+                        choices=[None, "male", "female"],
+                        help="Voice gender (Spark controllable TTS)")
     parser.add_argument("--stream", action="store_true")
     return parser.parse_args(argv)
 
@@ -159,6 +165,9 @@ def main(argv=None):
         ref_text=args.ref_text,
         temperature=args.temperature,
         top_k=args.top_k,
+        top_p=args.top_p,
+        pitch=args.pitch,
+        **({"gender": args.gender} if args.gender else {}),
         stream=args.stream,
     )
 
