@@ -52,12 +52,18 @@ def main():
         )
         return audio, total
 
-    # warmup / compile — run the exact timed loop body twice: the first call
-    # compiles, and the runtime does one further lazy re-initialization on
-    # the first steady-state execution (observed one-off ~70 s on v5e)
+    def sync(audio, total):
+        """True device sync: a scalar that depends on the audio output.
+        (block_until_ready returns early under the tunneled TPU runtime —
+        only a data-dependent D2H fetch actually drains the queue.)"""
+        return float(jnp.sum(jnp.abs(audio))), float(np.asarray(total).sum())
+
+    # warmup / compile — run the exact timed loop body twice with real
+    # drains: the first call compiles and the first drained execution pays a
+    # one-off ~60-80 s runtime re-initialization on this v5e setup
     for i in (1_000_001, 1_000_002):
         audio, total = run_once(jax.random.fold_in(key, i))
-        jax.block_until_ready((audio, total))
+        sync(audio, total)
 
     # median per-iteration throughput: robust to transient stragglers on a
     # shared/tunneled chip (total-wall measurements varied 10x run to run)
@@ -67,9 +73,9 @@ def main():
     for i in range(iters):
         t0 = time.perf_counter()
         audio, total = run_once(jax.random.fold_in(key, i))
-        jax.block_until_ready((audio, total))
+        _, tot = sync(audio, total)
         per_iter.append(time.perf_counter() - t0)
-        audio_per_iter = float(np.asarray(total).sum()) * 600 / 24000
+        audio_per_iter = tot * 600 / 24000
 
     median = sorted(per_iter)[iters // 2]
     value = audio_per_iter / median

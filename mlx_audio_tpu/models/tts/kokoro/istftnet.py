@@ -166,8 +166,10 @@ class TorchSTFT(Module):
         return mag, phase
 
     def inverse(self, magnitude: jax.Array, phase: jax.Array) -> jax.Array:
-        """(mag, phase) [B, frames, bins] -> audio [B, T]."""
-        phase = unwrap(phase, axis=-2)
+        """(mag, phase) [B, frames, bins] -> audio [B, T].  Runs f32: the
+        phase unwrap is a long cumsum, fatal in bf16."""
+        magnitude = magnitude.astype(jnp.float32)
+        phase = unwrap(phase.astype(jnp.float32), axis=-2)
         re = magnitude * jnp.cos(phase)
         im = magnitude * jnp.sin(phase)
         spec = jax.lax.complex(re, im)
@@ -218,8 +220,9 @@ class SineGen(Module):
         return (f0 > self.voiced_threshold).astype(jnp.float32)
 
     def _f02sine(self, f0_values, key):
-        # f0_values: [B, L, dim]
-        rad = (f0_values / self.sampling_rate) % 1.0
+        # f0_values: [B, L, dim].  Phase accumulates in f32 — a bf16 cumsum
+        # over 100k+ samples destroys the phase entirely.
+        rad = (f0_values.astype(jnp.float32) / self.sampling_rate) % 1.0
         rand_ini = jax.random.normal(key, (f0_values.shape[0], f0_values.shape[2]))
         rand_ini = rand_ini.at[:, 0].set(0.0)
         rad = rad.at[:, 0, :].add(rand_ini)
@@ -230,7 +233,7 @@ class SineGen(Module):
             phase * self.upsample_scale, scale_factor=self.upsample_scale,
             mode="linear",
         )
-        return jnp.sin(phase_us)
+        return jnp.sin(phase_us).astype(f0_values.dtype)
 
     def __call__(self, f0: jax.Array, key: jax.Array):
         """f0: [B, L, 1] at audio rate -> (sine_waves [B, L, dim], uv, noise)."""
@@ -328,7 +331,8 @@ class Generator(Module):
                 har_source, length_mask(har_source.shape[1], lengths * self.total_upsample)
             )
         har_spec, har_phase = self.stft.transform(har_source[..., 0])
-        har = jnp.concatenate([har_spec, har_phase], axis=-1)  # [B, frames+1, nfft+2]
+        # source path runs f32 (phase integrity); join the decoder's dtype here
+        har = jnp.concatenate([har_spec, har_phase], axis=-1).astype(x.dtype)
 
         cur_len = lengths
         hop = self.stft.hop_length

@@ -132,15 +132,18 @@ class InstanceNorm1d(Module):
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
         # x: [B, L, C]; stats per (batch, channel) over L.  ``mask`` [B, L]
         # (True = valid) makes stats exact when L is padded to a bucket.
+        # Stats accumulate in f32: bf16 sums over 100k+ timesteps lose the
+        # mean entirely (8-bit mantissa).
+        xf = x.astype(jnp.float32)
         if mask is None:
-            mean = jnp.mean(x, axis=-2, keepdims=True)
-            var = jnp.var(x, axis=-2, keepdims=True)
+            mean = jnp.mean(xf, axis=-2, keepdims=True)
+            var = jnp.var(xf, axis=-2, keepdims=True)
         else:
-            m = mask[..., None].astype(x.dtype)
+            m = mask[..., None].astype(jnp.float32)
             count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
-            mean = jnp.sum(x * m, axis=-2, keepdims=True) / count
-            var = jnp.sum((x - mean) ** 2 * m, axis=-2, keepdims=True) / count
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+            mean = jnp.sum(xf * m, axis=-2, keepdims=True) / count
+            var = jnp.sum((xf - mean) ** 2 * m, axis=-2, keepdims=True) / count
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.weight is not None:
             y = y * self.weight + self.bias
         return y

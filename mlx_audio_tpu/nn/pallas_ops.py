@@ -1,0 +1,118 @@
+"""Pallas TPU kernels for hot ops.
+
+The Kokoro duration/prosody stages are dominated by BiLSTM time loops: tiny
+per-step matmuls whose cost is scan dispatch latency, not FLOPs.  This
+kernel runs the whole recurrence inside one Pallas program — the recurrent
+weight stays resident in VMEM, the hidden/cell state lives in VMEM scratch
+across grid steps (TPU grid iterations execute sequentially), and each step
+is one [B, H] x [H, 4H] MXU matmul plus VPU gate math.  No HBM roundtrip
+per step.
+
+Falls back to the lax.scan implementation (nn/recurrent.lstm_scan) off-TPU;
+parity is tested in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is TPU/Mosaic; keep importable on any backend
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _lstm_kernel(xp_ref, wh_ref, h0_ref, c0_ref, out_ref, hT_ref, cT_ref,
+                 h_scr, c_scr):
+    """One grid step = one timestep.  xp block [1, B, 4H]; out block [1, B, H]
+    (time leads so the block's trailing dims are the tile-aligned [B, 4H]).
+
+    Gate packing follows torch LSTM: [i, f, g, o] along the 4H axis.
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
+        h, wh_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    hdim = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hdim])
+    f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
+    g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+    o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        hT_ref[:] = h_new.astype(hT_ref.dtype)
+        cT_ref[:] = c_new.astype(cT_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lstm_pallas(x_proj: jax.Array, wh: jax.Array, h0: jax.Array,
+                c0: jax.Array, interpret: bool = False):
+    """Fused LSTM recurrence.
+
+    x_proj: [B, T, 4H] — input projections (x @ Wx^T + b_ih + b_hh),
+    wh:     [H, 4H]    — recurrent weight (transposed torch W_hh),
+    h0/c0:  [B, H]     — initial state.
+    Returns (hidden states [B, T, H], (h_T, c_T)).
+    """
+    b, t, h4 = x_proj.shape
+    h = h4 // 4
+    xp_t = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H]
+    hs, hT, cT = pl.pallas_call(
+        _lstm_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, b, h), x_proj.dtype),
+            jax.ShapeDtypeStruct((b, h), x_proj.dtype),
+            jax.ShapeDtypeStruct((b, h), x_proj.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp_t, wh, h0, c0)
+    return jnp.swapaxes(hs, 0, 1), (hT, cT)
+
+
+def use_pallas_lstm() -> bool:
+    """Pallas path is TPU-only; MLX_AUDIO_TPU_NO_PALLAS=1 disables it."""
+    if not _HAS_PALLAS or os.environ.get("MLX_AUDIO_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

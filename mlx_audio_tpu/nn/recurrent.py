@@ -32,7 +32,30 @@ def lstm_scan(
 
     x_proj: [B, L, 4H] precomputed input gates (+ biases); w_h: [4H, H].
     Returns hidden states [B, L, H] and final (h, c).
+
+    On TPU with tile-aligned shapes (B % 8 == 0, H % 128 == 0) the whole
+    recurrence runs as one Pallas kernel (nn/pallas_ops.py): recurrent
+    weight resident in VMEM, state carried in scratch across grid steps —
+    no per-step scan dispatch.
     """
+    from mlx_audio_tpu.nn.pallas_ops import lstm_pallas, use_pallas_lstm
+
+    b, _, h4 = x_proj.shape
+    h = h4 // 4
+    if use_pallas_lstm() and x_proj.dtype == jnp.float32 and h % 128 == 0:
+        pad_b = (-b) % 8  # f32 sublane tile is 8
+        xp = jnp.flip(x_proj, axis=1) if reverse else x_proj
+        if pad_b:
+            xp = jnp.pad(xp, ((0, pad_b), (0, 0), (0, 0)))
+            h0 = jnp.pad(h0, ((0, pad_b), (0, 0)))
+            c0 = jnp.pad(c0, ((0, pad_b), (0, 0)))
+        hs, (hT, cT) = lstm_pallas(xp, w_h.T, h0, c0)
+        if pad_b:
+            hs, hT, cT = hs[:b], hT[:b], cT[:b]
+        if reverse:
+            hs = jnp.flip(hs, axis=1)
+        return hs, (hT, cT)
+
     w_h_t = w_h.T  # [H, 4H]
 
     def step(carry, xt):
