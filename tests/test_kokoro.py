@@ -185,3 +185,44 @@ def test_join_timestamps():
     assert tokens[0].start_ts is not None
     assert tokens[0].end_ts > tokens[0].start_ts
     assert tokens[1].end_ts > tokens[1].start_ts
+
+
+def test_bf16_forward_finite_and_close():
+    """bf16 model forward stays finite and tracks f32 (f32 islands guard the
+    long cumsums: instance-norm stats, SineGen phase, ISTFT unwrap)."""
+    import jax.numpy as jnp
+
+    cfg = tiny_config()
+    model32 = Model(cfg)
+    model16 = model32.astype(jnp.bfloat16)
+    n = 16
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, cfg.n_token, (2, n)),
+                      dtype=jnp.int32)
+    lengths = jnp.full((2,), n, dtype=jnp.int32)
+    ref32 = jnp.asarray(np.random.default_rng(1).standard_normal((2, 2 * cfg.style_dim))
+                        * 0.1, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    num_frames = jnp.zeros((64,), dtype=jnp.int32)
+
+    from mlx_audio_tpu.models.tts.kokoro.model import (
+        _duration_stage,
+        _synthesis_stage,
+    )
+
+    def run(model, ref):
+        speed = jnp.ones((2,), dtype=ref.dtype)
+        d, pred = _duration_stage(model, ids, lengths, ref[:, cfg.style_dim:],
+                                  speed)
+        pred = jnp.minimum(pred, 3)
+        audio, total = _synthesis_stage(model, ids, lengths, d, pred, ref,
+                                        key, num_frames)
+        return np.asarray(audio, dtype=np.float64), np.asarray(total)
+
+    a32, t32 = run(model32, ref32)
+    a16, t16 = run(model16, ref32.astype(jnp.bfloat16))
+    assert np.all(np.isfinite(a16))
+    assert np.array_equal(t32, t16)  # durations must agree exactly
+    # loose waveform agreement (random weights amplify bf16 noise)
+    denom = np.sqrt(np.mean(a32 ** 2)) + 1e-9
+    rel = np.sqrt(np.mean((a32 - a16) ** 2)) / denom
+    assert rel < 0.6, rel
