@@ -17,7 +17,9 @@ def sample_top_k(key: jax.Array, logits: jax.Array, temp: float = 1.0,
     temp=0 is greedy."""
     if temp == 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temp
+    # sample in f32: bf16 logits lose top-k tie resolution and categorical
+    # precision; the cast is O(V), negligible
+    logits = logits.astype(jnp.float32) / temp
     if top_k > 0 and top_k < logits.shape[-1]:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
@@ -29,7 +31,7 @@ def sample_top_p(key: jax.Array, logits: jax.Array, temp: float = 1.0,
     """Nucleus sampling."""
     if temp == 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temp
+    logits = logits.astype(jnp.float32) / temp
     if top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)

@@ -187,6 +187,24 @@ class Model(Module):
         return watermark(load_watermarker(), audio, self._sample_rate,
                          CSM_1B_GH_WATERMARK)
 
+    def cast_lm(self, dtype) -> "Model":
+        """Cast the backbone/depth-decoder LM to ``dtype`` (bf16 halves the
+        HBM traffic of the memory-bound AR decode loop), keeping Mimi and
+        the watermarking path in f32.  RoPE tables stay f32 — apply_rope
+        casts per use, and bf16 cos/sin would cost rotary precision for
+        free.  Returns self."""
+        from mlx_audio_tpu.nn.module import map_arrays
+
+        def cast(path, x):
+            if "rope_cos" in path or "rope_sin" in path:
+                return x
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(dtype)
+            return x
+
+        self.model = map_arrays(self.model, cast)
+        return self
+
     @property
     def sample_rate(self) -> int:
         return self._sample_rate
@@ -351,7 +369,11 @@ class Model(Module):
         pad_len = jnp.asarray([pad], dtype=jnp.int32)
 
         cache_len = bucket + max_frames
-        caches = self.model.backbone.init_cache(1, max_len=cache_len)
+        # KV cache dtype follows the LM weights: with a bf16-cast model
+        # (`model.cast_lm(jnp.bfloat16)`) the whole decode loop — params,
+        # activations, cache reads — moves half the HBM bytes per step
+        wdtype = self.model.codebook0_head.weight.dtype
+        caches = self.model.backbone.init_cache(1, max_len=cache_len, dtype=wdtype)
 
         key, k0 = jax.random.split(key)
         frame, caches = _prefill_and_first_frame(

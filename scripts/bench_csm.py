@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""CSM-1B single-chip decode benchmark (real dimensions, random weights).
+
+Measures end-to-end realtime factor of the AR loop: prefill + chunked
+frame scans (backbone step + 31 depth-decoder steps per 80 ms frame) +
+Mimi decode + watermark.  The reference's equivalent loop is
+sesame.py:774-817 (per audio-second: 12.5 backbone + 387 depth steps).
+
+Usage: python scripts/bench_csm.py [--dtype bf16|f32] [--frames 62]
+       [--prompt 128] [--iters 5] [--no-watermark]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--frames", type=int, default=62)
+    ap.add_argument("--prompt", type=int, default=120)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--no-watermark", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.models.tts.sesame.model import (
+        Model,
+        _frame_chunk,
+        _prefill_and_first_frame,
+        _prompt_bucket,
+    )
+
+    config = {
+        "backbone_flavor": "llama-1B",
+        "decoder_flavor": "llama-100M",
+        "audio_num_codebooks": 32,
+        "audio_vocab_size": 2051,
+        "text_vocab_size": 128_256,
+    }
+    model = Model(config)
+    if args.dtype == "bf16":
+        model.cast_lm(jnp.bfloat16)
+    n_params = model.model.num_params()
+    print(f"params: {n_params/1e9:.2f}B  dtype={args.dtype}")
+
+    # synthetic prompt: text tokens then audio frames (as voice-match does)
+    rng = np.random.default_rng(0)
+    t = args.prompt
+    nc1 = config["audio_num_codebooks"] + 1
+    prompt_tokens = np.zeros((t, nc1), dtype=np.int32)
+    prompt_mask = np.zeros((t, nc1), dtype=bool)
+    n_text = t // 3
+    prompt_tokens[:n_text, -1] = rng.integers(5, 100_000, size=n_text)
+    prompt_mask[:n_text, -1] = True
+    prompt_tokens[n_text:, :-1] = rng.integers(
+        1, config["audio_vocab_size"], size=(t - n_text, nc1 - 1)
+    )
+    prompt_mask[n_text:, :-1] = True
+
+    max_frames = args.frames
+    temp, top_k = 0.9, 50
+
+    def run(seed):
+        """The body of Model._generate_frame_chunks, timed as a unit."""
+        key = jax.random.PRNGKey(seed)
+        bucket = _prompt_bucket(t)
+        pad = bucket - t
+        tokens = np.zeros((1, bucket, nc1), dtype=np.int32)
+        mask = np.zeros((1, bucket, nc1), dtype=bool)
+        tokens[0, pad:] = prompt_tokens
+        mask[0, pad:] = prompt_mask
+        pad_len = jnp.asarray([pad], dtype=jnp.int32)
+        wdtype = model.model.codebook0_head.weight.dtype
+        caches = model.model.backbone.init_cache(
+            1, max_len=bucket + max_frames, dtype=wdtype
+        )
+        key, k0 = jax.random.split(key)
+        frame, caches = _prefill_and_first_frame(
+            model.model, caches, pad_len, jnp.asarray(tokens),
+            jnp.asarray(mask), k0, temp, top_k,
+        )
+        frames = [np.asarray(frame)[0]]
+        while len(frames) < max_frames:
+            n = min(args.chunk, max_frames - len(frames))
+            key, kc = jax.random.split(key)
+            out, caches = _frame_chunk(
+                model.model, caches, pad_len, jnp.asarray(frames[-1])[None],
+                kc, temp, top_k, jnp.zeros((n,), dtype=jnp.int32),
+            )
+            frames.extend(np.asarray(out)[:, 0])
+        codes = jnp.asarray(np.stack(frames, axis=-1))[None]
+        audio = np.asarray(model.mimi.decode(codes))[0, 0]
+        if not args.no_watermark:
+            audio = model._watermark(audio)
+        return audio
+
+    # compile + one drained run (first drain pays runtime re-init)
+    for s in (10_001, 10_002):
+        t0 = time.perf_counter()
+        audio = run(s)
+        print(f"warmup {s}: {time.perf_counter()-t0:.1f}s "
+              f"({audio.shape[0]} samples)")
+
+    audio_sec = max_frames * 0.08
+    times = []
+    for s in range(args.iters):
+        t0 = time.perf_counter()
+        audio = run(s)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print(f"iter {s}: {dt:.3f}s  rtf={audio_sec/dt:.2f}x realtime")
+
+    med = sorted(times)[len(times) // 2]
+    print(f"median: {med:.3f}s for {audio_sec:.2f} audio-sec "
+          f"=> {audio_sec/med:.2f}x realtime "
+          f"({max_frames/med:.1f} frames/s)")
+
+
+if __name__ == "__main__":
+    main()
