@@ -355,6 +355,113 @@ class Model(Module):
                     time.perf_counter() - start_time,
                 )
 
+    def generate_batch(
+        self,
+        texts: List[str],
+        speaker: int = 0,
+        context: Optional[List[Segment]] = None,
+        max_audio_length_ms: float = 90_000,
+        ref_audio: Optional[np.ndarray] = None,
+        ref_text: Optional[str] = None,
+        voice_match: bool = True,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        seed: int = 0,
+        chunk: int = 32,
+    ) -> List[GenerationResult]:
+        """Batched synthesis: decode all ``texts`` in one jitted AR loop.
+
+        The decode loop is HBM-bound on weight reads, so batching is the
+        single-chip throughput lever: B utterances share every backbone /
+        depth-decoder weight fetch.  Per-sequence EOS is tracked on host
+        between chunks; finished sequences keep stepping (their frames are
+        discarded) until all are done.  New capability vs the reference
+        (whose loop is strictly batch-1, sesame.py:774-817).
+        """
+        context = list(context or [])
+        if not context and ref_audio is not None and ref_text is not None:
+            context = [Segment(speaker=speaker, text=ref_text, audio=ref_audio)]
+        if not context:
+            raise ValueError(
+                "CSM requires a reference: pass ref_audio+ref_text or context"
+            )
+        max_frames = int(max_audio_length_ms / 80)
+        start_time = time.perf_counter()
+
+        # per-sequence prompts (voice-match: ref text+audio prepended)
+        prompts = []
+        for prompt in texts:
+            if voice_match:
+                gen_text = (context[0].text + " " + prompt).strip()
+                segs = [Segment(speaker=speaker, text=gen_text,
+                                audio=context[0].audio)]
+                toks = [self._tokenize_segment(s, add_eos=False) for s in segs]
+            else:
+                toks = [self._tokenize_segment(s) for s in context]
+                toks.append(self._tokenize_text_segment(prompt, speaker))
+            prompts.append(
+                (np.concatenate([t for t, _ in toks]).astype(np.int32),
+                 np.concatenate([m for _, m in toks]))
+            )
+
+        b = len(prompts)
+        nc1 = self.audio_num_codebooks + 1
+        bucket = _prompt_bucket(max(p.shape[0] for p, _ in prompts))
+        tokens = np.zeros((b, bucket, nc1), dtype=np.int32)
+        mask = np.zeros((b, bucket, nc1), dtype=bool)
+        pad = np.zeros((b,), dtype=np.int32)
+        for i, (p, m) in enumerate(prompts):
+            pad[i] = bucket - p.shape[0]
+            tokens[i, pad[i]:] = p
+            mask[i, pad[i]:] = m
+        pad_len = jnp.asarray(pad)
+
+        wdtype = self.model.codebook0_head.weight.dtype
+        caches = self.model.backbone.init_cache(
+            b, max_len=bucket + max_frames, dtype=wdtype
+        )
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        frame, caches = _prefill_and_first_frame(
+            self.model, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
+            k0, temperature, top_k,
+        )
+        first = np.asarray(frame)             # [B, nc]
+        all_frames = [first]
+        done = (first == 0).all(axis=1)
+        n_frames = np.where(done, 0, 1)       # per-sequence audio length
+        last = first
+        produced = 1
+        while produced < max_frames and not done.all():
+            n = min(chunk, max_frames - produced)
+            key, kc = jax.random.split(key)
+            out, caches = _frame_chunk(
+                self.model, caches, pad_len, jnp.asarray(last),
+                kc, temperature, top_k, jnp.zeros((n,), dtype=jnp.int32),
+            )
+            out_np = np.asarray(out)          # [n, B, nc]
+            for f in out_np:
+                eos = (f == 0).all(axis=1)
+                done = done | eos
+                n_frames = np.where(done, n_frames, n_frames + 1)
+                all_frames.append(f)
+                produced += 1
+            last = out_np[-1]
+
+        codes = jnp.asarray(np.stack(all_frames, axis=-1))        # [B, nc, T]
+        audio = np.asarray(self._mimi.decode(codes))[:, 0]        # [B, samples]
+        spf = int(self._mimi.samples_per_frame)
+        elapsed = time.perf_counter() - start_time
+        results = []
+        for i in range(b):
+            a = audio[i, : int(n_frames[i]) * spf]
+            a = self._watermark(a) if a.size else a
+            results.append(make_generation_result(
+                a, self._sample_rate, i, int(n_frames[i]),
+                elapsed / b,
+            ))
+        return results
+
     def _generate_frame_chunks(self, prompt_tokens, prompt_mask, max_frames,
                                chunk, temp, top_k, key):
         """Host driver: prefill then chunked scans until EOS/max; yields

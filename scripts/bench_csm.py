@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--prompt", type=int, default=120)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode B utterances at once (serving throughput)")
     ap.add_argument("--no-watermark", action="store_true")
     args = ap.parse_args()
 
@@ -66,39 +68,41 @@ def main():
     max_frames = args.frames
     temp, top_k = 0.9, 50
 
+    b = args.batch
+
     def run(seed):
-        """The body of Model._generate_frame_chunks, timed as a unit."""
+        """The body of Model.generate_batch, timed as a unit."""
         key = jax.random.PRNGKey(seed)
         bucket = _prompt_bucket(t)
         pad = bucket - t
-        tokens = np.zeros((1, bucket, nc1), dtype=np.int32)
-        mask = np.zeros((1, bucket, nc1), dtype=bool)
-        tokens[0, pad:] = prompt_tokens
-        mask[0, pad:] = prompt_mask
-        pad_len = jnp.asarray([pad], dtype=jnp.int32)
+        tokens = np.zeros((b, bucket, nc1), dtype=np.int32)
+        mask = np.zeros((b, bucket, nc1), dtype=bool)
+        tokens[:, pad:] = prompt_tokens
+        mask[:, pad:] = prompt_mask
+        pad_len = jnp.full((b,), pad, dtype=jnp.int32)
         wdtype = model.model.codebook0_head.weight.dtype
         caches = model.model.backbone.init_cache(
-            1, max_len=bucket + max_frames, dtype=wdtype
+            b, max_len=bucket + max_frames, dtype=wdtype
         )
         key, k0 = jax.random.split(key)
         frame, caches = _prefill_and_first_frame(
             model.model, caches, pad_len, jnp.asarray(tokens),
             jnp.asarray(mask), k0, temp, top_k,
         )
-        frames = [np.asarray(frame)[0]]
+        frames = [np.asarray(frame)]           # list of [B, nc]
         while len(frames) < max_frames:
             n = min(args.chunk, max_frames - len(frames))
             key, kc = jax.random.split(key)
             out, caches = _frame_chunk(
-                model.model, caches, pad_len, jnp.asarray(frames[-1])[None],
+                model.model, caches, pad_len, jnp.asarray(frames[-1]),
                 kc, temp, top_k, jnp.zeros((n,), dtype=jnp.int32),
             )
-            frames.extend(np.asarray(out)[:, 0])
-        codes = jnp.asarray(np.stack(frames, axis=-1))[None]
-        audio = np.asarray(model.mimi.decode(codes))[0, 0]
+            frames.extend(np.asarray(out))
+        codes = jnp.asarray(np.stack(frames, axis=-1))  # [B, nc, T]
+        audio = np.asarray(model.mimi.decode(codes))[:, 0]
         if not args.no_watermark:
-            audio = model._watermark(audio)
-        return audio
+            audio = np.stack([model._watermark(a) for a in audio])
+        return audio[0]
 
     # compile + one drained run (first drain pays runtime re-init)
     for s in (10_001, 10_002):
@@ -107,7 +111,7 @@ def main():
         print(f"warmup {s}: {time.perf_counter()-t0:.1f}s "
               f"({audio.shape[0]} samples)")
 
-    audio_sec = max_frames * 0.08
+    audio_sec = max_frames * 0.08 * b
     times = []
     for s in range(args.iters):
         t0 = time.perf_counter()
@@ -117,9 +121,9 @@ def main():
         print(f"iter {s}: {dt:.3f}s  rtf={audio_sec/dt:.2f}x realtime")
 
     med = sorted(times)[len(times) // 2]
-    print(f"median: {med:.3f}s for {audio_sec:.2f} audio-sec "
+    print(f"median: {med:.3f}s for {audio_sec:.2f} audio-sec (batch {b}) "
           f"=> {audio_sec/med:.2f}x realtime "
-          f"({max_frames/med:.1f} frames/s)")
+          f"({max_frames * b/med:.1f} frames/s)")
 
 
 if __name__ == "__main__":

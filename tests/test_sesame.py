@@ -108,6 +108,37 @@ def test_streaming_chunks_concatenate_to_batch(model):
     np.testing.assert_allclose(stream_audio, batch_audio, atol=1e-3)
 
 
+def test_generate_batch_contract(model):
+    """Batched decode: one result per text, per-sequence frame trim, whole
+    Mimi frames, finite audio."""
+    ref_audio = np.random.default_rng(2).standard_normal(1920 * 2).astype(
+        np.float32) * 0.1
+    results = model.generate_batch(
+        ["hello", "a longer second prompt"],
+        ref_audio=ref_audio, ref_text="ref",
+        max_audio_length_ms=800, seed=3,
+    )
+    assert len(results) == 2
+    for r in results:
+        assert r.sample_rate == 24000
+        assert r.samples % 1920 == 0
+        assert r.samples // 1920 == r.token_count
+        assert np.isfinite(r.audio).all()
+
+
+def test_generate_batch_bf16(model):
+    import copy
+
+    m = copy.copy(model)
+    m.cast_lm(jnp.bfloat16)
+    ref_audio = np.zeros(1920, dtype=np.float32)
+    results = m.generate_batch(
+        ["x"], ref_audio=ref_audio, ref_text="r",
+        max_audio_length_ms=400, seed=5,
+    )
+    assert len(results) == 1 and np.isfinite(results[0].audio).all()
+
+
 def test_frame_shape_and_code_range(model):
     sm = model.model
     caches = sm.backbone.init_cache(1, max_len=64)
