@@ -10,6 +10,7 @@ synthesis of full 510-phoneme segments (compile excluded, device-synced).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -26,7 +27,11 @@ def main():
     )
     from mlx_audio_tpu.models.tts.kokoro.presets import kokoro_82m_config
 
-    model = Model(kokoro_82m_config()).astype(jnp.float32)
+    # BENCH_DTYPE=bf16 casts the synthesis weights (f32 islands inside keep
+    # instance-norm stats / SineGen phase / ISTFT exact — see tests); f32
+    # remains the default contract for the driver
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16" else jnp.float32
+    model = Model(kokoro_82m_config()).astype(dtype)
 
     batch = 8
     n_bucket = 512

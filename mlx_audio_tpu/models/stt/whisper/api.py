@@ -30,7 +30,9 @@ _SAMPLE_LEN_CAP = 224  # n_text_ctx // 2 (reference decoding.py:419)
 
 @jax.jit
 def _encode_mel(model, mel):
-    return model.encoder(mel)
+    # mel follows the model's weight dtype: a bf16-cast model runs the
+    # whole encoder (and downstream decode: features/caches/cross-kv) bf16
+    return model.encoder(mel.astype(model.encoder.conv1.weight.dtype))
 
 
 @jax.jit

@@ -224,6 +224,11 @@ def conv1d(
     """Functional conv over NLC input with weight [k, in_ch/groups, out_ch]."""
     if isinstance(padding, int):
         padding = (padding, padding)
+    if x.dtype != weight.dtype:
+        # promote like jnp.matmul does (conv_general_dilated errors instead);
+        # mixed f32-input/bf16-weight graphs run in f32
+        dt = jnp.promote_types(x.dtype, weight.dtype)
+        x, weight = x.astype(dt), weight.astype(dt)
     return jax.lax.conv_general_dilated(
         x,
         weight,
@@ -258,6 +263,9 @@ def conv_transpose1d(
     # flip taps; weight [k, in, out] is already the rhs layout for the
     # equivalent input-dilated forward conv
     w = jnp.flip(weight, axis=0)
+    if x.dtype != w.dtype:
+        dt = jnp.promote_types(x.dtype, w.dtype)
+        x, w = x.astype(dt), w.astype(dt)
     return jax.lax.conv_general_dilated(
         x,
         w,
@@ -346,6 +354,9 @@ def depthwise_conv_transpose1d(
     pad_hi = k - 1 - padding + output_padding
     # stored [k, C, 1] -> rhs [k, in/groups=1, out=C]
     w = jnp.swapaxes(jnp.flip(weight, axis=0), 1, 2)
+    if x.dtype != w.dtype:
+        dt = jnp.promote_types(x.dtype, w.dtype)
+        x, w = x.astype(dt), w.astype(dt)
     return jax.lax.conv_general_dilated(
         x,
         w,

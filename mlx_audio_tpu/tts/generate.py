@@ -43,10 +43,15 @@ def generate_audio(
     ref_audio: Optional[str] = None,
     ref_text: Optional[str] = None,
     stt_model: str = "mlx-community/whisper-large-v3-turbo",
+    trace_dir: Optional[str] = None,
     **kwargs,
 ):
-    """Generate speech from text; returns the list of GenerationResults."""
+    """Generate speech from text; returns the list of GenerationResults.
+
+    ``trace_dir`` captures an XLA profiler trace of the generation
+    (TensorBoard profile / Perfetto viewable)."""
     from mlx_audio_tpu.utils.loader import load_model
+    from mlx_audio_tpu.utils.profiling import trace
 
     if model is None:
         model = load_model(model_path, domain="tts")
@@ -78,10 +83,14 @@ def generate_audio(
 
     results = []
     segments = []
-    for result in model.generate(
+    gen = model.generate(
         text=text, voice=voice, speed=speed, lang_code=lang_code,
         ref_audio=ref_audio_arr, ref_text=ref_text, **kwargs,
-    ):
+    )
+    if trace_dir:
+        with trace(trace_dir):
+            gen = list(gen)
+    for result in gen:
         results.append(result)
         segments.append(np.asarray(result.audio).reshape(-1))
         if verbose:
@@ -138,6 +147,8 @@ def parse_args(argv=None):
                         choices=[None, "male", "female"],
                         help="Voice gender (Spark controllable TTS)")
     parser.add_argument("--stream", action="store_true")
+    parser.add_argument("--trace-dir", type=str, default=None,
+                        help="capture an XLA profiler trace into this dir")
     return parser.parse_args(argv)
 
 
@@ -169,6 +180,7 @@ def main(argv=None):
         pitch=args.pitch,
         **({"gender": args.gender} if args.gender else {}),
         stream=args.stream,
+        trace_dir=args.trace_dir,
     )
 
 
