@@ -43,8 +43,10 @@ def main():
         rng.integers(1, model.config.n_token, size=(batch, n_bucket)), dtype=jnp.int32
     )
     lengths = jnp.full((batch,), n_valid, dtype=jnp.int32)
-    ref_s = jnp.asarray(rng.standard_normal((batch, 256)) * 0.1, dtype=jnp.float32)
-    speed = jnp.ones((batch,), dtype=jnp.float32)
+    # float inputs follow the model dtype — mixed f32 inputs would promote
+    # the whole graph back to f32 under the matmul/conv promotion rules
+    ref_s = jnp.asarray(rng.standard_normal((batch, 256)) * 0.1, dtype=dtype)
+    speed = jnp.ones((batch,), dtype=dtype)
     key = jax.random.PRNGKey(0)
     num_frames = jnp.zeros((f_bucket,), dtype=jnp.int32)
 

@@ -221,6 +221,98 @@ class Model(Module):
         audio_np = np.asarray(audio)[0, : total * self.SAMPLES_PER_FRAME]
         return audio_np, pred_dur_np
 
+    def synthesize_batch(
+        self,
+        phonemes_list: list,
+        ref_s: np.ndarray,
+        speeds=None,
+        key: Optional[jax.Array] = None,
+    ):
+        """Batched synthesis: B phoneme strings -> list of (audio, pred_dur).
+
+        One duration pass + one synthesis pass for the whole batch (ragged
+        lengths via per-row masks — bit-exact w.r.t. single-row runs for
+        durations; SineGen noise draws differ by batch layout).  This is the
+        single-chip serving-throughput lever: all conv/matmul weight reads
+        are shared across the B segments.
+        """
+        b = len(phonemes_list)
+        toks = [[0, *self.phonemes_to_ids(p), 0] for p in phonemes_list]
+        n_valid = [len(t) for t in toks]
+        assert max(n_valid) <= self.context_length
+        bucket = pick_phoneme_bucket(max(n_valid))
+        input_ids = np.zeros((b, bucket), dtype=np.int32)
+        for i, t in enumerate(toks):
+            input_ids[i, : len(t)] = t
+        input_ids = jnp.asarray(input_ids)
+        lengths = jnp.asarray(n_valid, dtype=jnp.int32)
+        ref = np.asarray(ref_s, dtype=np.float32).reshape(b, -1)
+        ref = jnp.asarray(ref)
+        if speeds is None:
+            speeds = np.ones((b,), dtype=np.float32)
+        speeds = jnp.asarray(np.broadcast_to(np.asarray(speeds, np.float32), (b,)))
+
+        d, pred_dur = _duration_stage(self, input_ids, lengths,
+                                      ref[:, 128:], speeds)
+        pred_np = np.asarray(pred_dur)
+        totals = pred_np.sum(axis=1)               # padded rows contribute 0
+        f_bucket = pick_frame_bucket(int(totals.max()))
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        audio, _ = _synthesis_stage(
+            self, input_ids, lengths, d, pred_dur, ref, key,
+            jnp.zeros((f_bucket,), dtype=jnp.int32),
+        )
+        audio_np = np.asarray(audio)
+        return [
+            (audio_np[i, : int(totals[i]) * self.SAMPLES_PER_FRAME],
+             pred_np[i, : n_valid[i]])
+            for i in range(b)
+        ]
+
+    def generate_batch(
+        self,
+        texts: list,
+        voice: Optional[str] = None,
+        speed: float = 1.0,
+        lang_code: str = "a",
+        split_pattern: str = r"\n+",
+        **kwargs,
+    ) -> list:
+        """Batched text->speech: G2P each text on host, then synthesize all
+        resulting segments in one batched device pass.  Returns one
+        GenerationResult per input text (segments concatenated)."""
+        from mlx_audio_tpu.models.tts.kokoro.pipeline import KokoroPipeline
+
+        pipeline = KokoroPipeline(model=self, lang_code=lang_code)
+        pack = pipeline.load_voice(voice or "af_heart")
+        start = time.time()
+
+        seg_ps, owner = [], []
+        for ti, text in enumerate(texts):
+            for _, ps, _ in pipeline.iter_phoneme_segments(text, split_pattern):
+                seg_ps.append(ps)
+                owner.append(ti)
+        if not seg_ps:
+            return []
+        refs = np.stack([pack[len(ps) - 1].reshape(-1) for ps in seg_ps])
+        outs = self.synthesize_batch(seg_ps, refs, speeds=speed)
+
+        elapsed = time.time() - start
+        results = []
+        for ti in range(len(texts)):
+            segs = [outs[i] for i in range(len(outs)) if owner[i] == ti]
+            if not segs:
+                continue
+            audio = np.concatenate([a for a, _ in segs])
+            n_tok = sum(len(p) for i, p in enumerate(seg_ps) if owner[i] == ti)
+            results.append(make_generation_result(
+                audio=audio, sample_rate=self.config.sample_rate,
+                segment_idx=ti, token_count=n_tok,
+                segment_time=elapsed / len(texts),
+            ))
+        return results
+
     def generate(
         self,
         text: str,

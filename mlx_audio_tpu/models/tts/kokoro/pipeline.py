@@ -284,19 +284,17 @@ class KokoroPipeline:
         ref_s = pack[len(ps) - 1]
         return self.model.synthesize(ps, ref_s, speed)
 
-    def __call__(
+    def iter_phoneme_segments(
         self,
         text: Union[str, List[str]],
-        voice: str,
-        speed: float = 1.0,
         split_pattern: Optional[str] = r"\n+",
-    ) -> Generator["KokoroPipeline.Result", None, None]:
-        if voice is None:
-            raise ValueError("Specify a voice, e.g. voice='af_heart'")
-        pack = self.load_voice(voice) if self.model else None
+    ) -> Generator[Tuple[str, str, Optional[List[MToken]]], None, None]:
+        """Host text stage only: split → G2P → 510-phoneme chunking.
+        Yields (graphemes, phonemes, tokens) without running the model —
+        the unit batched synthesis consumes."""
         if isinstance(text, str):
             text = re.split(split_pattern, text.strip()) if split_pattern else [text]
-        for text_index, graphemes in enumerate(text):
+        for graphemes in text:
             if not graphemes.strip():
                 continue
             result = self.g2p(graphemes)
@@ -313,6 +311,26 @@ class KokoroPipeline:
                 if len(ps) > PHONEME_BUDGET:
                     logging.warning(f"Truncating len(ps) == {len(ps)} > {PHONEME_BUDGET}")
                     ps = ps[:PHONEME_BUDGET]
+                yield gs, ps, tks
+
+    def __call__(
+        self,
+        text: Union[str, List[str]],
+        voice: str,
+        speed: float = 1.0,
+        split_pattern: Optional[str] = r"\n+",
+    ) -> Generator["KokoroPipeline.Result", None, None]:
+        if voice is None:
+            raise ValueError("Specify a voice, e.g. voice='af_heart'")
+        pack = self.load_voice(voice) if self.model else None
+        if isinstance(text, str):
+            text_list = re.split(split_pattern, text.strip()) if split_pattern else [text]
+        else:
+            text_list = text
+        for text_index, graphemes in enumerate(text_list):
+            if not graphemes.strip():
+                continue
+            for gs, ps, tks in self.iter_phoneme_segments([graphemes], None):
                 audio = pred_dur = None
                 if self.model is not None:
                     audio, pred_dur = self.infer(ps, pack, speed)

@@ -91,6 +91,39 @@ def test_bucketing_is_exact(model):
     np.testing.assert_allclose(audio_a, audio_b, atol=2e-4)
 
 
+def test_synthesize_batch_matches_single(model):
+    """Batched ragged synthesis: durations bit-equal to single-row runs;
+    audio trimmed per row to its own frame total."""
+    rng = np.random.default_rng(3)
+    ps = ["hello world", "abc", "a longer third phoneme string here"]
+    refs = (rng.standard_normal((3, 256)) * 0.1).astype(np.float32)
+
+    outs = model.synthesize_batch(ps, refs)
+    assert len(outs) == 3
+    for (audio, dur), p in zip(outs, ps):
+        n_tok = len([c for c in p if c in model.vocab]) + 2
+        assert dur.shape == (n_tok,)
+        assert audio.shape == (int(dur.sum()) * 600,)
+        assert np.isfinite(audio).all()
+
+    # durations are deterministic -> must match the single path exactly
+    for (_, dur), p, r in zip(outs, ps, refs):
+        _, dur_single = model.synthesize(p, r)
+        np.testing.assert_array_equal(dur, dur_single)
+
+
+def test_generate_batch_contract(model, tmp_path):
+    rng = np.random.default_rng(4)
+    pack = (rng.standard_normal((510, 1, 256)) * 0.1).astype(np.float32)
+    vpath = str(tmp_path / "voice.npy")
+    np.save(vpath, pack)
+    results = model.generate_batch(["hello there", "abc def"], voice=vpath)
+    assert len(results) == 2
+    for r in results:
+        assert r.samples > 0 and r.samples % 600 == 0
+        assert np.isfinite(r.audio).all()
+
+
 def test_speed_scales_durations(model):
     phonemes = "hello world"
     ref_s = np.zeros(256, dtype=np.float32)
