@@ -47,6 +47,7 @@ class ServerState:
         self.stt_model = None
         self.stt_repo: Optional[str] = None
         self.player = None
+        self.batcher = None  # set to a DynamicBatcher to enable micro-batching
         try:
             os.makedirs(output_folder, exist_ok=True)
             self.output_folder = output_folder
@@ -155,6 +156,124 @@ def synthesize_to_file(state: ServerState, model_repo: str, text: str,
     return {"filename": filename, "status": 200}
 
 
+def _write_wav(state: ServerState, audio: np.ndarray, sample_rate: int) -> dict:
+    filename = f"tts_{uuid.uuid4()}.wav"
+    out_path = os.path.join(state.output_folder, filename)
+    from mlx_audio_tpu.utils.audio_io import save_audio
+
+    save_audio(out_path, audio, sample_rate)
+    if not os.path.exists(out_path) or os.path.getsize(out_path) == 0:
+        return {"error": "Failed to create audio file", "status": 500}
+    return {"filename": filename, "status": 200}
+
+
+class DynamicBatcher:
+    """Coalesce concurrent /tts requests into one batched device pass.
+
+    The decode/synthesis graphs are HBM-bound on weight reads, so requests
+    that share (model, voice, speed, language) and arrive within
+    ``max_wait_ms`` are synthesized together via ``model.generate_batch``
+    (near-linear throughput in batch size — docs/PERF.md).  Models without
+    a batch path fall back to sequential synthesis.  This is the TPU-native
+    replacement for the reference's strictly serial request handling
+    (server.py:107-318 processes one request at a time).
+    """
+
+    def __init__(self, state: ServerState, max_batch: int = 8,
+                 max_wait_ms: float = 30.0):
+        import threading
+
+        self.state = state
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._cond = threading.Condition()
+        self._pending: list = []   # (key, text, Future)
+        self._stop = False
+        self.last_batch_size = 0   # observability / tests
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, model_repo: str, text: str, voice: Optional[str],
+               speed: str, language: str):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        key = (model_repo, voice or "", str(speed), language or "a")
+        with self._cond:
+            self._pending.append((key, text, fut))
+            self._cond.notify_all()
+        return fut
+
+    def close(self):
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._thread.join(timeout=5)
+
+    def _worker(self):
+        import time as _time
+
+        while True:
+            with self._cond:
+                while not self._pending and not self._stop:
+                    self._cond.wait()
+                if self._stop:
+                    for _, _, fut in self._pending:
+                        fut.set_exception(RuntimeError("server shutting down"))
+                    self._pending.clear()
+                    return
+                key0 = self._pending[0][0]
+                deadline = _time.monotonic() + self.max_wait
+                while (sum(1 for k, _, _ in self._pending if k == key0)
+                       < self.max_batch and not self._stop):
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                group = [p for p in self._pending if p[0] == key0][: self.max_batch]
+                for g in group:
+                    self._pending.remove(g)
+            self._run_group(key0, group)
+
+    def _run_group(self, key, group):
+        model_repo, voice, speed, language = key
+        texts = [t for _, t, _ in group]
+        futs = [f for _, _, f in group]
+        self.last_batch_size = len(group)
+        try:
+            speed_value, err = _parse_speed(model_repo, speed)
+            if err:
+                raise ValueError(err)
+            model = self.state.get_tts(model_repo)
+            sr = getattr(model, "sample_rate", 24000)
+            results = None
+            if hasattr(model, "generate_batch"):
+                try:
+                    results = model.generate_batch(
+                        texts, voice=voice or None, speed=speed_value,
+                        lang_code=LANGUAGE_MAP.get(language.lower(), "a"),
+                    )
+                except TypeError:
+                    results = None  # batch API with a different contract
+            if results is not None and len(results) == len(texts):
+                for fut, r in zip(futs, results):
+                    fut.set_result(
+                        _write_wav(self.state, np.asarray(r.audio).reshape(-1), sr)
+                    )
+                return
+            # sequential fallback (no compatible batch path)
+            for fut, text in zip(futs, texts):
+                fut.set_result(synthesize_to_file(
+                    self.state, model_repo, text, voice or None, speed,
+                    language,
+                ))
+        except Exception as e:  # noqa: BLE001 — propagate per request
+            logger.exception("batched synthesis failed")
+            for fut in futs:
+                if not fut.done():
+                    fut.set_result({"error": str(e), "status": 500})
+
+
 def transcribe_file(state: ServerState, model_repo: str, audio_path: str,
                     **kwargs) -> dict:
     model = state.get_stt(model_repo)
@@ -202,21 +321,33 @@ def create_app(state: Optional[ServerState] = None):
             )
             with open(ref_audio_path, "wb") as f:
                 f.write(ref.file.read())
+        model_repo = form.get("model", "prince-canuma/Kokoro-82M")
+        text = form.get("text", "")
+        batcher = getattr(state, "batcher", None)
         try:
-            result = await asyncio.get_event_loop().run_in_executor(
-                None,
-                lambda: synthesize_to_file(
-                    state,
-                    form.get("model", "prince-canuma/Kokoro-82M"),
-                    form.get("text", ""),
-                    form.get("voice"),
-                    form.get("speed", "1.0"),
-                    form.get("language", "a"),
-                    form.get("pitch"),
-                    form.get("gender"),
-                    ref_audio_path,
-                ),
-            )
+            if (batcher is not None and ref_audio_path is None
+                    and not form.get("pitch") and not form.get("gender")
+                    and text.strip()):
+                # micro-batch: concurrent same-key requests share one pass
+                result = await asyncio.wrap_future(batcher.submit(
+                    model_repo, text, form.get("voice"),
+                    form.get("speed", "1.0"), form.get("language", "a"),
+                ))
+            else:
+                result = await asyncio.get_event_loop().run_in_executor(
+                    None,
+                    lambda: synthesize_to_file(
+                        state,
+                        model_repo,
+                        text,
+                        form.get("voice"),
+                        form.get("speed", "1.0"),
+                        form.get("language", "a"),
+                        form.get("pitch"),
+                        form.get("gender"),
+                        ref_audio_path,
+                    ),
+                )
         finally:
             if ref_audio_path and os.path.exists(ref_audio_path):
                 os.remove(ref_audio_path)
@@ -336,12 +467,22 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--max-batch", type=int, default=8,
+                        help="micro-batch size for concurrent /tts requests "
+                             "(0 disables dynamic batching)")
+    parser.add_argument("--batch-window-ms", type=float, default=30.0,
+                        help="how long to wait coalescing concurrent requests")
     args = parser.parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s [%(funcName)s:%(lineno)d] %(message)s",
     )
-    web.run_app(create_app(), host=args.host, port=args.port)
+    state = ServerState()
+    if args.max_batch > 0:
+        state.batcher = DynamicBatcher(
+            state, max_batch=args.max_batch, max_wait_ms=args.batch_window_ms
+        )
+    web.run_app(create_app(state), host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,66 @@ def test_synthesize_to_file(tmp_path):
     assert (tmp_path / result["filename"]).exists()
 
 
+class FakeBatchTTSModel(FakeTTSModel):
+    batch_calls = []
+
+    def generate_batch(self, texts, voice=None, speed=1.0, lang_code="a",
+                       **kwargs):
+        FakeBatchTTSModel.batch_calls.append(list(texts))
+        from mlx_audio_tpu.models.base import make_generation_result
+
+        return [
+            make_generation_result(
+                np.zeros(2400, dtype=np.float32), 24000, i, 5, 0.1
+            )
+            for i, _ in enumerate(texts)
+        ]
+
+
+def test_dynamic_batcher_coalesces(tmp_path):
+    """Concurrent same-key requests must share one generate_batch call."""
+    from mlx_audio_tpu.server import DynamicBatcher
+
+    state = ServerState(output_folder=str(tmp_path))
+    state.tts_model = FakeBatchTTSModel()
+    state.tts_repo = "fake/model"
+    FakeBatchTTSModel.batch_calls = []
+
+    batcher = DynamicBatcher(state, max_batch=4, max_wait_ms=200)
+    try:
+        futs = [
+            batcher.submit("fake/model", f"text {i}", "af_heart", "1.0", "a")
+            for i in range(3)
+        ]
+        results = [f.result(timeout=30) for f in futs]
+    finally:
+        batcher.close()
+    assert all(r["status"] == 200 for r in results)
+    assert all((tmp_path / r["filename"]).exists() for r in results)
+    # one coalesced device pass, not three
+    assert FakeBatchTTSModel.batch_calls == [["text 0", "text 1", "text 2"]]
+    assert batcher.last_batch_size == 3
+
+
+def test_dynamic_batcher_sequential_fallback(tmp_path):
+    """Models without generate_batch fall back to per-request synthesis."""
+    from mlx_audio_tpu.server import DynamicBatcher
+
+    state = ServerState(output_folder=str(tmp_path))
+    state.tts_model = FakeTTSModel()
+    state.tts_repo = "fake/model"
+    batcher = DynamicBatcher(state, max_batch=4, max_wait_ms=50)
+    try:
+        futs = [
+            batcher.submit("fake/model", f"t{i}", None, "1.0", "a")
+            for i in range(2)
+        ]
+        results = [f.result(timeout=30) for f in futs]
+    finally:
+        batcher.close()
+    assert all(r["status"] == 200 for r in results)
+
+
 def test_synthesize_empty_text(tmp_path):
     state = ServerState(output_folder=str(tmp_path))
     result = synthesize_to_file(state, "fake/model", "   ")
