@@ -33,7 +33,7 @@ def main():
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16" else jnp.float32
     model = Model(kokoro_82m_config()).astype(dtype)
 
-    batch = 8
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     n_bucket = 512
     n_valid = 512
     f_bucket = 1300  # ~full-length segments: 510 phonemes * ~2.5 frames

@@ -116,3 +116,76 @@ def use_pallas_lstm() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# ---------------------------------------------------------------------------
+# Fused dequantize-matmul (weight-only int8/int4 decode)
+# ---------------------------------------------------------------------------
+#
+# AR decode is HBM-bound on weight reads; grouped-affine codes are 1 byte
+# per parameter (4x less traffic than f32, 2x less than bf16).  The XLA
+# path (nn/quantize._dequant + matmul) materializes the dequantized weight
+# in HBM every step, which destroys the win.  This kernel streams uint8
+# code tiles HBM->VMEM (pipelined by the grid), dequantizes in VMEM, and
+# feeds the MXU directly — the full-precision weight never exists in HBM.
+
+
+def _quant_matmul_kernel(x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
+    tile_o, i = q_ref.shape
+    g = i // group_size
+    s = s_ref[:].astype(jnp.float32)              # [TILE_O, G]
+    z = z_ref[:].astype(jnp.float32)
+    w = q_ref[:].astype(jnp.float32).reshape(tile_o, g, group_size)
+    w = (w * s[:, :, None] + z[:, :, None]).reshape(tile_o, i)
+    x = x_ref[:]
+    y = jax.lax.dot_general(
+        x.astype(jnp.float32), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+def quantized_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
+                     biases: jax.Array, group_size: int = 64,
+                     interpret: bool = False) -> jax.Array:
+    """y[B, O] = x[B, I] @ dequant(codes[O, I]).T without materializing the
+    dequantized weight in HBM.  Requires O % 128 == 0 and I % group_size == 0
+    (see quant_matmul_supported)."""
+    b, i = x.shape
+    o = codes.shape[0]
+    g = i // group_size
+    tile_o = 128
+    kern = functools.partial(_quant_matmul_kernel, group_size=group_size)
+    return pl.pallas_call(
+        kern,
+        grid=(o // tile_o,),
+        in_specs=[
+            pl.BlockSpec((b, i), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_o, i), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_o, g), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_o, g), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile_o), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, o), x.dtype),
+        interpret=interpret,
+    )(x, codes, scales, biases)
+
+
+def quant_matmul_supported(out_features: int, in_features: int,
+                           group_size: int) -> bool:
+    return (out_features % 128 == 0 and in_features % group_size == 0
+            and in_features % 128 == 0)
+
+
+def use_pallas_quant() -> bool:
+    if not _HAS_PALLAS or os.environ.get("MLX_AUDIO_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

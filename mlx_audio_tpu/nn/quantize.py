@@ -96,8 +96,27 @@ class QuantizedLinear(Module):
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self._dequant(x.dtype)
-        y = x @ w.T
+        from .pallas_ops import (
+            quant_matmul_supported,
+            quantized_matmul,
+            use_pallas_quant,
+        )
+
+        o, i = self.weight.shape
+        n_rows = int(np.prod(x.shape[:-1]))
+        # decode-shaped calls only: the kernel keeps all of x resident in
+        # VMEM, so big prefill batches (rows*I) take the dense path instead
+        if (use_pallas_quant() and n_rows <= 512
+                and quant_matmul_supported(o, i, self.group_size)):
+            # fused HBM-streaming dequant-matmul: codes are read once as
+            # uint8; the full-precision weight never exists in HBM
+            y = quantized_matmul(
+                x.reshape(-1, i), self.weight, self.scales, self.biases,
+                self.group_size,
+            ).reshape(*x.shape[:-1], o)
+        else:
+            w = self._dequant(x.dtype)
+            y = x @ w.T
         if self.bias is not None:
             y = y + self.bias.astype(x.dtype)
         return y

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1,
                     help="decode B utterances at once (serving throughput)")
+    ap.add_argument("--quant", type=int, default=0, choices=[0, 4, 8],
+                    help="weight-only quantize the LMs to N bits "
+                         "(Pallas fused dequant-matmul decode)")
     ap.add_argument("--no-watermark", action="store_true")
     args = ap.parse_args()
 
@@ -48,8 +51,16 @@ def main():
     model = Model(config)
     if args.dtype == "bf16":
         model.cast_lm(jnp.bfloat16)
+    if args.quant:
+        from mlx_audio_tpu.nn.quantize import quantize_model
+
+        # quantize the LM stacks only (keep heads/embeddings per predicate
+        # defaults); codebook0_head O=2051 falls back to the dense path
+        model.model = quantize_model(model.model, group_size=64,
+                                     bits=args.quant)
     n_params = model.model.num_params()
-    print(f"params: {n_params/1e9:.2f}B  dtype={args.dtype}")
+    print(f"params: {n_params/1e9:.2f}B  dtype={args.dtype}  "
+          f"quant={args.quant or 'none'}")
 
     # synthetic prompt: text tokens then audio frames (as voice-match does)
     rng = np.random.default_rng(0)

@@ -30,3 +30,47 @@ def test_lstm_pallas_matches_scan(reverse):
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cT), np.asarray(cT_ref), atol=1e-5)
+
+
+@pytest.mark.skipif(not _HAS_PALLAS, reason="pallas unavailable")
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_matmul_matches_dense_dequant(bits):
+    """Fused dequant-matmul == dequantize-then-matmul (the XLA path)."""
+    from mlx_audio_tpu.nn.layers import Linear
+    from mlx_audio_tpu.nn.pallas_ops import quantized_matmul
+    from mlx_audio_tpu.nn.quantize import QuantizedLinear
+
+    rng = np.random.default_rng(1)
+    b, i, o = 4, 256, 384
+    lin = Linear(i, o, bias=False)
+    lin.weight = jnp.asarray(rng.standard_normal((o, i)) * 0.2,
+                             dtype=jnp.float32)
+    q = QuantizedLinear.from_linear(lin, group_size=64, bits=bits)
+
+    x = jnp.asarray(rng.standard_normal((b, i)) * 0.5, dtype=jnp.float32)
+    ref = x @ q._dequant(jnp.float32).T
+    out = quantized_matmul(x, q.weight, q.scales, q.biases, 64,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not _HAS_PALLAS, reason="pallas unavailable")
+def test_quantized_matmul_bf16_activations():
+    from mlx_audio_tpu.nn.layers import Linear
+    from mlx_audio_tpu.nn.pallas_ops import quantized_matmul
+    from mlx_audio_tpu.nn.quantize import QuantizedLinear
+
+    rng = np.random.default_rng(2)
+    b, i, o = 2, 128, 128
+    lin = Linear(i, o, bias=False)
+    lin.weight = jnp.asarray(rng.standard_normal((o, i)) * 0.2,
+                             dtype=jnp.float32)
+    q = QuantizedLinear.from_linear(lin, group_size=64, bits=8)
+    x = jnp.asarray(rng.standard_normal((b, i)) * 0.5, dtype=jnp.bfloat16)
+    ref = (x.astype(jnp.float32) @ q._dequant(jnp.float32).T)
+    out = quantized_matmul(x, q.weight, q.scales, q.biases, 64,
+                           interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
