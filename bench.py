@@ -6,7 +6,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's only published number — ≈3.08 audio-seconds/s
 bulk Kokoro throughput on an M4 Pro (BASELINE.md; examples/bible-audiobook).
 We measure steady-state generated audio-seconds per wall-second for batched
-synthesis of full 510-phoneme segments (compile excluded, device-synced).
+synthesis of full 510-phoneme segments (compile excluded, device-synced;
+bf16/batch-32 defaults per docs/PERF.md, BENCH_DTYPE/BENCH_BATCH override).
 """
 
 import json
@@ -27,13 +28,14 @@ def main():
     )
     from mlx_audio_tpu.models.tts.kokoro.presets import kokoro_82m_config
 
-    # BENCH_DTYPE=bf16 casts the synthesis weights (f32 islands inside keep
-    # instance-norm stats / SineGen phase / ISTFT exact — see tests); f32
-    # remains the default contract for the driver
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16" else jnp.float32
+    # Defaults are the measured-best stable serving config (docs/PERF.md):
+    # bf16 weights+activations (f32 islands keep instance-norm stats /
+    # SineGen phase / ISTFT exact — gated by test_bf16_forward_finite_and_
+    # close) at batch 32.  BENCH_DTYPE=f32 / BENCH_BATCH=N override.
+    dtype = jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32" else jnp.bfloat16
     model = Model(kokoro_82m_config()).astype(dtype)
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_bucket = 512
     n_valid = 512
     f_bucket = 1300  # ~full-length segments: 510 phonemes * ~2.5 frames

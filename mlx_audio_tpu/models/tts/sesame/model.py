@@ -121,6 +121,15 @@ class SesameModel(Module):
         frame = self._depth_decode(last_h, c0, k_rest, temp, top_k)
         return frame, caches
 
+    def lm_dtype(self):
+        """Activation/cache dtype of the LM: the first floating leaf of the
+        backbone (robust to quantized modules, whose `weight` is uint8)."""
+        for leaf in jax.tree_util.tree_leaves(self.backbone):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                return leaf.dtype
+        return jnp.float32
+
     def _depth_decode(self, last_h: jax.Array, c0: jax.Array, key: jax.Array,
                       temp: float, top_k: int) -> jax.Array:
         """31 sequential depth-decoder steps as prefill + lax.scan
@@ -416,7 +425,7 @@ class Model(Module):
             mask[i, pad[i]:] = m
         pad_len = jnp.asarray(pad)
 
-        wdtype = self.model.codebook0_head.weight.dtype
+        wdtype = self.model.lm_dtype()
         caches = self.model.backbone.init_cache(
             b, max_len=bucket + max_frames, dtype=wdtype
         )
@@ -479,7 +488,7 @@ class Model(Module):
         # KV cache dtype follows the LM weights: with a bf16-cast model
         # (`model.cast_lm(jnp.bfloat16)`) the whole decode loop — params,
         # activations, cache reads — moves half the HBM bytes per step
-        wdtype = self.model.codebook0_head.weight.dtype
+        wdtype = self.model.lm_dtype()
         caches = self.model.backbone.init_cache(1, max_len=cache_len, dtype=wdtype)
 
         key, k0 = jax.random.split(key)

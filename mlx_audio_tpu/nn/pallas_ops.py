@@ -135,7 +135,9 @@ def _quant_matmul_kernel(x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
     g = i // group_size
     s = s_ref[:].astype(jnp.float32)              # [TILE_O, G]
     z = z_ref[:].astype(jnp.float32)
-    w = q_ref[:].astype(jnp.float32).reshape(tile_o, g, group_size)
+    # Mosaic has no direct uint8->f32 cast; hop through int32
+    w = q_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(
+        tile_o, g, group_size)
     w = (w * s[:, :, None] + z[:, :, None]).reshape(tile_o, i)
     x = x_ref[:]
     y = jax.lax.dot_general(
@@ -178,8 +180,11 @@ def quantized_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
 
 def quant_matmul_supported(out_features: int, in_features: int,
                            group_size: int) -> bool:
+    """Mosaic constraint: the in-kernel [O, G, group] dequant reshape needs
+    a 128-aligned minor dim, so only 128-multiple group sizes hit the fused
+    path (64-group checkpoints fall back to the XLA dense dequant)."""
     return (out_features % 128 == 0 and in_features % group_size == 0
-            and in_features % 128 == 0)
+            and in_features % 128 == 0 and group_size % 128 == 0)
 
 
 def use_pallas_quant() -> bool:

@@ -162,7 +162,9 @@ class QuantizedEmbedding(Module):
         return w.reshape(*idx.shape, d)
 
     def __call__(self, idx: jax.Array) -> jax.Array:
-        return self._dequant_rows(idx, jnp.float32)
+        # dequant in the scales dtype so a bf16-cast quantized model keeps
+        # bf16 activations end-to-end
+        return self._dequant_rows(idx, self.scales.dtype)
 
     def as_linear(self, x: jax.Array) -> jax.Array:
         w = _affine_dequantize(self.weight, self.scales.astype(x.dtype),

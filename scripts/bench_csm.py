@@ -49,15 +49,16 @@ def main():
         "text_vocab_size": 128_256,
     }
     model = Model(config)
-    if args.dtype == "bf16":
-        model.cast_lm(jnp.bfloat16)
     if args.quant:
         from mlx_audio_tpu.nn.quantize import quantize_model
 
-        # quantize the LM stacks only (keep heads/embeddings per predicate
-        # defaults); codebook0_head O=2051 falls back to the dense path
-        model.model = quantize_model(model.model, group_size=64,
+        # quantize before the bf16 cast so cast_lm moves scales/biases (and
+        # hence dequantized activations) to bf16; codebook0_head O=2051
+        # falls back to the dense path
+        model.model = quantize_model(model.model, group_size=128,
                                      bits=args.quant)
+    if args.dtype == "bf16":
+        model.cast_lm(jnp.bfloat16)
     n_params = model.model.num_params()
     print(f"params: {n_params/1e9:.2f}B  dtype={args.dtype}  "
           f"quant={args.quant or 'none'}")
@@ -91,7 +92,7 @@ def main():
         tokens[:, pad:] = prompt_tokens
         mask[:, pad:] = prompt_mask
         pad_len = jnp.full((b,), pad, dtype=jnp.int32)
-        wdtype = model.model.codebook0_head.weight.dtype
+        wdtype = model.model.lm_dtype()
         caches = model.model.backbone.init_cache(
             b, max_len=bucket + max_frames, dtype=wdtype
         )

@@ -67,6 +67,45 @@ def test_shard_module_tp_matches_replicated():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_csm_tp_decode_matches_replicated():
+    """CSM frame decode under tensor-parallel backbone sharding must emit
+    the same codes as the replicated model (greedy, temp=0)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_sesame import tiny_config as csm_tiny
+    from mlx_audio_tpu.models.tts.sesame.model import (
+        SesameModel,
+        _prefill_and_first_frame,
+    )
+
+    sm = SesameModel(csm_tiny())
+    sm = sm.tree_replace(audio_head=jnp.asarray(
+        np.random.default_rng(0).standard_normal(sm.audio_head.shape) * 0.1,
+        dtype=jnp.float32,
+    ))
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, 60, (1, 16, 5)), dtype=jnp.int32)
+    mask = jnp.ones((1, 16, 5), dtype=bool)
+    pad = jnp.asarray([2])
+    key = jax.random.PRNGKey(0)
+
+    caches = sm.backbone.init_cache(1, max_len=32)
+    frame_ref, _ = _prefill_and_first_frame(sm, caches, pad, tokens, mask,
+                                            key, 0.0, 1)
+
+    mesh = get_mesh(model_parallel=2)
+    with mesh:
+        sharded = shard_module(mesh, sm, tp_rules_llama)
+        caches2 = sharded.backbone.init_cache(1, max_len=32)
+        frame_tp, _ = _prefill_and_first_frame(
+            sharded, replicate(mesh, caches2),
+            replicate(mesh, pad), replicate(mesh, tokens),
+            replicate(mesh, mask), replicate(mesh, key), 0.0, 1,
+        )
+    np.testing.assert_array_equal(np.asarray(frame_ref), np.asarray(frame_tp))
+
+
 def test_graft_entry_dryrun():
     """The driver's multichip dry-run contract must keep working."""
     import sys
