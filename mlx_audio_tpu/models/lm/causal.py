@@ -92,6 +92,95 @@ def _prefill(model, caches, pad_len, input_ids):
     return logits, caches
 
 
+def lm_dtype(model) -> jnp.dtype:
+    """Activation/cache dtype: first floating leaf (robust to quantized
+    modules whose `weight` is uint8)."""
+    for leaf in jax.tree_util.tree_leaves(model):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.float32
+
+
+def generate_tokens_batch(
+    model: LlamaForCausalLM,
+    prompts: List[np.ndarray],
+    max_tokens: int = 1200,
+    temperature: float = 0.6,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    repetition_context_size: int = 20,
+    stop_tokens: tuple = (),
+    chunk: int = 64,
+    seed: int = 0,
+    max_cache_len: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Batched decode: B prompts share every weight fetch (the loop is
+    HBM-bound, so throughput scales near-linearly in B — docs/PERF.md).
+    Per-sequence stop tokens are tracked on host between chunks; finished
+    rows keep stepping until all stop or the budget runs out.  Returns the
+    generated tokens (stop token excluded) per prompt."""
+    b = len(prompts)
+    prompts = [np.asarray(p).reshape(-1) for p in prompts]
+    bucket = _bucket(max(len(p) for p in prompts))
+    prompt = np.zeros((b, bucket), dtype=np.int32)
+    pad = np.zeros((b,), dtype=np.int32)
+    for i, p in enumerate(prompts):
+        pad[i] = bucket - len(p)
+        prompt[i, pad[i]:] = p
+    pad_len = jnp.asarray(pad)
+
+    cache_len = max_cache_len or (bucket + max_tokens)
+    caches = model.model.init_cache(b, max_len=cache_len, dtype=lm_dtype(model))
+    key = jax.random.PRNGKey(seed)
+
+    logits, caches = _prefill(model, caches, pad_len, jnp.asarray(prompt))
+    key, k0 = jax.random.split(key)
+    if temperature == 0:
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    elif top_p < 1.0:
+        first = sample_top_p(k0, logits, temperature, top_p)
+    else:
+        first = sample_top_k(k0, logits, temperature, top_k)
+    first_np = np.asarray(first)
+
+    out = [[] for _ in range(b)]
+    done = np.zeros((b,), dtype=bool)
+    for i in range(b):
+        if int(first_np[i]) in stop_tokens:
+            done[i] = True
+        else:
+            out[i].append(int(first_np[i]))
+
+    rep_window = np.full((b, max(repetition_context_size, 1)), -1,
+                         dtype=np.int32)
+    rep_window[:, -1] = first_np
+    rep_window = jnp.asarray(rep_window)
+    last = first
+    produced = 1
+    while produced < max_tokens and not done.all():
+        n = min(chunk, max_tokens - produced)
+        key, kc = jax.random.split(key)
+        toks, caches, rep_window, last = _decode_chunk(
+            model, caches, pad_len, last, rep_window, kc,
+            temp=temperature, top_k=top_k, top_p=top_p,
+            rep_penalty=repetition_penalty,
+            rep_context=max(repetition_context_size, 1), chunk=n,
+        )
+        toks_np = np.asarray(toks)          # [n, B]
+        for step in range(toks_np.shape[0]):
+            for i in range(b):
+                if done[i]:
+                    continue
+                tok = int(toks_np[step, i])
+                if tok in stop_tokens:
+                    done[i] = True
+                else:
+                    out[i].append(tok)
+        produced += toks_np.shape[0]
+    return [np.asarray(o, dtype=np.int32) for o in out]
+
+
 def generate_tokens(
     model: LlamaForCausalLM,
     input_ids: np.ndarray,
@@ -117,7 +206,7 @@ def generate_tokens(
     pad_len = jnp.asarray([pad], dtype=jnp.int32)
 
     cache_len = max_cache_len or (bucket + max_tokens)
-    caches = model.model.init_cache(1, max_len=cache_len)
+    caches = model.model.init_cache(1, max_len=cache_len, dtype=lm_dtype(model))
     key = jax.random.PRNGKey(seed)
 
     logits, caches = _prefill(model, caches, pad_len, jnp.asarray(prompt))

@@ -204,6 +204,39 @@ class Model(Module):
                     time.perf_counter() - start,
                 )
 
+    def generate_batch(self, texts: List[str], voice: Optional[str] = None,
+                       temperature: float = 0.6, top_p: float = 0.8,
+                       max_tokens: int = 1200,
+                       repetition_penalty: float = 1.3,
+                       repetition_context_size: int = 20, seed: int = 0,
+                       **kwargs):
+        """Batched synthesis: decode all texts in one jitted loop
+        (HBM-bound weight reads shared across rows — docs/PERF.md), then
+        SNAC-decode each.  Returns one GenerationResult per text."""
+        from mlx_audio_tpu.models.lm.causal import generate_tokens_batch
+
+        start = time.perf_counter()
+        rows = self.prepare_input_ids(list(texts), voice)
+        outs = generate_tokens_batch(
+            self.lm, rows, max_tokens=max_tokens, temperature=temperature,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            repetition_context_size=repetition_context_size,
+            stop_tokens=(STOP_AUDIO,), seed=seed,
+        )
+        elapsed = time.perf_counter() - start
+        results = []
+        for i, (prompt_ids, gen) in enumerate(zip(rows, outs)):
+            tokens = np.concatenate([np.asarray(prompt_ids), gen])
+            code_list = self.parse_output(tokens[None, :])[0]
+            if not code_list:
+                continue
+            audio = decode_audio_from_codes(code_list, self._snac)[0]
+            results.append(make_generation_result(
+                audio, self.config.sample_rate, i, len(tokens),
+                elapsed / len(texts),
+            ))
+        return results
+
     def sanitize(self, weights: dict) -> dict:
         """HF Llama checkpoints map 1:1 under the `lm.` prefix."""
         out = {}

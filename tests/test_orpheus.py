@@ -98,6 +98,53 @@ def test_generate_tokens_loop_stops():
     assert all(0 <= t < 96 for t in toks)
 
 
+def test_generate_tokens_batch_matches_single_greedy():
+    """Batched decode must produce the same greedy tokens per row as the
+    single-prompt path (ragged prompts, per-row stop handling)."""
+    from mlx_audio_tpu.models.lm.causal import generate_tokens_batch
+
+    cfg = LlamaConfig(
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=8, hidden_size=16, intermediate_size=32, rms_norm_eps=1e-5,
+        vocab_size=64, max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    lm = LlamaForCausalLM(cfg)
+    prompts = [np.arange(5), np.arange(3, 12)]
+
+    singles = []
+    for p in prompts:
+        out = []
+        for c in generate_tokens(lm, p, max_tokens=12, temperature=0.0,
+                                 chunk=8):
+            out.extend(c.tolist())
+        singles.append(out)
+
+    batch = generate_tokens_batch(lm, prompts, max_tokens=12, temperature=0.0,
+                                  chunk=8)
+    assert [b.tolist() for b in batch] == singles
+
+
+def test_generate_tokens_batch_bf16_and_stops():
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.models.lm.causal import generate_tokens_batch
+
+    cfg = LlamaConfig(
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=8, hidden_size=16, intermediate_size=32, rms_norm_eps=1e-5,
+        vocab_size=32, max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    lm = LlamaForCausalLM(cfg).astype(jnp.bfloat16)
+    outs = generate_tokens_batch(
+        lm, [np.arange(4), np.arange(6)], max_tokens=20, temperature=0.9,
+        top_k=8, stop_tokens=(7,), chunk=8, seed=2,
+    )
+    assert len(outs) == 2
+    for o in outs:
+        assert len(o) <= 20
+        assert 7 not in o.tolist()
+
+
 def test_generate_tokens_greedy_deterministic():
     cfg = LlamaConfig(
         num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
@@ -135,3 +182,21 @@ def test_repetition_penalty_reduces_repeats():
     # greedy decoding of an untrained model collapses to repeats; the
     # penalty must strictly increase diversity
     assert len(set(pen)) >= len(set(plain))
+
+
+def test_orpheus_generate_batch_plumbing(monkeypatch):
+    """generate_batch: prompt+generated concat, per-row parse, SNAC decode."""
+    import mlx_audio_tpu.models.lm.causal as causal
+
+    m = tiny_model()
+    fake = [
+        np.asarray([AUDIO_MARK] + [CODE_OFFSET + i for i in range(14)]),
+        np.asarray([AUDIO_MARK] + [CODE_OFFSET + i for i in range(7)]),
+    ]
+    monkeypatch.setattr(causal, "generate_tokens_batch",
+                        lambda *a, **k: fake)
+    results = m.generate_batch(["first", "second"], voice="tara")
+    assert len(results) == 2
+    for r in results:
+        assert r.samples > 0
+        assert np.isfinite(r.audio).all()
