@@ -179,6 +179,53 @@ class Model(Module):
                 segment_idx, len(semantic_ids), time.time() - t0,
             )
 
+    def generate_batch(self, texts, gender: str = "male", pitch=1.0,
+                       speed=1.0, temperature: float = 0.8, top_k: int = 50,
+                       top_p: float = 0.95, max_tokens: int = 3000,
+                       seed: int = 0, **kwargs):
+        """Batched control-mode synthesis: one jitted LM decode for all
+        texts (weights read once per step — docs/PERF.md), then per-row
+        BiCodec detokenize.  Returns one GenerationResult per text."""
+        from mlx_audio_tpu.models.lm.causal import generate_tokens_batch
+
+        pitch_level = PITCH_MAP.get(pitch, pitch if isinstance(pitch, str)
+                                    else "moderate")
+        speed_level = SPEED_MAP.get(speed, speed if isinstance(speed, str)
+                                    else "moderate")
+        prompts = [
+            self.tokenizer(
+                self.process_prompt_control(gender, pitch_level, speed_level,
+                                            t),
+                return_tensors="np",
+            ).input_ids[0]
+            for t in texts
+        ]
+        t0 = time.time()
+        outs = generate_tokens_batch(
+            self.lm, prompts, max_tokens=max_tokens, temperature=temperature,
+            top_k=top_k, top_p=top_p,
+            repetition_penalty=kwargs.get("repetition_penalty", 1.3),
+            repetition_context_size=kwargs.get("repetition_context_size", 20),
+            stop_tokens=(self.config.eos_token_id, END_OF_SPEECH), seed=seed,
+        )
+        elapsed = time.time() - t0
+        results = []
+        for i, generated in enumerate(outs):
+            predicts = self.tokenizer.decode(generated.tolist(),
+                                             skip_special_tokens=False)
+            semantic_ids, global_ids = parse_generated_tokens(predicts)
+            if len(semantic_ids) == 0:
+                continue
+            audio = self._audio_tokenizer.detokenize(
+                np.asarray(global_ids, dtype=np.int32)[None],
+                np.asarray(semantic_ids, dtype=np.int32)[None],
+            )
+            results.append(make_generation_result(
+                np.asarray(audio).reshape(-1), self.config.sample_rate,
+                i, len(semantic_ids), elapsed / max(len(texts), 1),
+            ))
+        return results
+
     # -- weights -----------------------------------------------------------
 
     def sanitize(self, weights: dict) -> dict:

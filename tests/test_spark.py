@@ -264,3 +264,24 @@ def test_spark_sanitize_routes_prefixes():
         out["bicodec.prenet.downsample.0.0.de_conv_upsampler.weight_g"].shape
         == (1, 16, 1)
     )
+
+
+def test_spark_generate_batch_control():
+    from mlx_audio_tpu.models.tts.spark.spark import Model, ModelConfig
+
+    cfg = ModelConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=512,
+    )
+    model = Model(cfg, bicodec=BiCodec(TINY_BICODEC),
+                  tokenizer=_FakeTokenizer())
+    results = model.generate_batch(
+        ["hello world", "a second longer sentence"], gender="female",
+        temperature=0.0, max_tokens=8,
+    )
+    assert len(results) == 2
+    for r in results:
+        assert r.sample_rate == 16000
+        assert r.audio.ndim == 1 and r.audio.size > 0
+        assert np.isfinite(r.audio).all()
