@@ -178,6 +178,63 @@ class Model(Module):
                     time.perf_counter() - start,
                 )
 
+    def generate_batch(self, texts, voice: Optional[str] = None,
+                       temperature: float = 0.4, top_p: float = 0.9,
+                       max_tokens: int = 1200,
+                       repetition_penalty: float = 1.1,
+                       repetition_context_size: int = 64, seed: int = 0,
+                       **kwargs):
+        """Batched synthesis: all texts decode in one jitted LM loop
+        (docs/PERF.md), then per-row DAC decode.  One GenerationResult per
+        text; long texts are word-chunked and concatenated."""
+        from mlx_audio_tpu.models.lm.causal import generate_tokens_batch
+
+        tokenizer = self._get_tokenizer()
+        prompt_processor = PromptProcessor(tokenizer)
+        speaker = self.get_speaker(voice, None)
+        eos_id = tokenizer.encode(prompt_processor.special_tokens.eos,
+                                  add_special_tokens=False)
+        start = time.perf_counter()
+
+        rows, owner = [], []
+        for ti, text in enumerate(texts):
+            for prompt in self.chunk_text(text):
+                completion = prompt_processor.get_completion_prompt(prompt,
+                                                                    speaker)
+                rows.append(np.asarray(
+                    tokenizer.encode(completion, add_special_tokens=False)
+                ))
+                owner.append(ti)
+        if not rows:
+            return []
+        outs = generate_tokens_batch(
+            self.lm, rows, max_tokens=max_tokens, temperature=temperature,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            repetition_context_size=repetition_context_size,
+            stop_tokens=tuple(eos_id[-1:]), seed=seed,
+        )
+        elapsed = time.perf_counter() - start
+        results = []
+        for ti in range(len(texts)):
+            segs, n_tok = [], 0
+            for i, gen in enumerate(outs):
+                if owner[i] != ti:
+                    continue
+                codes = prompt_processor.extract_audio_from_tokens(
+                    gen.tolist())
+                if codes and codes[0]:
+                    segs.append(np.asarray(self.audio_processor.audio_codec.decode(
+                        np.asarray(codes)[None]
+                    ))[0, 0])
+                    n_tok += len(gen)
+            if not segs:
+                continue
+            results.append(make_generation_result(
+                np.concatenate(segs), self.config.sample_rate, ti, n_tok,
+                elapsed / len(texts),
+            ))
+        return results
+
     def sanitize(self, weights: dict) -> dict:
         out = {}
         for k, v in weights.items():

@@ -129,3 +129,13 @@ def test_loudness_normalization():
     out = process_audio_array(quiet, 24000, target_loudness=-18.0)
     rms_db = 20 * np.log10(np.sqrt((out ** 2).mean()))
     assert -24 < rms_db < -12
+
+
+def test_generate_batch_end_to_end():
+    m = tiny_model()
+    results = m.generate_batch(["hi there", "another line"], voice=None,
+                               max_tokens=64, temperature=0.6, seed=0)
+    assert isinstance(results, list)
+    for r in results:
+        assert np.isfinite(r.audio).all()
+        assert r.sample_rate == 24000
