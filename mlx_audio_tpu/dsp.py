@@ -159,13 +159,24 @@ def _center_pad(x: jax.Array, padding: int, pad_mode: str) -> jax.Array:
 
 
 def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
-    """[..., T] -> [..., num_frames, frame_length] via gather."""
+    """[..., T] -> [..., num_frames, frame_length]."""
     t = x.shape[-1]
     num_frames = 1 + (t - frame_length) // hop
     if num_frames <= 0:
         raise ValueError(
             f"Input is too short (length={t}) for frame_length={frame_length} "
             f"with hop_length={hop}."
+        )
+    if frame_length % hop == 0:
+        # gather-free framing: hop-strided reshape + frame_length/hop
+        # contiguous row slices (overlapping-window gathers measured ~3% of
+        # Kokoro synthesis, docs/PERF.md)
+        k = frame_length // hop
+        xr = x[..., : (num_frames - 1 + k) * hop].reshape(
+            *x.shape[:-1], num_frames - 1 + k, hop
+        )
+        return jnp.concatenate(
+            [xr[..., j:j + num_frames, :] for j in range(k)], axis=-1
         )
     idx = np.arange(num_frames)[:, None] * hop + np.arange(frame_length)[None, :]
     return jnp.take(x, jnp.asarray(idx), axis=-1)

@@ -202,8 +202,53 @@ def unwrap(p: jax.Array, axis: int = -1, period: float = 2 * math.pi) -> jax.Arr
     return p + jnp.cumsum(padded, axis=axis)
 
 
+def _downsample_linear_int_last(x: jax.Array, s: int) -> jax.Array:
+    """interpolate(·, scale_factor=1/s, mode='linear') along the LAST axis
+    for integer s with L % s == 0, as reshape+slice (no gather).
+
+    Sample position for output i is i*s + 0.5*s - 0.5, i.e. a fixed offset
+    inside each length-s block — identical arithmetic to interpolate1d.
+    """
+    *lead, l = x.shape
+    f = l // s
+    lo = (s - 1) // 2
+    frac = (0.5 * s - 0.5) - lo          # 0.5 for even s, 0.0 for odd
+    xr = x.reshape(*lead, f, s)
+    if frac == 0.0:
+        return xr[..., lo]
+    return (1.0 - frac) * xr[..., lo] + frac * xr[..., lo + 1]
+
+
+def _upsample_linear_int_last(x: jax.Array, s: int) -> jax.Array:
+    """interpolate(·, scale_factor=s, mode='linear') along the LAST axis for
+    integer s, as broadcast-lerp (no gather).
+
+    Output position m*s + r samples source position m + (r+0.5)/s - 0.5:
+    a lerp between x[m-1]/x[m] (first half of the block) or x[m]/x[m+1]
+    (second half), with edge-clamped neighbours — identical arithmetic
+    (including the boundary behavior) to interpolate1d.
+    """
+    *lead, f = x.shape
+    r = np.arange(s)
+    pos = (r + 0.5) / s - 0.5            # [s] fractional source offset
+    is_neg = pos < 0
+    frac = jnp.asarray(np.where(is_neg, pos + 1.0, pos), dtype=x.dtype)
+    x_m1 = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    x_p1 = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+    neg = jnp.asarray(is_neg)
+    lo_val = jnp.where(neg, x_m1[..., None], x[..., None])     # [..., f, s]
+    hi_val = jnp.where(neg, x[..., None], x_p1[..., None])
+    y = lo_val * (1.0 - frac) + hi_val * frac
+    return y.reshape(*lead, f * s)
+
+
 class SineGen(Module):
-    """Harmonic sine source (reference istftnet.py:531-623), NLC."""
+    """Harmonic sine source (reference istftnet.py:531-623).
+
+    Internally runs [B, harmonics, L] — the audio-rate math vectorizes over
+    L on the minor dim (harmonics-last wasted 119/128 lanes and the phase
+    up/downsampling was gather-based; measured ~10% of synthesis time,
+    docs/PERF.md)."""
 
     def __init__(self, samp_rate: int, upsample_scale: int, harmonic_num: int = 0,
                  sine_amp: float = 0.1, noise_std: float = 0.003,
@@ -219,31 +264,47 @@ class SineGen(Module):
     def _f02uv(self, f0):
         return (f0 > self.voiced_threshold).astype(jnp.float32)
 
-    def _f02sine(self, f0_values, key):
-        # f0_values: [B, L, dim].  Phase accumulates in f32 — a bf16 cumsum
-        # over 100k+ samples destroys the phase entirely.
-        rad = (f0_values.astype(jnp.float32) / self.sampling_rate) % 1.0
-        rand_ini = jax.random.normal(key, (f0_values.shape[0], f0_values.shape[2]))
+    def _f02sine_hl(self, fn, key):
+        # fn: [B, H, L].  Phase accumulates in f32 — a bf16 cumsum over
+        # 100k+ samples destroys the phase entirely.
+        s = self.upsample_scale
+        rad = (fn.astype(jnp.float32) / self.sampling_rate) % 1.0
+        rand_ini = jax.random.normal(key, (fn.shape[0], fn.shape[1]))
         rand_ini = rand_ini.at[:, 0].set(0.0)
-        rad = rad.at[:, 0, :].add(rand_ini)
+        rad = rad.at[:, :, 0].add(rand_ini)
         # downsample rad -> frame rate, integrate, upsample phase
-        rad_ds = interpolate(rad, scale_factor=1 / self.upsample_scale, mode="linear")
-        phase = jnp.cumsum(rad_ds, axis=1) * 2 * jnp.pi
-        phase_us = interpolate(
-            phase * self.upsample_scale, scale_factor=self.upsample_scale,
-            mode="linear",
-        )
-        return jnp.sin(phase_us).astype(f0_values.dtype)
+        if rad.shape[-1] % s == 0:
+            rad_ds = _downsample_linear_int_last(rad, s)
+            phase = jnp.cumsum(rad_ds, axis=-1) * 2 * jnp.pi
+            phase_us = _upsample_linear_int_last(phase * s, s)
+        else:  # non-integer-aligned lengths: gather-based fallback
+            rad_ds = jnp.swapaxes(
+                interpolate(jnp.swapaxes(rad, 1, 2), scale_factor=1 / s,
+                            mode="linear"), 1, 2)
+            phase = jnp.cumsum(rad_ds, axis=-1) * 2 * jnp.pi
+            phase_us = jnp.swapaxes(
+                interpolate(jnp.swapaxes(phase * s, 1, 2), scale_factor=s,
+                            mode="linear"), 1, 2)
+        return jnp.sin(phase_us).astype(fn.dtype)
 
     def __call__(self, f0: jax.Array, key: jax.Array):
-        """f0: [B, L, 1] at audio rate -> (sine_waves [B, L, dim], uv, noise)."""
+        """f0: [B, L, 1] at audio rate ->
+        (sine_waves [B, H, L], uv [B, L, 1], noise [B, H, L])."""
         k1, k2 = jax.random.split(key)
-        fn = f0 * jnp.arange(1, self.harmonic_num + 2)[None, None, :]
-        sine_waves = self._f02sine(fn, k1) * self.sine_amp
-        uv = self._f02uv(f0)
-        noise_amp = uv * self.noise_std + (1 - uv) * self.sine_amp / 3
-        noise = noise_amp * jax.random.normal(k2, sine_waves.shape)
-        sine_waves = sine_waves * uv + noise
+        harmonics = jnp.arange(1, self.harmonic_num + 2)[None, :, None]
+        fn = f0[..., 0][:, None, :] * harmonics          # [B, H, L]
+        sine_waves = self._f02sine_hl(fn, k1) * self.sine_amp
+        uv = self._f02uv(f0)                             # [B, L, 1]
+        uv_hl = uv[..., 0][:, None, :]
+        noise_amp = uv_hl * self.noise_std + (1 - uv_hl) * self.sine_amp / 3
+        # draw in the historical [B, L, H] layout: keeps the draws identical
+        # to the harmonics-last implementation AND prefix-stable across
+        # frame buckets (bucketing-exactness contract)
+        b, h, l = sine_waves.shape
+        noise = noise_amp * jnp.moveaxis(
+            jax.random.normal(k2, (b, l, h)), -1, 1
+        )
+        sine_waves = sine_waves * uv_hl + noise
         return sine_waves, uv, noise
 
 
@@ -261,8 +322,11 @@ class SourceModuleHnNSF(Module):
 
     def __call__(self, x: jax.Array, key: jax.Array):
         k1, k2 = jax.random.split(key)
-        sine_wavs, uv, _ = self.l_sin_gen(x, k1)
-        sine_merge = jnp.tanh(self.l_linear(sine_wavs))
+        sine_wavs, uv, _ = self.l_sin_gen(x, k1)          # [B, H, L]
+        # harmonic mix: contraction over H (not the 128-lane minor dim)
+        mixed = jnp.einsum("bhl,h->bl", sine_wavs,
+                           self.l_linear.weight[0]) + self.l_linear.bias[0]
+        sine_merge = jnp.tanh(mixed)[..., None]           # [B, L, 1]
         noise = jax.random.normal(k2, uv.shape) * self.sine_amp / 3
         return sine_merge, noise, uv
 
@@ -322,9 +386,12 @@ class Generator(Module):
         """x: [B, L, C] (L = 2 * asr frames), f0: [B, L] coarse F0 curve,
         lengths: valid L per row (for bucketed execution)."""
         b, l_in, _ = x.shape
-        # nearest-upsample F0 to audio rate (reference f0_upsamp, :770)
-        f0_up = interpolate(f0[..., None], scale_factor=self.total_upsample,
-                            mode="nearest")
+        # nearest-upsample F0 to audio rate (reference f0_upsamp, :770):
+        # integer-factor nearest == repeat each sample (no gather)
+        up = self.total_upsample
+        f0_up = jnp.broadcast_to(
+            f0[:, :, None], (b, f0.shape[1], up)
+        ).reshape(b, f0.shape[1] * up, 1)
         har_source, _, _ = self.m_source(f0_up, key)   # [B, L*up, 1]
         if lengths is not None:
             har_source = apply_mask(

@@ -229,6 +229,23 @@ def conv1d(
         # mixed f32-input/bf16-weight graphs run in f32
         dt = jnp.promote_types(x.dtype, weight.dtype)
         x, weight = x.astype(dt), weight.astype(dt)
+    k = weight.shape[0]
+    span = (k - 1) * dilation
+    if (stride == 1 and groups == 1 and k > 1 and k % 2 == 1
+            and padding == (span // 2, span // 2)
+            and x.ndim == 3 and x.shape[1] >= 2048
+            and weight.shape[1] % 128 == 0 and weight.shape[2] % 128 == 0
+            and k * weight.shape[1] * weight.shape[2] * x.dtype.itemsize
+            <= 8 * 1024 * 1024):
+        # long 'same' dilated convs run as K shifted MXU matmuls — XLA's
+        # conv emitter measured ~23% MXU on these (docs/PERF.md)
+        from mlx_audio_tpu.nn.pallas_ops import (
+            dilated_conv1d_pallas,
+            use_pallas_conv,
+        )
+
+        if use_pallas_conv():
+            return dilated_conv1d_pallas(x, weight, dilation)
     return jax.lax.conv_general_dilated(
         x,
         weight,

@@ -194,3 +194,93 @@ def use_pallas_quant() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# ---------------------------------------------------------------------------
+# Dilated conv1d as K shifted MXU matmuls
+# ---------------------------------------------------------------------------
+#
+# The ISTFTNet/BigVGAN-style resblock convs ([B, ~156k, 128] activations,
+# kernels 3/7/11, dilations 1/3/5) are 70%+ of Kokoro synthesis time; XLA's
+# TPU conv emitter runs them at ~23% MXU (measured, docs/PERF.md).  A
+# dilated conv with C-channel input is exactly sum_k x[l + k*d] @ w[k] —
+# K [TILE_L, C] x [C, Cout] matmuls with a 128-multiple contraction, which
+# the MXU runs near peak.  The kernel streams x tiles HBM->VMEM by hand
+# (tiles overlap by (K-1)*d, which BlockSpec partitioning cannot express)
+# and keeps all K weight matrices resident in VMEM.
+
+
+def _dilated_conv_kernel(x_hbm, w_ref, out_ref, x_scr, sem, *,
+                         kernel_size, dilation, tile_l, window):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_l, window), :], x_scr, sem,
+    )
+    dma.start()
+    dma.wait()
+    c_out = out_ref.shape[-1]
+    acc = jnp.zeros((tile_l, c_out), dtype=jnp.float32)
+    for k in range(kernel_size):
+        xk = x_scr[pl.ds(k * dilation, tile_l), :]
+        acc += jnp.dot(xk, w_ref[k], preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "interpret",
+                                             "tile_l"))
+def dilated_conv1d_pallas(x: jax.Array, w: jax.Array, dilation: int = 1,
+                          interpret: bool = False,
+                          tile_l: int = 2048) -> jax.Array:
+    """'Same'-padded dilated conv, NLC: x [B, L, C] * w [K, C, Cout] ->
+    [B, L, Cout].  K must be odd; C a multiple of 128 (MXU contraction)."""
+    b, l, c = x.shape
+    k, _, c_out = w.shape
+    span = (k - 1) * dilation
+    pad = span // 2
+    n_tiles = -(-l // tile_l)
+    # DMA slices must be sublane(8)-aligned: round the halo window up
+    window = tile_l + (-(-span // 8) * 8)
+    # host-side halo pad: pad lo for 'same'; pad hi so the last tile's DMA
+    # window stays in bounds
+    x_p = jnp.pad(
+        x, ((0, 0), (pad, window - tile_l - pad + n_tiles * tile_l - l),
+            (0, 0)),
+    )
+    kern = functools.partial(
+        _dilated_conv_kernel, kernel_size=k, dilation=dilation, tile_l=tile_l,
+        window=window,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((k, c, c_out), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_l, c_out), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_l, c_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((window, c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x_p, w)
+    return out[:, :l]
+
+
+def use_pallas_conv() -> bool:
+    """Opt-in only (MLX_AUDIO_TPU_PALLAS_CONV=1): measured 33 TFLOP/s vs
+    XLA's ~45-52 on the ISTFTNet resblock shapes — the unaligned shifted
+    VMEM reads cost ~2 VPU passes per tap (docs/PERF.md).  Kept as the
+    starting point for a future aligned-phase variant."""
+    if not _HAS_PALLAS or os.environ.get("MLX_AUDIO_TPU_NO_PALLAS"):
+        return False
+    if not os.environ.get("MLX_AUDIO_TPU_PALLAS_CONV"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

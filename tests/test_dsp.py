@@ -147,3 +147,48 @@ def test_windows_match_reference_formulas():
         w = dsp._window_np(name, 128)
         assert w.shape == (128,)
         assert abs(w[0]) < 0.1 or name == "hamming"
+
+
+def test_frame_signal_slice_path_matches_gather():
+    """frame_length % hop == 0 uses the slice path; must equal the gather."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mlx_audio_tpu.dsp import frame_signal
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 1037)), dtype=jnp.float32)
+    out = frame_signal(x, 20, 5)
+    idx = np.arange(1 + (1037 - 20) // 5)[:, None] * 5 + np.arange(20)[None, :]
+    ref = np.asarray(x)[:, idx]
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_sinegen_resample_helpers_match_interpolate():
+    """The gather-free integer-factor linear resamplers must be bit-equal
+    to nn.interpolate (same arithmetic, different lowering)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn.interpolate import interpolate
+    from mlx_audio_tpu.models.tts.kokoro.istftnet import (
+        _downsample_linear_int_last,
+        _upsample_linear_int_last,
+    )
+
+    rng = np.random.default_rng(1)
+    for s in (2, 3, 5, 300, 600):
+        f = 7
+        x = jnp.asarray(rng.standard_normal((2, 3, f * s)), dtype=jnp.float32)
+        ref = jnp.swapaxes(
+            interpolate(jnp.swapaxes(x, 1, 2), scale_factor=1 / s,
+                        mode="linear"), 1, 2)
+        out = _downsample_linear_int_last(x, s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=0)
+
+        xf = jnp.asarray(rng.standard_normal((2, 3, f)), dtype=jnp.float32)
+        ref_u = jnp.swapaxes(
+            interpolate(jnp.swapaxes(xf, 1, 2), scale_factor=s,
+                        mode="linear"), 1, 2)
+        out_u = _upsample_linear_int_last(xf, s)
+        np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref_u),
+                                   rtol=1e-6, atol=1e-6)

@@ -74,3 +74,22 @@ def test_quantized_matmul_bf16_activations():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(not _HAS_PALLAS, reason="pallas unavailable")
+@pytest.mark.parametrize("k,dilation", [(3, 1), (7, 3), (11, 5)])
+def test_dilated_conv_pallas_matches_xla(k, dilation):
+    """Shifted-matmul dilated conv == conv_general_dilated ('same' pad)."""
+    from mlx_audio_tpu.nn.layers import conv1d, get_padding
+    from mlx_audio_tpu.nn.pallas_ops import dilated_conv1d_pallas
+
+    rng = np.random.default_rng(0)
+    b, l, c, c_out = 2, 1111, 128, 128   # L not a tile multiple on purpose
+    x = jnp.asarray(rng.standard_normal((b, l, c)) * 0.3, dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, c, c_out)) * 0.1,
+                    dtype=jnp.float32)
+    ref = conv1d(x, w, padding=get_padding(k, dilation), dilation=dilation)
+    out = dilated_conv1d_pallas(x, w, dilation, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
