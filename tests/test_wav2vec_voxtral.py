@@ -86,3 +86,37 @@ def test_voxtral_audio_embed_splice():
     # non-audio positions keep the text embedding
     text_emb = np.asarray(model.language_model.embed_tokens(jnp.asarray([1])))
     np.testing.assert_allclose(np.asarray(embeds[0, 0]), text_emb[0], atol=1e-5)
+
+
+def test_feature_extractor_padding_and_mask():
+    """HF-compatible preprocessing: pad/truncate/normalize/attention-mask
+    (reference wav2vec feature_extractor.py:90)."""
+    from mlx_audio_tpu.models.stt.wav2vec import Wav2Vec2FeatureExtractor
+
+    fe = Wav2Vec2FeatureExtractor(do_normalize=True,
+                                  return_attention_mask=True)
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(1000).astype(np.float32) * 3 + 1
+    b = rng.standard_normal(600).astype(np.float32)
+
+    out = fe([a, b], padding=True)
+    assert out.input_values.shape == (2, 1000)
+    assert out.attention_mask.shape == (2, 1000)
+    assert out.attention_mask[1, 600:].sum() == 0
+    # normalization over the VALID region only
+    assert abs(out.input_values[0].mean()) < 1e-5
+    valid = out.input_values[1][:600]
+    assert abs(valid.mean()) < 1e-5 and abs(valid.std() - 1) < 1e-3
+    # padded region holds the padding value
+    assert np.all(out.input_values[1, 600:] == 0.0)
+
+    out2 = fe(a, padding="max_length", max_length=1200, truncation=True)
+    assert out2.input_values.shape == (1, 1200)
+    out3 = fe([a], padding="max_length", max_length=512, truncation=True)
+    assert out3.input_values.shape == (1, 512)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fe([a, b])  # ragged without padding
+    with _pytest.raises(ValueError):
+        fe(a, sampling_rate=8000)
