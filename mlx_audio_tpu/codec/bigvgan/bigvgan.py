@@ -91,6 +91,9 @@ class LowPassFilter1d(Module):
                 mode=self.padding_mode,
             )
         w = jnp.broadcast_to(self.filter[:, None, None], (len(self.filter), 1, c))
+        if x.dtype != w.dtype:
+            dt = jnp.promote_types(x.dtype, w.dtype)
+            x, w = x.astype(dt), w.astype(dt)
         return jax.lax.conv_general_dilated(
             x, w, window_strides=(self.stride,), padding=((0, 0),),
             dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c,
@@ -116,6 +119,9 @@ class UpSample1d(Module):
         # depthwise transposed conv: input-dilated conv with flipped kernel
         w = jnp.broadcast_to(self.filter[::-1][:, None, None],
                              (self.kernel_size, 1, c))
+        if x.dtype != w.dtype:
+            dt = jnp.promote_types(x.dtype, w.dtype)
+            x, w = x.astype(dt), w.astype(dt)
         y = self.ratio * jax.lax.conv_general_dilated(
             x, w, window_strides=(1,),
             padding=((self.kernel_size - 1, self.kernel_size - 1),),

@@ -186,8 +186,12 @@ class Conv2dLayer(Module):
         self.bias = _uniform((out_ch,), scale)
 
     def __call__(self, x):
+        w = self.weight
+        if x.dtype != w.dtype:
+            dt = jnp.promote_types(x.dtype, w.dtype)
+            x, w = x.astype(dt), w.astype(dt)
         y = jax.lax.conv_general_dilated(
-            x, self.weight, window_strides=(self.stride, self.stride),
+            x, w, window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
