@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlx_audio_tpu.models.base import BaseModelArgs
+from mlx_audio_tpu.nn.layers import promote_conv_operands
 from mlx_audio_tpu.nn import (
     Module,
     WNConv1d,
@@ -91,9 +92,7 @@ class LowPassFilter1d(Module):
                 mode=self.padding_mode,
             )
         w = jnp.broadcast_to(self.filter[:, None, None], (len(self.filter), 1, c))
-        if x.dtype != w.dtype:
-            dt = jnp.promote_types(x.dtype, w.dtype)
-            x, w = x.astype(dt), w.astype(dt)
+        x, w = promote_conv_operands(x, w)
         return jax.lax.conv_general_dilated(
             x, w, window_strides=(self.stride,), padding=((0, 0),),
             dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c,
@@ -119,9 +118,7 @@ class UpSample1d(Module):
         # depthwise transposed conv: input-dilated conv with flipped kernel
         w = jnp.broadcast_to(self.filter[::-1][:, None, None],
                              (self.kernel_size, 1, c))
-        if x.dtype != w.dtype:
-            dt = jnp.promote_types(x.dtype, w.dtype)
-            x, w = x.astype(dt), w.astype(dt)
+        x, w = promote_conv_operands(x, w)
         y = self.ratio * jax.lax.conv_general_dilated(
             x, w, window_strides=(1,),
             padding=((self.kernel_size - 1, self.kernel_size - 1),),
@@ -259,6 +256,9 @@ class BigVGAN(Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         """mel [B, num_mels, T] (NCL, reference contract) -> [B, T*up, 1]."""
+        return _bigvgan_forward_jit(self, x)
+
+    def _forward_impl(self, x: jax.Array) -> jax.Array:
         if x.shape[1] == self.config.num_mels and x.shape[-1] != self.config.num_mels:
             x = jnp.swapaxes(x, 1, 2)  # NCL -> NLC
         x = self.conv_pre(x)
@@ -285,3 +285,11 @@ class BigVGAN(Module):
                 v = v.reshape(-1)
             out[k] = v
         return out
+
+
+# jitted entry point (model as pytree argument; see docs/PERF.md)
+
+
+@jax.jit
+def _bigvgan_forward_jit(model, x):
+    return model._forward_impl(x)

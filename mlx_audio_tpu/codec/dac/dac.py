@@ -238,12 +238,18 @@ class DAC(Module):
 
     def encode(self, audio: jax.Array, n_quantizers: Optional[int] = None):
         """[B, 1, T] -> (z [B, T', D], codes [B, nq, T'], latents)."""
+        return _dac_encode_jit(self, audio, n_quantizers)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        """z [B, T', D] -> audio [B, 1, T] (NCL, as reference)."""
+        return _dac_decode_jit(self, z)
+
+    def _encode_impl(self, audio: jax.Array, n_quantizers: Optional[int] = None):
         audio = self.preprocess(audio)
         z = self.encoder(audio)
         return self.quantizer(z, n_quantizers)
 
-    def decode(self, z: jax.Array) -> jax.Array:
-        """z [B, T', D] -> audio [B, 1, T] (NCL, as reference)."""
+    def _decode_impl(self, z: jax.Array) -> jax.Array:
         audio = self.decoder(z)
         return jnp.swapaxes(audio, 1, 2)
 
@@ -271,3 +277,17 @@ class DAC(Module):
                 v = v.transpose(1, 2, 0)
             out[k] = v
         return out
+
+
+# jitted entry points (codec as pytree argument; see docs/PERF.md)
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("n_quantizers",))
+def _dac_encode_jit(codec, audio, n_quantizers=None):
+    return codec._encode_impl(audio, n_quantizers)
+
+
+@jax.jit
+def _dac_decode_jit(codec, z):
+    return codec._decode_impl(z)

@@ -354,6 +354,9 @@ class Encodec(Module):
         return max(1, int((1.0 - self.config.overlap) * self.chunk_length))
 
     def _encode_frame(self, x, bandwidth, padding_mask):
+        return _encodec_encode_frame_jit(self, x, bandwidth, padding_mask)
+
+    def _encode_frame_impl(self, x, bandwidth, padding_mask):
         scale = None
         if self.config.normalize:
             x = x * padding_mask[..., None]
@@ -410,6 +413,9 @@ class Encodec(Module):
         return out / sum_w
 
     def _decode_frame(self, codes, scale=None):
+        return _encodec_decode_frame_jit(self, codes, scale)
+
+    def _decode_frame_impl(self, codes, scale=None):
         emb = self.quantizer.decode(codes)
         out = self.decoder(emb)
         if scale is not None:
@@ -442,3 +448,18 @@ class Encodec(Module):
                 v = v.transpose(1, 2, 0)
             out[k] = v
         return out
+
+
+# jitted per-chunk graphs (codec as pytree argument; the host-side chunk
+# loop stays in encode/decode — see docs/PERF.md)
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("bandwidth",))
+def _encodec_encode_frame_jit(codec, x, bandwidth, padding_mask):
+    return codec._encode_frame_impl(x, bandwidth, padding_mask)
+
+
+@jax.jit
+def _encodec_decode_frame_jit(codec, codes, scale):
+    return codec._decode_frame_impl(codes, scale)

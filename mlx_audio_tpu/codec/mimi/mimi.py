@@ -118,10 +118,19 @@ class Mimi(Module):
     def sample_rate(self) -> float:
         return self.cfg.sample_rate
 
-    # -- batch paths (pure; wrap in jax.jit at call sites) -----------------
+    # -- batch paths (jitted with the codec as a pytree argument: calling
+    # the pure bodies eagerly re-traces with the weights baked in as
+    # constants — measured seconds per call over the device tunnel) -------
 
     def encode(self, audio: jax.Array) -> jax.Array:
         """[B, 1, T] (or [B, T, 1] NLC) -> codes [B, nq, frames]."""
+        return _encode_jit(self, audio)
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        """codes [B, nq, frames] -> audio [B, 1, frames*1920] (NCL, as ref)."""
+        return _decode_jit(self, codes)
+
+    def _encode_impl(self, audio: jax.Array) -> jax.Array:
         if audio.shape[1] == self.cfg.channels and audio.ndim == 3 and audio.shape[1] < audio.shape[2]:
             audio = jnp.swapaxes(audio, 1, 2)  # NCL -> NLC
         x = self.encoder(audio)
@@ -129,8 +138,7 @@ class Mimi(Module):
         x = self.downsample(x)
         return self.quantizer.encode(x)
 
-    def decode(self, codes: jax.Array) -> jax.Array:
-        """codes [B, nq, frames] -> audio [B, 1, frames*1920] (NCL, as ref)."""
+    def _decode_impl(self, codes: jax.Array) -> jax.Array:
         x = self.quantizer.decode(codes)
         x = self.upsample(x)
         x = self.decoder_transformer(x)[0]
@@ -171,23 +179,16 @@ class Mimi(Module):
                       state: Optional[MimiState] = None) -> jax.Array:
         """Streaming decode of [B, nq, T] via lax.scan -> audio [B, 1, T*1920]
         (replaces the reference's Python frame loop, mimi.py:302-306)."""
-        b, nq, t = codes.shape
         if state is None:
-            state = self.init_state(b)
-
-        def step_fn(carry, frame_codes):
-            audio, carry = self.decode_step(carry, frame_codes[..., None])
-            return carry, audio
-
-        frames = jnp.moveaxis(codes, -1, 0)  # [T, B, nq]
-        _, audio = jax.lax.scan(step_fn, state, frames)
-        # audio: [T, B, spf, 1] -> [B, 1, T*spf]
-        audio = jnp.moveaxis(audio[..., 0], 0, 1).reshape(b, -1)
-        return audio[:, None, :]
+            state = self.init_state(codes.shape[0])
+        return self.decode_frames_stateful(codes, state)[0]
 
     def decode_frames_stateful(self, codes: jax.Array, state: MimiState):
         """Like decode_frames, but takes and returns the streaming state so
         successive chunks continue one stream (CSM streaming yields)."""
+        return _decode_frames_stateful_jit(self, codes, state)
+
+    def _decode_frames_stateful_impl(self, codes: jax.Array, state: MimiState):
         b, nq, t = codes.shape
 
         def step_fn(carry, frame_codes):
@@ -260,3 +261,23 @@ def sanitize_mimi(weights: dict) -> dict:
                 v = v.transpose(2, 1, 0)
         out[k] = v
     return out
+
+
+# -- jitted entry points (codec passed as a pytree argument so weights are
+# traced inputs, not baked constants; cached across calls) -----------------
+
+
+@jax.jit
+def _encode_jit(codec: Mimi, audio: jax.Array) -> jax.Array:
+    return codec._encode_impl(audio)
+
+
+@jax.jit
+def _decode_jit(codec: Mimi, codes: jax.Array) -> jax.Array:
+    return codec._decode_impl(codes)
+
+
+@jax.jit
+def _decode_frames_stateful_jit(codec: Mimi, codes: jax.Array,
+                                state: MimiState):
+    return codec._decode_frames_stateful_impl(codes, state)

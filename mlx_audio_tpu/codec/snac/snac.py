@@ -320,12 +320,18 @@ class SNAC(Module):
         return audio
 
     def encode(self, audio: jax.Array) -> List[jax.Array]:
+        return _snac_encode_jit(self, audio)
+
+    def decode(self, codes: List[jax.Array], key=None) -> jax.Array:
+        return _snac_decode_jit(self, codes, key)
+
+    def _encode_impl(self, audio: jax.Array) -> List[jax.Array]:
         audio = self.preprocess(audio)
         z = self.encoder(audio)
         _, codes = self.quantizer(z)
         return codes
 
-    def decode(self, codes: List[jax.Array], key=None) -> jax.Array:
+    def _decode_impl(self, codes: List[jax.Array], key=None) -> jax.Array:
         z_q = self.quantizer.from_codes(codes)
         audio = self.decoder(z_q, key)
         return jnp.swapaxes(audio, 1, 2)  # [B, 1, T] NCL contract
@@ -348,3 +354,18 @@ class SNAC(Module):
                 v = v.transpose(1, 2, 0)
             out[k] = v
         return out
+
+
+# jitted entry points: the codec rides along as a pytree argument, so its
+# weights are traced inputs (eager calls re-trace with weights baked as
+# constants — seconds per call over the device tunnel; docs/PERF.md)
+
+
+@jax.jit
+def _snac_encode_jit(codec, audio):
+    return codec._encode_impl(audio)
+
+
+@jax.jit
+def _snac_decode_jit(codec, codes, key):
+    return codec._decode_impl(codes, key)

@@ -251,9 +251,23 @@ class Vocos(Module):
         return self.decode(features, **kwargs)
 
     def decode(self, features: jax.Array, **kwargs) -> jax.Array:
+        if not kwargs:
+            return _vocos_decode_jit(self, features)
         x = self.backbone(features, **kwargs)
+        return self.head(x)
+
+    def _decode_impl(self, features: jax.Array) -> jax.Array:
+        x = self.backbone(features)
         return self.head(x)
 
     def decode_from_codes(self, codes: jax.Array, **kwargs) -> jax.Array:
         features = self.feature_extractor.get_features_from_codes(codes)
         return self.decode(features, **kwargs)
+
+
+# jitted entry point (model as pytree argument; see docs/PERF.md)
+
+
+@jax.jit
+def _vocos_decode_jit(model, features):
+    return model._decode_impl(features)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlx_audio_tpu.nn import BatchNorm, Conv1d, LayerNorm, Linear, Module
-from mlx_audio_tpu.nn.layers import _uniform
+from mlx_audio_tpu.nn.layers import _uniform, promote_conv_operands
 
 
 @dataclass
@@ -186,10 +186,7 @@ class Conv2dLayer(Module):
         self.bias = _uniform((out_ch,), scale)
 
     def __call__(self, x):
-        w = self.weight
-        if x.dtype != w.dtype:
-            dt = jnp.promote_types(x.dtype, w.dtype)
-            x, w = x.astype(dt), w.astype(dt)
+        x, w = promote_conv_operands(x, self.weight)
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),

@@ -68,7 +68,7 @@ class Wav2Vec2FeatureExtractor:
             isinstance(raw_speech, (list, tuple))
             and raw_speech
             and isinstance(raw_speech[0], (np.ndarray, list, tuple))
-        )
+        ) or (isinstance(raw_speech, np.ndarray) and raw_speech.ndim > 1)
         if not is_batched:
             raw_speech = [raw_speech]
         speech = [np.asarray(s, dtype=np.float32).reshape(-1)
@@ -89,6 +89,9 @@ class Wav2Vec2FeatureExtractor:
         if target is not None:
             if pad_to_multiple_of:
                 target = -(-target // pad_to_multiple_of) * pad_to_multiple_of
+            # without truncation a longer input must not produce a negative
+            # pad width — pad the batch out to the longest instead
+            target = max(target, max(lengths))
             speech = [
                 np.pad(s, (0, target - len(s)),
                        constant_values=self.padding_value)

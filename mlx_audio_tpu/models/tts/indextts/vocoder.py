@@ -66,6 +66,9 @@ class BigVGANConditioning(BigVGAN):
     def __call__(self, latents: jax.Array, mel_refer: jax.Array) -> jax.Array:
         """(GPT latents [B, T, gpt_dim], ref mel [B, Tr, num_mels]) ->
         audio [B, samples] (reference bigvgan.py:48-80)."""
+        return _vocoder_forward_jit(self, latents, mel_refer)
+
+    def _forward_impl(self, latents: jax.Array, mel_refer: jax.Array) -> jax.Array:
         speaker_embedding = self.speaker_encoder(mel_refer)  # [B, 1, spk]
         x = self.conv_pre(latents) + self.cond_layer(speaker_embedding)
         for step in range(self.num_upsamples):
@@ -84,3 +87,12 @@ class BigVGANConditioning(BigVGAN):
         else:
             x = jnp.clip(x, -1.0, 1.0)
         return x[..., 0]
+
+
+# jitted entry point (model as pytree argument; see docs/PERF.md)
+import jax as _jax
+
+
+@_jax.jit
+def _vocoder_forward_jit(model, latents, mel_refer):
+    return model._forward_impl(latents, mel_refer)

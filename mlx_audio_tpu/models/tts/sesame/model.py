@@ -122,13 +122,11 @@ class SesameModel(Module):
         return frame, caches
 
     def lm_dtype(self):
-        """Activation/cache dtype of the LM: the first floating leaf of the
-        backbone (robust to quantized modules, whose `weight` is uint8)."""
-        for leaf in jax.tree_util.tree_leaves(self.backbone):
-            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
-                                                         jnp.floating):
-                return leaf.dtype
-        return jnp.float32
+        """Activation/cache dtype of the backbone LM (robust to quantized
+        modules, whose `weight` is uint8)."""
+        from mlx_audio_tpu.models.lm.causal import lm_dtype
+
+        return lm_dtype(self.backbone)
 
     def _depth_decode(self, last_h: jax.Array, c0: jax.Array, key: jax.Array,
                       temp: float, top_k: int) -> jax.Array:
@@ -415,7 +413,12 @@ class Model(Module):
 
         b = len(prompts)
         nc1 = self.audio_num_codebooks + 1
-        bucket = _prompt_bucket(max(p.shape[0] for p, _ in prompts))
+        max_seq_len = (self.model.backbone_cfg.max_position_embeddings
+                       - max_frames)
+        longest = max(p.shape[0] for p, _ in prompts)
+        if longest >= max_seq_len:
+            raise ValueError(f"Inputs too long, must be below {max_seq_len}")
+        bucket = _prompt_bucket(longest)
         tokens = np.zeros((b, bucket, nc1), dtype=np.int32)
         mask = np.zeros((b, bucket, nc1), dtype=bool)
         pad = np.zeros((b,), dtype=np.int32)

@@ -233,6 +233,9 @@ class BiCodec(Module):
     def tokenize(self, feat: jax.Array, ref_wav: jax.Array):
         """(wav2vec2 feat [B, T, 1024], ref wav [B, S]) ->
         (semantic_tokens [B, T'], global_tokens [B, 32])."""
+        return _bicodec_tokenize_jit(self, feat, ref_wav)
+
+    def _tokenize_impl(self, feat: jax.Array, ref_wav: jax.Array):
         mel = self.get_mel_spectrogram(ref_wav)
         z = self.encoder(feat)
         semantic_tokens = self.quantizer.tokenize(z)
@@ -242,6 +245,10 @@ class BiCodec(Module):
     def detokenize(self, semantic_tokens: jax.Array,
                    global_tokens: jax.Array) -> jax.Array:
         """(semantic [B, T], global [B, 32] or [B, 1, 32]) -> wav [B, S]."""
+        return _bicodec_detokenize_jit(self, semantic_tokens, global_tokens)
+
+    def _detokenize_impl(self, semantic_tokens: jax.Array,
+                         global_tokens: jax.Array) -> jax.Array:
         if global_tokens.ndim == 3:
             global_tokens = global_tokens.reshape(global_tokens.shape[0], -1)
         z_q = self.quantizer.detokenize(semantic_tokens)
@@ -304,3 +311,16 @@ class BiCodec(Module):
             "x_vector": x_vector, "d_vector": d_vector,
             "indices": vq["indices"],
         }
+
+
+# jitted entry points (codec as pytree argument; see docs/PERF.md)
+
+
+@jax.jit
+def _bicodec_tokenize_jit(codec, feat, ref_wav):
+    return codec._tokenize_impl(feat, ref_wav)
+
+
+@jax.jit
+def _bicodec_detokenize_jit(codec, semantic_tokens, global_tokens):
+    return codec._detokenize_impl(semantic_tokens, global_tokens)

@@ -40,6 +40,16 @@ def get_padding(kernel_size: int, dilation: int = 1) -> int:
     return (kernel_size * dilation - dilation) // 2
 
 
+def promote_conv_operands(x: jax.Array, w: jax.Array):
+    """Promote mixed dtypes like jnp.matmul does — conv_general_dilated
+    errors on a mismatch instead.  Mixed f32-input/bf16-weight graphs run
+    in f32; cast inputs to the weight dtype for a true bf16 pass."""
+    if x.dtype != w.dtype:
+        dt = jnp.promote_types(x.dtype, w.dtype)
+        return x.astype(dt), w.astype(dt)
+    return x, w
+
+
 # ---------------------------------------------------------------------------
 # Dense / embedding
 # ---------------------------------------------------------------------------
@@ -224,11 +234,7 @@ def conv1d(
     """Functional conv over NLC input with weight [k, in_ch/groups, out_ch]."""
     if isinstance(padding, int):
         padding = (padding, padding)
-    if x.dtype != weight.dtype:
-        # promote like jnp.matmul does (conv_general_dilated errors instead);
-        # mixed f32-input/bf16-weight graphs run in f32
-        dt = jnp.promote_types(x.dtype, weight.dtype)
-        x, weight = x.astype(dt), weight.astype(dt)
+    x, weight = promote_conv_operands(x, weight)
     k = weight.shape[0]
     span = (k - 1) * dilation
     if (stride == 1 and groups == 1 and k > 1 and k % 2 == 1
@@ -280,9 +286,7 @@ def conv_transpose1d(
     # flip taps; weight [k, in, out] is already the rhs layout for the
     # equivalent input-dilated forward conv
     w = jnp.flip(weight, axis=0)
-    if x.dtype != w.dtype:
-        dt = jnp.promote_types(x.dtype, w.dtype)
-        x, w = x.astype(dt), w.astype(dt)
+    x, w = promote_conv_operands(x, w)
     return jax.lax.conv_general_dilated(
         x,
         w,
@@ -371,9 +375,7 @@ def depthwise_conv_transpose1d(
     pad_hi = k - 1 - padding + output_padding
     # stored [k, C, 1] -> rhs [k, in/groups=1, out=C]
     w = jnp.swapaxes(jnp.flip(weight, axis=0), 1, 2)
-    if x.dtype != w.dtype:
-        dt = jnp.promote_types(x.dtype, w.dtype)
-        x, w = x.astype(dt), w.astype(dt)
+    x, w = promote_conv_operands(x, w)
     return jax.lax.conv_general_dilated(
         x,
         w,

@@ -145,15 +145,25 @@ def synthesize_to_file(state: ServerState, model_repo: str, text: str,
     if not segments:
         return {"error": "No audio generated", "status": 500}
     audio = np.concatenate(segments)
+    return _write_wav(state, audio, getattr(model, "sample_rate", 24000))
 
-    filename = f"tts_{uuid.uuid4()}.wav"
-    out_path = os.path.join(state.output_folder, filename)
-    from mlx_audio_tpu.utils.audio_io import save_audio
 
-    save_audio(out_path, audio, getattr(model, "sample_rate", 24000))
-    if not os.path.exists(out_path) or os.path.getsize(out_path) == 0:
-        return {"error": "Failed to create audio file", "status": 500}
-    return {"filename": filename, "status": 200}
+def _accepts_server_batch_kwargs(fn) -> bool:
+    """True if a generate_batch implementation tolerates the server's
+    keyword set (explicit params or **kwargs) — checked by signature so
+    runtime TypeErrors from inside synthesis are never mistaken for an
+    incompatible API."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):  # pragma: no cover
+        return False
+    params = sig.parameters.values()
+    if any(p.kind == inspect.Parameter.VAR_KEYWORD for p in params):
+        return True
+    names = {p.name for p in params}
+    return {"voice", "speed", "lang_code", "max_tokens"} <= names
 
 
 def _write_wav(state: ServerState, audio: np.ndarray, sample_rate: int) -> dict:
@@ -247,14 +257,21 @@ class DynamicBatcher:
             model = self.state.get_tts(model_repo)
             sr = getattr(model, "sample_rate", 24000)
             results = None
-            if hasattr(model, "generate_batch"):
-                try:
-                    results = model.generate_batch(
-                        texts, voice=voice or None, speed=speed_value,
-                        lang_code=LANGUAGE_MAP.get(language.lower(), "a"),
-                    )
-                except TypeError:
-                    results = None  # batch API with a different contract
+            batch_fn = getattr(model, "generate_batch", None)
+            if batch_fn is not None and _accepts_server_batch_kwargs(batch_fn):
+                # mirror build_gen_params so batched and sequential requests
+                # synthesize identically (Spark gender default, token
+                # budget, language fallback)
+                kwargs = {"max_tokens": 8000}
+                if "spark" in model_repo.lower():
+                    kwargs["gender"] = "female"
+                results = batch_fn(
+                    texts, voice=voice or None, speed=speed_value,
+                    lang_code=LANGUAGE_MAP.get(
+                        language.lower(), voice[0] if voice else "a"
+                    ),
+                    **kwargs,
+                )
             if results is not None and len(results) == len(texts):
                 for fut, r in zip(futs, results):
                     fut.set_result(

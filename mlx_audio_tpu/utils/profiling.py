@@ -27,12 +27,20 @@ def trace(logdir: Optional[str]) -> Iterator[None]:
     import jax
 
     try:
-        with jax.profiler.trace(logdir):
-            yield
-        log.info("XLA trace written to %s", logdir)
+        ctx = jax.profiler.trace(logdir)
+        ctx.__enter__()
     except Exception as e:  # pragma: no cover - runtime-dependent
         log.warning("profiler trace unavailable: %s", e)
         yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            ctx.__exit__(None, None, None)
+            log.info("XLA trace written to %s", logdir)
+        except Exception as e:  # pragma: no cover
+            log.warning("profiler trace failed to finalize: %s", e)
 
 
 @contextlib.contextmanager

@@ -29,6 +29,10 @@ def main():
                     help="weight-only quantize the LMs to N bits "
                          "(Pallas fused dequant-matmul decode)")
     ap.add_argument("--no-watermark", action="store_true")
+    ap.add_argument("--ttfa", action="store_true",
+                    help="measure streaming time-to-first-audio instead of "
+                         "bulk throughput (prefill + first streaming chunk "
+                         "+ stateful Mimi decode)")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +119,60 @@ def main():
         if not args.no_watermark:
             audio = np.stack([model._watermark(a) for a in audio])
         return audio[0]
+
+    if args.ttfa:
+        # streaming latency: prefill + first frame + a streaming_interval
+        # chunk (6 frames = 0.48 s audio) + stateful Mimi decode + watermark
+        n_first = 6
+
+        def run_ttfa(seed):
+            key = jax.random.PRNGKey(seed)
+            bucket = _prompt_bucket(t)
+            pad = bucket - t
+            tokens = np.zeros((b, bucket, nc1), dtype=np.int32)
+            mask = np.zeros((b, bucket, nc1), dtype=bool)
+            tokens[:, pad:] = prompt_tokens
+            mask[:, pad:] = prompt_mask
+            pad_len = jnp.full((b,), pad, dtype=jnp.int32)
+            caches = model.model.backbone.init_cache(
+                b, max_len=bucket + max_frames, dtype=model.model.lm_dtype()
+            )
+            key, k0 = jax.random.split(key)
+            frame, caches = _prefill_and_first_frame(
+                model.model, caches, pad_len, jnp.asarray(tokens),
+                jnp.asarray(mask), k0, temp, top_k,
+            )
+            key, kc = jax.random.split(key)
+            out, caches = _frame_chunk(
+                model.model, caches, pad_len, frame, kc, temp, top_k,
+                jnp.zeros((n_first - 1,), dtype=jnp.int32),
+            )
+            codes = jnp.concatenate(
+                [frame[:, :, None], jnp.moveaxis(out, 0, 2)], axis=2
+            )
+            state = model.mimi.init_state(b)
+            audio, _ = model.mimi.decode_frames_stateful(codes, state)
+            audio_np = np.asarray(audio)[0, 0]
+            if not args.no_watermark:
+                audio_np = model._watermark(audio_np)
+            return audio_np
+
+        for s in (10_001, 10_002):
+            t0 = time.perf_counter()
+            a = run_ttfa(s)
+            print(f"warmup {s}: {time.perf_counter()-t0:.1f}s ({a.shape[0]} samples)")
+        times = []
+        for s in range(args.iters):
+            t0 = time.perf_counter()
+            a = run_ttfa(s)
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            print(f"iter {s}: ttfa {dt*1000:.0f} ms for "
+                  f"{a.shape[0]/24000:.2f}s of audio")
+        med = sorted(times)[len(times) // 2]
+        print(f"median time-to-first-audio: {med*1000:.0f} ms "
+              f"({n_first} frames = {n_first*0.08:.2f}s audio, batch {b})")
+        return
 
     # compile + one drained run (first drain pays runtime re-init)
     for s in (10_001, 10_002):

@@ -120,3 +120,21 @@ def test_feature_extractor_padding_and_mask():
         fe([a, b])  # ragged without padding
     with _pytest.raises(ValueError):
         fe(a, sampling_rate=8000)
+
+
+def test_feature_extractor_2d_batch_and_overflow():
+    from mlx_audio_tpu.models.stt.wav2vec import Wav2Vec2FeatureExtractor
+
+    fe = Wav2Vec2FeatureExtractor(do_normalize=False)
+    batch2d = np.random.default_rng(1).standard_normal((4, 320)).astype(
+        np.float32)
+    out = fe(batch2d, padding=True)
+    assert out.input_values.shape == (4, 320)
+    np.testing.assert_array_equal(out.input_values, batch2d)
+
+    # padding='max_length' with a longer input and no truncation must not
+    # crash: the batch pads out to the longest instead
+    long = np.zeros(500, dtype=np.float32)
+    out2 = fe([long, np.zeros(100, dtype=np.float32)],
+              padding="max_length", max_length=320)
+    assert out2.input_values.shape == (2, 500)
