@@ -207,6 +207,12 @@ class Model(Module):
 
     def merge_input_embeddings(self, input_ids: jax.Array,
                                mel: Optional[jax.Array]) -> jax.Array:
+        if mel is not None:
+            return _merge_embeds_jit(self, input_ids, mel)
+        return self._merge_impl(input_ids, mel)
+
+    def _merge_impl(self, input_ids: jax.Array,
+                    mel: Optional[jax.Array]) -> jax.Array:
         embeds = self.language_model.embed_tokens(input_ids)
         if mel is None:
             return embeds
@@ -303,3 +309,10 @@ class Model(Module):
             k = k.replace("language_model.model.", "language_model.")
             out[k] = v
         return out
+
+
+@jax.jit
+def _merge_embeds_jit(model, input_ids, mel):
+    """Jitted audio-tower + projector + embed splice (model as pytree arg;
+    docs/PERF.md)."""
+    return model._merge_impl(input_ids, mel)

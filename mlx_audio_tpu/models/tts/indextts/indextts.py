@@ -187,6 +187,9 @@ class Model(Module):
 
     def get_conditioning(self, mel: jax.Array) -> jax.Array:
         """ref log-mel [B, T, 100] -> conditioning latents [B, 32, D]."""
+        return _conditioning_jit(self, mel)
+
+    def _get_conditioning_impl(self, mel: jax.Array) -> jax.Array:
         return self.perceiver_encoder(self.conditioning_encoder(mel))
 
     def prepare_input_embedding(self, prompts: List[str],
@@ -332,3 +335,10 @@ class Model(Module):
                 v = v.reshape(-1)
             out["bigvgan." + k] = v
         return out
+
+
+@jax.jit
+def _conditioning_jit(model, mel):
+    """Jitted conditioning (model as pytree arg — eager calls re-trace with
+    weights as constants; docs/PERF.md)."""
+    return model._get_conditioning_impl(mel)

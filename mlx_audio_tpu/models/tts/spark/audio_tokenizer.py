@@ -12,6 +12,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,10 +99,7 @@ class BiCodecTokenizer:
         """wav [B, T] -> mixed hidden-state features [B, T', 1024]."""
         wavs = np.atleast_2d(np.asarray(wavs, dtype=np.float32))
         wavs = np.stack([_zero_mean_unit_var(w) for w in wavs])
-        _, hidden = self.feature_extractor(
-            jnp.asarray(wavs), output_hidden_states=True
-        )
-        return (hidden[11] + hidden[14] + hidden[16]) / 3
+        return _w2v_features_jit(self.feature_extractor, jnp.asarray(wavs))
 
     # -- token api ---------------------------------------------------------
 
@@ -120,3 +118,10 @@ class BiCodecTokenizer:
             jnp.asarray(semantic_tokens), jnp.asarray(global_tokens)
         )
         return np.asarray(wav).squeeze()
+
+
+@jax.jit
+def _w2v_features_jit(model, wavs):
+    """Jitted wav2vec2 feature mix (model as pytree arg; docs/PERF.md)."""
+    _, hidden = model(wavs, output_hidden_states=True)
+    return (hidden[11] + hidden[14] + hidden[16]) / 3
