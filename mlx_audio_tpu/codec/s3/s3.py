@@ -246,6 +246,9 @@ class S3Tokenizer(Module):
         return self.quantize(mel, mel_len)
 
     def quantize(self, mel, mel_len):
+        return _s3_quantize_jit(self, mel, mel_len)
+
+    def _quantize_impl(self, mel, mel_len):
         hidden, code_len = self.encoder(mel, mel_len)
         return self.quantizer.encode(hidden), code_len
 
@@ -266,5 +269,14 @@ class S3TokenizerV2(Module):
         return self.quantize(mel, mel_len)
 
     def quantize(self, mel, mel_len):
+        return _s3_quantize_jit(self, mel, mel_len)
+
+    def _quantize_impl(self, mel, mel_len):
         hidden, code_len = self.encoder(mel, mel_len)
         return self.quantizer.encode(hidden), code_len
+
+
+@jax.jit
+def _s3_quantize_jit(tokenizer, mel, mel_len):
+    """Jitted tokenization (tokenizer as pytree arg; docs/PERF.md)."""
+    return tokenizer._quantize_impl(mel, mel_len)

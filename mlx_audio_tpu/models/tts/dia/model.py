@@ -160,8 +160,9 @@ class Model(Module):
         pad2 = jnp.concatenate([src_pad_mask, src_pad_mask], axis=0)
         enc_mask2 = jnp.concatenate([enc_mask, enc_mask], axis=0)
 
-        encoder_out = self.model.encoder(src2, src_pos2, enc_mask2)
-        cross_kvs = self.model.decoder.precompute_cross_kv(encoder_out, src_pos2)
+        encoder_out, cross_kvs = _encode_text_jit(
+            self.model, src2, src_pos2, enc_mask2
+        )
         # decode-step cross mask: query (generated, non-pad) attends non-pad keys
         ca_mask = pad2[:, None, None, :]  # [2,1,1,S]
 
@@ -184,8 +185,9 @@ class Model(Module):
             i = jnp.arange(t)[:, None]
             j = jnp.arange(cache_len)[None, :]
             sa_mask = ((j <= i) & (j < t))[None, None]
-            _, sa_caches = self.model.decoder.step(
-                tgt, positions, sa_caches, cross_kvs, sa_mask, ca_mask
+            _, sa_caches = _prefill_decoder_jit(
+                self.model, tgt, positions, sa_caches, cross_kvs, sa_mask,
+                ca_mask
             )
             generated = [f for f in frames]
             current_step = t - 1
@@ -263,3 +265,19 @@ class Model(Module):
     def sanitize(self, weights: dict) -> dict:
         return {k if k.startswith("model.") else f"model.{k}": np.asarray(v)
                 for k, v in weights.items()}
+
+
+@jax.jit
+def _encode_text_jit(model, src, src_pos, enc_mask):
+    """Jitted encoder + cross-KV precompute (model as pytree arg — eager
+    calls re-trace with weights as constants; docs/PERF.md)."""
+    encoder_out = model.encoder(src, src_pos, enc_mask)
+    return encoder_out, model.decoder.precompute_cross_kv(encoder_out, src_pos)
+
+
+@jax.jit
+def _prefill_decoder_jit(model, tgt, positions, sa_caches, cross_kvs,
+                         sa_mask, ca_mask):
+    """Jitted audio-prompt prefill (voice-clone path)."""
+    return model.decoder.step(tgt, positions, sa_caches, cross_kvs, sa_mask,
+                              ca_mask)
