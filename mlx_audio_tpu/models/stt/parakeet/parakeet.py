@@ -188,12 +188,33 @@ class BaseParakeet(Module):
 
         chunk_samples = int(chunk_duration * sr)
         overlap_samples = int(overlap_duration * sr)
+
+        # Long audio is embarrassingly parallel across chunks (SURVEY.md
+        # §2.5): run every full-length chunk through ONE batched encoder
+        # pass; only the shorter tail chunk decodes alone.  Host-side token
+        # merging below is unchanged.
+        starts = list(range(0, len(audio_data),
+                            chunk_samples - overlap_samples))
+        full = [s for s in starts if s + chunk_samples <= len(audio_data)]
+        batch_results = {}
+        if len(full) > 1:
+            mels = jnp.concatenate([
+                log_mel_spectrogram(
+                    audio_data[s: s + chunk_samples], self.preprocessor_config
+                )
+                for s in full
+            ], axis=0)  # log_mel returns [1, frames, features]
+            for s, res in zip(full, self.decode(mels)):
+                batch_results[s] = res
+
         all_tokens = []
-        for start in range(0, len(audio_data), chunk_samples - overlap_samples):
+        for start in starts:
             end = min(start + chunk_samples, len(audio_data))
             if chunk_callback is not None:
                 chunk_callback(end, len(audio_data))
-            chunk_result = self.decode_chunk(audio_data[start:end])
+            chunk_result = batch_results.get(start)
+            if chunk_result is None:
+                chunk_result = self.decode_chunk(audio_data[start:end])
             offset = start / sr
             chunk_tokens = []
             for sentence in chunk_result.sentences:

@@ -124,3 +124,20 @@ def test_sentences_split_on_punctuation():
     sentences = tokens_to_sentences(toks)
     assert len(sentences) == 3
     assert sentences[0].text.endswith("!")
+
+
+def test_batched_chunk_decode_matches_single():
+    """The batched-chunk encoder pass must give each chunk the same tokens
+    as decoding it alone (row independence of decode)."""
+    import jax.numpy as jnp
+    from mlx_audio_tpu.models.stt.parakeet.audio import log_mel_spectrogram
+
+    model = BaseParakeet.from_config(ctc_config())
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(8000).astype(np.float32) * 0.1
+    b = rng.standard_normal(8000).astype(np.float32) * 0.1
+    mel_a = log_mel_spectrogram(a, model.preprocessor_config)
+    mel_b = log_mel_spectrogram(b, model.preprocessor_config)
+    batch = model.decode(jnp.concatenate([mel_a, mel_b], axis=0))
+    singles = [model.decode(mel_a)[0], model.decode(mel_b)[0]]
+    assert [r.text for r in batch] == [r.text for r in singles]
