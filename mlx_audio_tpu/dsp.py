@@ -292,7 +292,9 @@ def istft(
     recon = jnp.where(window_sum != 0, recon / jnp.where(window_sum != 0, window_sum, 1.0), recon)
 
     if center and length is None:
-        recon = recon[..., win_length // 2 : -(win_length // 2)]
+        # trailing trim is floor(-win/2), matching the reference's
+        # `[-win//2]` (odd windows trim one extra sample at the end)
+        recon = recon[..., win_length // 2 : -win_length // 2]
     if length is not None:
         recon = recon[..., :length]
     return recon

@@ -39,9 +39,24 @@ def scaled_dot_product_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     hq, hkv = q.shape[1], k.shape[1]
     if hq != hkv:
+        # grouped-query attention without materializing repeated K/V (a
+        # jnp.repeat here would copy the full cache every decode step)
+        b, _, lq, d = q.shape
         rep = hq // hkv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
+        qg = q.reshape(b, hkv, rep, lq, d)
+        scores = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k).astype(jnp.float32)
+        scores = scores * scale
+        if mask is not None:
+            if mask.ndim == 4 and mask.shape[1] == hq:
+                m = mask.reshape(b, hkv, rep, *mask.shape[2:])
+            elif mask.ndim == 4:
+                m = mask[:, :, None]
+            else:
+                m = mask
+            scores = scores + m
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", probs, v)
+        return out.reshape(b, hq, lq, d)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
     if mask is not None:
         scores = scores + mask
@@ -110,6 +125,11 @@ def apply_rope(
     else:
         c = cos[: x.shape[-2]]
         s = sin[: x.shape[-2]]
+    if positions is not None and positions.ndim == 2:
+        # batched positions: insert the head axis ([B, L, D/2] -> [B, 1, L,
+        # D/2]); prepending would misalign batch against heads
+        c = c[:, None]
+        s = s[:, None]
     while c.ndim < x.ndim:
         c = c[None]
         s = s[None]
@@ -151,11 +171,15 @@ class KVCache(NamedTuple):
 
     def valid_mask(self, q_len: int, causal: bool = True) -> jax.Array:
         """Additive mask [q_len, max_len] hiding unwritten slots (and the
-        future, if causal) for queries ending at the cache's write frontier."""
+        future, if causal) for queries ending at the cache's write frontier.
+
+        Called on the PRE-update cache for a step appending ``q_len`` new
+        entries: the non-causal limit is idx + q_len (all written slots
+        including this step's), never the full capacity."""
         max_len = self.k.shape[-2]
         j = jnp.arange(max_len)[None, :]
         i = jnp.arange(q_len)[:, None]
-        limit = self.idx + i + 1 if causal else jnp.full_like(i, max_len)
+        limit = self.idx + i + 1 if causal else self.idx + q_len + 0 * i
         return jnp.where(j < limit, 0.0, -1e9).astype(jnp.float32)
 
 
@@ -165,10 +189,16 @@ def cached_attention(
     v_new: jax.Array,
     cache: KVCache,
     scale: Optional[float] = None,
+    extra_mask: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, KVCache]:
-    """One decode step: append keys/values, attend over the full cache."""
+    """One decode step: append keys/values, attend over the full cache.
+
+    ``extra_mask`` (additive, broadcastable to [B, H, q_len, max_len] — e.g.
+    padding) combines with the cache-validity mask."""
     new_cache = cache.update(k_new, v_new)
     mask = cache.valid_mask(q.shape[-2])
+    if extra_mask is not None:
+        mask = mask + extra_mask
     out = scaled_dot_product_attention(q, new_cache.k, new_cache.v, mask, scale)
     return out, new_cache
 
@@ -230,7 +260,9 @@ class MultiHeadAttention(Module):
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
         if cache is not None:
-            out, cache = cached_attention(q, k, v, cache)
+            # the caller's mask (e.g. padding over cache slots) combines
+            # with the cache-validity mask rather than being dropped
+            out, cache = cached_attention(q, k, v, cache, extra_mask=mask)
             return self.o_proj(self._merge(out)), cache
         out = scaled_dot_product_attention(q, k, v, mask)
         return self.o_proj(self._merge(out))

@@ -29,8 +29,8 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _lstm_kernel(xp_ref, wh_ref, h0_ref, c0_ref, out_ref, hT_ref, cT_ref,
-                 h_scr, c_scr):
+def _lstm_kernel(xp_ref, wh_ref, h0_ref, c0_ref, out_ref, cs_ref, hT_ref,
+                 cT_ref, h_scr, c_scr):
     """One grid step = one timestep.  xp block [1, B, 4H]; out block [1, B, H]
     (time leads so the block's trailing dims are the tile-aligned [B, 4H]).
 
@@ -58,6 +58,7 @@ def _lstm_kernel(xp_ref, wh_ref, h0_ref, c0_ref, out_ref, hT_ref, cT_ref,
     h_scr[:] = h_new
     c_scr[:] = c_new
     out_ref[0] = h_new.astype(out_ref.dtype)
+    cs_ref[0] = c_new.astype(cs_ref.dtype)
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
@@ -73,12 +74,12 @@ def lstm_pallas(x_proj: jax.Array, wh: jax.Array, h0: jax.Array,
     x_proj: [B, T, 4H] — input projections (x @ Wx^T + b_ih + b_hh),
     wh:     [H, 4H]    — recurrent weight (transposed torch W_hh),
     h0/c0:  [B, H]     — initial state.
-    Returns (hidden states [B, T, H], (h_T, c_T)).
+    Returns (hidden states [B, T, H], cell states [B, T, H], (h_T, c_T)).
     """
     b, t, h4 = x_proj.shape
     h = h4 // 4
     xp_t = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H]
-    hs, hT, cT = pl.pallas_call(
+    hs, cs, hT, cT = pl.pallas_call(
         _lstm_kernel,
         grid=(t,),
         in_specs=[
@@ -91,10 +92,13 @@ def lstm_pallas(x_proj: jax.Array, wh: jax.Array, h0: jax.Array,
         out_specs=(
             pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((t, b, h), x_proj.dtype),
             jax.ShapeDtypeStruct((t, b, h), x_proj.dtype),
             jax.ShapeDtypeStruct((b, h), x_proj.dtype),
             jax.ShapeDtypeStruct((b, h), x_proj.dtype),
@@ -105,12 +109,19 @@ def lstm_pallas(x_proj: jax.Array, wh: jax.Array, h0: jax.Array,
         ],
         interpret=interpret,
     )(xp_t, wh, h0, c0)
-    return jnp.swapaxes(hs, 0, 1), (hT, cT)
+    return jnp.swapaxes(hs, 0, 1), jnp.swapaxes(cs, 0, 1), (hT, cT)
 
+
+
+
+def _env_on(name: str) -> bool:
+    """Truthy env parse: '0'/'false'/'' count as off (a bare presence test
+    would treat MLX_AUDIO_TPU_PALLAS_CONV=0 as on)."""
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false")
 
 def use_pallas_lstm() -> bool:
     """Pallas path is TPU-only; MLX_AUDIO_TPU_NO_PALLAS=1 disables it."""
-    if not _HAS_PALLAS or os.environ.get("MLX_AUDIO_TPU_NO_PALLAS"):
+    if not _HAS_PALLAS or _env_on("MLX_AUDIO_TPU_NO_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -188,7 +199,7 @@ def quant_matmul_supported(out_features: int, in_features: int,
 
 
 def use_pallas_quant() -> bool:
-    if not _HAS_PALLAS or os.environ.get("MLX_AUDIO_TPU_NO_PALLAS"):
+    if not _HAS_PALLAS or _env_on("MLX_AUDIO_TPU_NO_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -276,9 +287,9 @@ def use_pallas_conv() -> bool:
     XLA's ~45-52 on the ISTFTNet resblock shapes — the unaligned shifted
     VMEM reads cost ~2 VPU passes per tap (docs/PERF.md).  Kept as the
     starting point for a future aligned-phase variant."""
-    if not _HAS_PALLAS or os.environ.get("MLX_AUDIO_TPU_NO_PALLAS"):
+    if not _HAS_PALLAS or _env_on("MLX_AUDIO_TPU_NO_PALLAS"):
         return False
-    if not os.environ.get("MLX_AUDIO_TPU_PALLAS_CONV"):
+    if not _env_on("MLX_AUDIO_TPU_PALLAS_CONV"):
         return False
     try:
         return jax.default_backend() == "tpu"

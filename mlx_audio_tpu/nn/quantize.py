@@ -174,7 +174,11 @@ class QuantizedEmbedding(Module):
 
 def _walk_replace(obj, fn: Callable[[str, Module], Optional[Module]],
                   path: str = ""):
-    """Recursively replace submodules; fn returns a replacement or None."""
+    """Recursively replace submodules; fn returns a replacement or None.
+
+    Covers every container the module pytree system treats as dynamic
+    (nn/module._is_dynamic): Module attributes, lists, tuples, and dicts —
+    a submodule held in any of them must not silently escape quantization."""
     if isinstance(obj, Module):
         for name, value in list(vars(obj).items()):
             sub = f"{path}.{name}" if path else name
@@ -182,15 +186,44 @@ def _walk_replace(obj, fn: Callable[[str, Module], Optional[Module]],
             if repl is not None:
                 setattr(obj, name, repl)
             else:
-                _walk_replace(value, fn, sub)
-    elif isinstance(obj, (list, tuple)):
+                replaced = _walk_replace(value, fn, sub)
+                if replaced is not value:
+                    setattr(obj, name, replaced)
+        return obj
+    if isinstance(obj, list):
         for i, value in enumerate(obj):
             sub = f"{path}.{i}"
             repl = fn(sub, value) if isinstance(value, Module) else None
             if repl is not None:
-                obj[i] = repl  # lists only; tuples of modules stay untouched
+                obj[i] = repl
             else:
-                _walk_replace(value, fn, sub)
+                replaced = _walk_replace(value, fn, sub)
+                if replaced is not value:
+                    obj[i] = replaced
+        return obj
+    if isinstance(obj, tuple):
+        new = []
+        changed = False
+        for i, value in enumerate(obj):
+            sub = f"{path}.{i}"
+            repl = fn(sub, value) if isinstance(value, Module) else None
+            if repl is None:
+                repl = _walk_replace(value, fn, sub)
+            changed = changed or repl is not value
+            new.append(repl)
+        return type(obj)(new) if changed else obj
+    if isinstance(obj, dict):
+        for key, value in list(obj.items()):
+            sub = f"{path}.{key}"
+            repl = fn(sub, value) if isinstance(value, Module) else None
+            if repl is not None:
+                obj[key] = repl
+            else:
+                replaced = _walk_replace(value, fn, sub)
+                if replaced is not value:
+                    obj[key] = replaced
+        return obj
+    return obj
 
 
 def quantize_model(model, group_size: int = 64, bits: int = 4,

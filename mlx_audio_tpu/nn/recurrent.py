@@ -27,11 +27,14 @@ def lstm_scan(
     h0: jax.Array,
     c0: jax.Array,
     reverse: bool = False,
-) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    return_cells: bool = False,
+):
     """Run the LSTM recurrence.
 
     x_proj: [B, L, 4H] precomputed input gates (+ biases); w_h: [4H, H].
-    Returns hidden states [B, L, H] and final (h, c).
+    Returns (hidden states [B, L, H], final (h, c)); with ``return_cells``,
+    (hidden states, cell states [B, L, H], final (h, c)) — per-step cells
+    let callers recover exact finals for padded rows.
 
     On TPU with tile-aligned shapes (B % 8 == 0, H % 128 == 0) the whole
     recurrence runs as one Pallas kernel (nn/pallas_ops.py): recurrent
@@ -49,11 +52,14 @@ def lstm_scan(
             xp = jnp.pad(xp, ((0, pad_b), (0, 0), (0, 0)))
             h0 = jnp.pad(h0, ((0, pad_b), (0, 0)))
             c0 = jnp.pad(c0, ((0, pad_b), (0, 0)))
-        hs, (hT, cT) = lstm_pallas(xp, w_h.T, h0, c0)
+        hs, cs, (hT, cT) = lstm_pallas(xp, w_h.T, h0, c0)
         if pad_b:
-            hs, hT, cT = hs[:b], hT[:b], cT[:b]
+            hs, cs, hT, cT = hs[:b], cs[:b], hT[:b], cT[:b]
         if reverse:
             hs = jnp.flip(hs, axis=1)
+            cs = jnp.flip(cs, axis=1)
+        if return_cells:
+            return hs, cs, (hT, cT)
         return hs, (hT, cT)
 
     w_h_t = w_h.T  # [H, 4H]
@@ -68,11 +74,14 @@ def lstm_scan(
         o = jax.nn.sigmoid(o)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        return (h, c), h
+        return (h, c), (h, c)
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # [L, B, 4H]
-    (h, c), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
-    return jnp.swapaxes(hs, 0, 1), (h, c)
+    (h, c), (hs, cs) = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    hs = jnp.swapaxes(hs, 0, 1)
+    if return_cells:
+        return hs, jnp.swapaxes(cs, 0, 1), (h, c)
+    return hs, (h, c)
 
 
 def masked_flip(x: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -119,14 +128,24 @@ class LSTM(Module):
             self.bias_ih_backward = _uniform((4 * hidden_size,), scale) if bias else None
             self.bias_hh_backward = _uniform((4 * hidden_size,), scale) if bias else None
 
-    def _run(self, x, wx, wh, b_ih, b_hh, reverse):
+    def _run(self, x, wx, wh, b_ih, b_hh, reverse, return_cells=False):
         x_proj = x @ wx.T
         if b_ih is not None:
             x_proj = x_proj + b_ih + b_hh
         b = x.shape[0]
         h0 = jnp.zeros((b, self.hidden_size), dtype=x.dtype)
         c0 = jnp.zeros((b, self.hidden_size), dtype=x.dtype)
-        return lstm_scan(x_proj, wh, h0, c0, reverse=reverse)
+        return lstm_scan(x_proj, wh, h0, c0, reverse=reverse,
+                         return_cells=return_cells)
+
+    @staticmethod
+    def _final_at(states, lengths):
+        """Gather each row's state at its last valid step: [B, L, H] -> [B, H]."""
+        idx = jnp.clip(lengths - 1, 0)[:, None, None]
+        return jnp.take_along_axis(
+            states, jnp.broadcast_to(idx, (states.shape[0], 1, states.shape[2])),
+            axis=1,
+        )[:, 0]
 
     def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None):
         """x: [B, L, D] (or [L, D]) -> ([B, L, H*dirs], final states).
@@ -137,10 +156,21 @@ class LSTM(Module):
         squeeze = x.ndim == 2
         if squeeze:
             x = x[None]
-        fwd, (hf, cf) = self._run(
-            x, self.Wx_forward, self.Wh_forward,
-            self.bias_ih_forward, self.bias_hh_forward, reverse=False,
-        )
+        if lengths is None:
+            fwd, (hf, cf) = self._run(
+                x, self.Wx_forward, self.Wh_forward,
+                self.bias_ih_forward, self.bias_hh_forward, reverse=False,
+            )
+        else:
+            # final states must reflect each row's LAST VALID step, not the
+            # padded tail — gather them from the per-step h/c trajectories
+            fwd, cells_f, _ = self._run(
+                x, self.Wx_forward, self.Wh_forward,
+                self.bias_ih_forward, self.bias_hh_forward, reverse=False,
+                return_cells=True,
+            )
+            hf = self._final_at(fwd, lengths)
+            cf = self._final_at(cells_f, lengths)
         if not self.bidirectional:
             out = fwd
             state = (hf, cf)
@@ -152,11 +182,14 @@ class LSTM(Module):
                 )
             else:
                 xr = masked_flip(x, lengths)
-                bwd_r, (hb, cb) = self._run(
+                bwd_r, cells_b, _ = self._run(
                     xr, self.Wx_backward, self.Wh_backward,
-                    self.bias_ih_backward, self.bias_hh_backward, reverse=False,
+                    self.bias_ih_backward, self.bias_hh_backward,
+                    reverse=False, return_cells=True,
                 )
                 bwd = masked_flip(bwd_r, lengths)
+                hb = self._final_at(bwd_r, lengths)
+                cb = self._final_at(cells_b, lengths)
             out = jnp.concatenate([fwd, bwd], axis=-1)
             state = ((hf, cf), (hb, cb))
         if squeeze:

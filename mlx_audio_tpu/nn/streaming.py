@@ -151,6 +151,13 @@ class StreamableConvTranspose1d(Module):
     # -- streaming ---------------------------------------------------------
 
     def init_state(self, batch: int, dtype=jnp.float32) -> ConvTrState:
+        if self.ksize < self.stride:
+            # "gappy" transposed conv: the batch path works, but exact
+            # streaming needs an end-of-stream flush for the ragged tail —
+            # unsupported rather than silently wrong (negative carry shapes)
+            raise NotImplementedError(
+                "streaming ConvTranspose1d requires ksize >= stride"
+            )
         pad = self.ksize - self.stride
         return ConvTrState(buf=jnp.zeros((batch, pad, self.out_channels), dtype=dtype))
 

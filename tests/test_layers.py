@@ -239,3 +239,65 @@ def test_snake():
     out = np.asarray(tnn.snake(x, a))
     ref = np.asarray(x) + np.sin(0.5 * np.asarray(x)) ** 2 / 0.5
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_lstm_final_states_exact_under_padding():
+    """Final (h, c) must reflect each row's last VALID step, not the padded
+    tail (states from padded steps are polluted by bias-only gate inputs)."""
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn.recurrent import LSTM
+
+    rng = np.random.default_rng(0)
+    lstm = LSTM(8, 16, bidirectional=True)
+    x_full = jnp.asarray(rng.standard_normal((2, 10, 8)) * 0.5,
+                         dtype=jnp.float32)
+    lengths = jnp.asarray([10, 6])
+
+    out, ((hf, cf), (hb, cb)) = lstm(x_full, lengths=lengths)
+    # reference: run row 1's valid prefix alone (no padding)
+    out1, ((hf1, cf1), (hb1, cb1)) = lstm(x_full[1:2, :6])
+    np.testing.assert_allclose(np.asarray(hf[1]), np.asarray(hf1[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cf[1]), np.asarray(cf1[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hb[1]), np.asarray(hb1[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cb[1]), np.asarray(cb1[0]),
+                               atol=1e-5)
+
+
+def test_gqa_attention_matches_repeated_kv():
+    """Grouped-query einsum path == explicit K/V repetition."""
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn.attention import scaled_dot_product_attention
+
+    rng = np.random.default_rng(1)
+    b, hq, hkv, lq, lk, d = 2, 8, 2, 5, 7, 16
+    q = jnp.asarray(rng.standard_normal((b, hq, lq, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, lk, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, lk, d)), dtype=jnp.float32)
+    mask = jnp.where(
+        np.random.default_rng(2).random((b, 1, lq, lk)) > 0.3, 0.0, -1e9
+    ).astype(jnp.float32)
+    out = scaled_dot_product_attention(q, k, v, mask)
+    rep = hq // hkv
+    ref = scaled_dot_product_attention(
+        q, jnp.repeat(k, rep, axis=1), jnp.repeat(v, rep, axis=1), mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_apply_rope_batched_positions():
+    """2-D positions must rotate per sample, aligned on the batch axis."""
+    import jax.numpy as jnp
+    from mlx_audio_tpu.nn.attention import apply_rope, rope_table
+
+    cos, sin = rope_table(8, 32)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 4, 3, 8)), dtype=jnp.float32)
+    pos = jnp.asarray([[0, 1, 2], [5, 6, 7]])
+    out = apply_rope(x, cos, sin, pos)
+    # per-sample reference with 1-D positions
+    for bidx in range(2):
+        ref = apply_rope(x[bidx:bidx + 1], cos, sin, pos[bidx])
+        np.testing.assert_allclose(np.asarray(out[bidx:bidx + 1]),
+                                   np.asarray(ref), atol=1e-6)

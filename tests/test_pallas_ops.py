@@ -23,13 +23,17 @@ def test_lstm_pallas_matches_scan(reverse):
     hs_ref, (hT_ref, cT_ref) = lstm_scan(x_proj, wh, h0, c0, reverse=reverse)
 
     xp = jnp.flip(x_proj, axis=1) if reverse else x_proj
-    hs, (hT, cT) = lstm_pallas(xp, wh.T, h0, c0, interpret=True)
+    hs, cs, (hT, cT) = lstm_pallas(xp, wh.T, h0, c0, interpret=True)
     if reverse:
         hs = jnp.flip(hs, axis=1)
 
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cT), np.asarray(cT_ref), atol=1e-5)
+    # per-step cells: the final one must equal the final cell state
+    cs_last = cs[:, -1] if not reverse else cs[:, -1]
+    np.testing.assert_allclose(np.asarray(cs_last), np.asarray(cT),
+                               atol=1e-6)
 
 
 @pytest.mark.skipif(not _HAS_PALLAS, reason="pallas unavailable")
