@@ -207,6 +207,13 @@ class Mimi(Module):
     # -- checkpoint loading ------------------------------------------------
 
     def sanitize(self, weights: dict) -> dict:
+        if any("_transformer.layers." in k and ".self_attn.q_proj." in k
+               for k in weights):
+            return sanitize_hf_mimi(
+                weights,
+                n_heads=self.cfg.transformer.num_heads,
+                n_ratios=len(self.cfg.seanet.ratios),
+            )
         return sanitize_mimi(weights)
 
     def load_pytorch_weights(self, path: str) -> "Mimi":
@@ -260,6 +267,97 @@ def sanitize_mimi(weights: dict) -> dict:
                 # torch conv [out, in, k] -> [k, in, out]
                 v = v.transpose(2, 1, 0)
         out[k] = v
+    return out
+
+
+def _unpermute_rope(w: np.ndarray, n_heads: int) -> np.ndarray:
+    """HF rotate-half q/k layout -> interleaved-pair layout (inverse of the
+    GPT-NeoX->HF permutation the transformers conversion script applies).
+    Our RoPE is the original Kyutai interleaved convention."""
+    o, i = w.shape
+    hd = o // n_heads
+    return w.reshape(n_heads, 2, hd // 2, i).swapaxes(1, 2).reshape(o, i)
+
+
+def sanitize_hf_mimi(weights: dict, n_heads: int = 8,
+                     n_ratios: int = 4) -> dict:
+    """Map HF-transformers `MimiModel` checkpoint keys/layouts to our paths
+    (e.g. `kyutai/mimi`).  Golden parity with `transformers.MimiModel` is
+    tested in tests/test_golden_hf.py: identical codes, waveform allclose.
+
+    HF SEANet indexing: encoder layers 0=init, 3i+1=resblock, 3i+3=down,
+    3*nr+2=final; decoder 0=init, 3i+2=upsample, 3i+3=resblock, 3*nr+2=final
+    (ELUs occupy the gaps).  HF q/k projections carry the rotate-half RoPE
+    permutation, inverted here.
+    """
+    out = {}
+    qkv: dict[str, np.ndarray] = {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        if "_transformer.layers." in k and ".self_attn." in k and any(
+            p in k for p in ("q_proj", "k_proj", "v_proj")
+        ):
+            qkv[k] = v
+            continue
+        for side in ("encoder", "decoder"):
+            if not k.startswith(side + ".layers."):
+                continue
+            parts = k.split(".")
+            idx = int(parts[2])
+            rest = ".".join(parts[3:])
+            if rest.startswith("conv."):
+                rest = rest[len("conv."):]
+            rest = rest.replace("block.1.conv.", "block.0.")
+            rest = rest.replace("block.3.conv.", "block.1.")
+            if idx == 0:
+                k = f"{side}.init_conv1d.{rest}"
+            elif idx == 3 * n_ratios + 2:
+                k = f"{side}.final_conv1d.{rest}"
+            elif side == "encoder" and (idx - 1) % 3 == 0:
+                k = f"encoder.layers.{(idx - 1) // 3}.residuals.0.{rest}"
+            elif side == "encoder":
+                k = f"encoder.layers.{(idx - 3) // 3}.downsample.{rest}"
+            elif (idx - 2) % 3 == 0:
+                k = f"decoder.layers.{(idx - 2) // 3}.upsample.{rest}"
+            else:
+                k = f"decoder.layers.{(idx - 3) // 3}.residuals.0.{rest}"
+            break
+        k = k.replace(".self_attn.o_proj.", ".self_attn.out_proj.")
+        k = k.replace(".mlp.fc1.", ".gating.linear1.")
+        k = k.replace(".mlp.fc2.", ".gating.linear2.")
+        k = k.replace(".input_layernorm.", ".norm1.")
+        k = k.replace(".post_attention_layernorm.", ".norm2.")
+        k = k.replace(".self_attn_layer_scale.scale", ".layer_scale_1.scale")
+        k = k.replace(".mlp_layer_scale.scale", ".layer_scale_2.scale")
+        k = k.replace("semantic_residual_vector_quantizer", "rvq_first")
+        k = k.replace("acoustic_residual_vector_quantizer", "rvq_rest")
+        k = k.replace(".codebook.embed_sum", ".codebook.embedding_sum")
+        k = k.replace(".rvq_first.layers.", ".rvq_first.vq.layers.")
+        k = k.replace(".rvq_rest.layers.", ".rvq_rest.vq.layers.")
+        if k == "downsample.conv.weight":
+            k = "downsample.weight"
+        if k == "upsample.conv.weight":
+            k = "upsample.weight"
+        if ("rvq" in k and v.ndim == 3
+                and (k.endswith("input_proj.weight")
+                     or k.endswith("output_proj.weight"))):
+            v = v[..., 0]  # 1x1 conv -> Linear [O, I]
+        elif k.endswith(".weight") and v.ndim == 3:
+            if ".upsample." in k or k == "upsample.weight":
+                v = v.transpose(2, 0, 1)  # convT [I, O/g, K] -> [K, I, O/g]
+            else:
+                v = v.transpose(2, 1, 0)  # conv [O, I, K] -> [K, I, O]
+        out[k] = v
+    for k, q in qkv.items():
+        if "q_proj" not in k:
+            continue
+        pre = k[: -len("q_proj.weight")]
+        kk = qkv[pre + "k_proj.weight"]
+        vv = qkv[pre + "v_proj.weight"]
+        out[pre + "in_proj.weight"] = np.concatenate(
+            [_unpermute_rope(q, n_heads), _unpermute_rope(kk, n_heads), vv],
+            axis=0,
+        )
     return out
 
 
