@@ -267,7 +267,11 @@ class DAC(Module):
         """MLX-descript checkpoint layouts: conv v/g are [O, K, I]-major and
         convT v/g are [O?, K, I]-major with per-in g — a single (1,2,0)
         transpose maps every 3-d tensor to our [K, I, O] / [1, I, 1] layouts;
-        snake alphas flatten to [C]."""
+        snake alphas flatten to [C].  HF-transformers `DacModel` checkpoints
+        (descript/dac_16khz format: folded weights, res_unit naming) are
+        auto-detected."""
+        if any(".res_unit" in k for k in weights):
+            return sanitize_hf_dac(weights)
         out = {}
         for k, v in weights.items():
             v = np.asarray(v)
@@ -277,6 +281,90 @@ class DAC(Module):
                 v = v.transpose(1, 2, 0)
             out[k] = v
         return out
+
+
+def _wn_split_conv(w: np.ndarray):
+    """Folded torch conv weight [O, I, K] -> (weight_v [K, I, O],
+    weight_g [1, 1, O]) with g = ||w|| over (I, K), so g * v/||v|| == w."""
+    g = np.sqrt((w ** 2).sum(axis=(1, 2), keepdims=True))  # [O, 1, 1]
+    return w.transpose(2, 1, 0), g.transpose(2, 1, 0)
+
+
+def _wn_split_convt(w: np.ndarray):
+    """Folded torch convT weight [I, O, K] -> (weight_v [K, I, O],
+    weight_g [1, I, 1]); torch weight_norm dim=0 puts g on the input axis."""
+    g = np.sqrt((w ** 2).sum(axis=(1, 2), keepdims=True))  # [I, 1, 1]
+    return w.transpose(2, 0, 1), g.transpose(1, 0, 2)
+
+
+def sanitize_hf_dac(weights: dict) -> dict:
+    """Map HF-transformers `DacModel` checkpoints (descript/dac_* format) to
+    our paths.  HF stores folded (weight-norm-removed) weights with
+    res_unit naming; we re-split into (g, v) pairs — g = ||w||, v = w —
+    which reproduces w exactly.  Golden parity in tests/test_golden_hf.py."""
+    import re
+
+    n_enc = 1 + max((int(m.group(1)) for k in weights
+                     if (m := re.match(r"encoder\.block\.(\d+)\.", k))),
+                    default=-1)
+    n_dec = 1 + max((int(m.group(1)) for k in weights
+                     if (m := re.match(r"decoder\.block\.(\d+)\.", k))),
+                    default=-1)
+
+    def remap(k: str) -> tuple[str, bool]:
+        """-> (our path, is_transposed_conv)."""
+        m = re.match(r"encoder\.block\.(\d+)\.(.*)$", k)
+        if m:
+            i, rest = int(m.group(1)), m.group(2)
+            ru = re.match(r"res_unit(\d)\.(snake1|conv1|snake2|conv2)\.(.*)$", rest)
+            if ru:
+                unit = int(ru.group(1)) - 1
+                slot = {"snake1": 0, "conv1": 1, "snake2": 2, "conv2": 3}[ru.group(2)]
+                return (f"encoder.block.{i + 1}.block.{unit}.block.{slot}."
+                        f"{ru.group(3)}"), False
+            if rest.startswith("snake1."):
+                return f"encoder.block.{i + 1}.block.3.{rest[7:]}", False
+            return f"encoder.block.{i + 1}.block.4.{rest[6:]}", False  # conv1.
+        m = re.match(r"decoder\.block\.(\d+)\.(.*)$", k)
+        if m:
+            i, rest = int(m.group(1)), m.group(2)
+            ru = re.match(r"res_unit(\d)\.(snake1|conv1|snake2|conv2)\.(.*)$", rest)
+            if ru:
+                unit = int(ru.group(1)) + 1  # decoder block: snake, convT, units
+                slot = {"snake1": 0, "conv1": 1, "snake2": 2, "conv2": 3}[ru.group(2)]
+                return (f"decoder.model.{i + 1}.block.{unit}.block.{slot}."
+                        f"{ru.group(3)}"), False
+            if rest.startswith("snake1."):
+                return f"decoder.model.{i + 1}.block.0.{rest[7:]}", False
+            return f"decoder.model.{i + 1}.block.1.{rest[8:]}", True  # conv_t1.
+        fixed = {
+            "encoder.conv1": "encoder.block.0",
+            "encoder.snake1": f"encoder.block.{n_enc + 1}",
+            "encoder.conv2": f"encoder.block.{n_enc + 2}",
+            "decoder.conv1": "decoder.model.0",
+            "decoder.snake1": f"decoder.model.{n_dec + 1}",
+            "decoder.conv2": f"decoder.model.{n_dec + 2}",
+        }
+        for pre, target in fixed.items():
+            if k.startswith(pre + "."):
+                return target + k[len(pre):], False
+        return k, False  # quantizer.* paths already match
+
+    out = {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        k, is_convt = remap(k)
+        # snake alphas are exposed as plain "alpha" on both sides
+        if k.endswith(".alpha"):
+            out[k] = v.reshape(-1)
+        elif k.endswith(".weight") and v.ndim == 3:
+            base = k[: -len(".weight")]
+            vv, g = _wn_split_convt(v) if is_convt else _wn_split_conv(v)
+            out[base + ".weight_v"] = vv
+            out[base + ".weight_g"] = g
+        else:
+            out[k] = v
+    return out
 
 
 # jitted entry points (codec as pytree argument; see docs/PERF.md)

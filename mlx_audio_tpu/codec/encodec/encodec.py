@@ -439,7 +439,12 @@ class Encodec(Module):
 
     def sanitize(self, weights: dict) -> dict:
         """MLX encodec checkpoints: conv.weight [O, K, I] -> [K, I, O];
-        convT [O?, K, I] per MLX -> [K, I, O]; collapse .conv. nesting."""
+        convT [O?, K, I] per MLX -> [K, I, O]; collapse .conv. nesting.
+        HF-transformers `EncodecModel` checkpoints (facebook/encodec_24khz
+        format) are auto-detected and folded via sanitize_hf_encodec."""
+        if any(".parametrizations.weight." in k or "weight_ih_l0" in k
+               for k in weights):
+            return sanitize_hf_encodec(weights)
         out = {}
         for k, v in weights.items():
             v = np.asarray(v)
@@ -448,6 +453,65 @@ class Encodec(Module):
                 v = v.transpose(1, 2, 0)
             out[k] = v
         return out
+
+
+def sanitize_hf_encodec(weights: dict) -> dict:
+    """Map HF-transformers `EncodecModel` checkpoints to our paths.  Layer
+    indexing already matches; what differs: torch weight_norm is stored as
+    parametrizations (g, v) and folded here (w = g * v / ||v||, norm over
+    all dims but 0), torch LSTM keys split per direction/bias, and conv
+    layouts.  Golden parity in tests/test_golden_hf.py."""
+    import re
+
+    raw, gs, vs = {}, {}, {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        if k.endswith(".parametrizations.weight.original0"):
+            gs[k[: -len(".parametrizations.weight.original0")]] = v
+        elif k.endswith(".parametrizations.weight.original1"):
+            vs[k[: -len(".parametrizations.weight.original1")]] = v
+        else:
+            raw[k] = v
+    for base, vmat in vs.items():
+        g = gs[base]
+        norm = np.sqrt((vmat ** 2).sum(axis=(1, 2), keepdims=True))
+        raw[base + ".weight"] = g * vmat / np.maximum(norm, 1e-12)
+
+    # in the decoder, the only bare (non-resblock) dense convs are layer 0
+    # and the final layer; every other bare conv is a transposed upsampler
+    dec_conv = re.compile(r"decoder\.layers\.(\d+)\.(?:conv\.)?weight$")
+    dec_idx = [int(m.group(1)) for k in raw if (m := dec_conv.match(k))]
+    last_dec = max(dec_idx) if dec_idx else -1
+
+    lstm_re = re.compile(
+        r"(encoder|decoder)\.layers\.(\d+)\.lstm\."
+        r"(weight_ih|weight_hh|bias_ih|bias_hh)_l(\d+)$"
+    )
+    out = {}
+    for k, v in raw.items():
+        if k.endswith((".codebook.inited", ".codebook.cluster_size",
+                       ".codebook.embed_avg")):
+            continue
+        m = lstm_re.match(k)
+        if m:
+            side, idx, kind, layer = m.groups()
+            base = f"{side}.layers.{idx}.lstm.{layer}."
+            if kind == "weight_ih":
+                out[base + "Wx"] = v
+            elif kind == "weight_hh":
+                out[base + "Wh"] = v
+            else:  # torch adds bias_ih + bias_hh; ours keeps one bias
+                out[base + "bias"] = out.get(base + "bias", 0) + v
+            continue
+        k = k.replace(".conv.weight", ".weight").replace(".conv.bias", ".bias")
+        if k.endswith(".weight") and v.ndim == 3:
+            cm = re.match(r"decoder\.layers\.(\d+)\.weight$", k)
+            if cm and int(cm.group(1)) not in (0, last_dec):
+                v = v.transpose(2, 0, 1)  # convT [I, O, K] -> [K, I, O]
+            else:
+                v = v.transpose(2, 1, 0)  # conv [O, I, K] -> [K, I, O]
+        out[k] = v
+    return out
 
 
 # jitted per-chunk graphs (codec as pytree argument; the host-side chunk

@@ -232,10 +232,20 @@ class Wav2Vec2Model(Module):
 
     def sanitize(self, weights: dict) -> dict:
         """HF torch checkpoints: conv [O, I, K] -> [K, I, O]; pos-conv
-        weight-norm g [1, 1, K] -> [K, 1, 1]."""
+        weight-norm g [1, 1, K] -> [K, 1, 1].  Handles both legacy
+        (weight_g/weight_v) and modern torch parametrizations
+        (conv.parametrizations.weight.original0/1) key styles."""
         out = {}
         for k, v in weights.items():
             v = np.asarray(v)
+            if "pos_conv_embed" in k:
+                k = (k.replace(".conv.parametrizations.weight.original0",
+                               ".weight_g")
+                     .replace(".conv.parametrizations.weight.original1",
+                              ".weight_v")
+                     .replace(".conv.weight_g", ".weight_g")
+                     .replace(".conv.weight_v", ".weight_v")
+                     .replace(".conv.bias", ".bias"))
             if "pos_conv_embed" in k and k.endswith("weight_v") and v.ndim == 3:
                 v = v.transpose(2, 1, 0)
             elif "pos_conv_embed" in k and k.endswith("weight_g") and v.ndim == 3:

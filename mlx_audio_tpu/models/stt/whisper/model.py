@@ -258,9 +258,13 @@ class WhisperModel(Module):
 
     def sanitize(self, weights: dict) -> dict:
         """MLX whisper checkpoints use NLC conv layout [O, K, I] -> ours
-        [K, I, O]; torch uses [O, I, K]."""
+        [K, I, O]; torch uses [O, I, K].  HF-transformers `WhisperModel`
+        checkpoints (openai/whisper-* hub format: encoder.layers.N.self_attn
+        naming) are auto-detected and remapped to the OpenAI layout."""
         from mlx_audio_tpu.models.base import check_array_shape
 
+        if any(".self_attn.q_proj." in k for k in weights):
+            weights = sanitize_hf_whisper(weights)
         out = {}
         for k, v in weights.items():
             v = np.asarray(v)
@@ -273,3 +277,48 @@ class WhisperModel(Module):
                 k = k.replace("_positional_embedding", "positional_embedding")
             out[k] = v
         return out
+
+
+def sanitize_hf_whisper(weights: dict) -> dict:
+    """Map HF-transformers Whisper keys (openai/whisper-* hub format) to the
+    OpenAI layout this model uses.  Conv weights stay torch [O, I, K] here;
+    the caller's layout pass transposes them.  The sinusoidal encoder
+    embed_positions and the tied proj_out are dropped (recomputed / tied).
+    Golden parity in tests/test_golden_hf.py."""
+    rules = (
+        (".self_attn.q_proj.", ".attn.query."),
+        (".self_attn.k_proj.", ".attn.key."),
+        (".self_attn.v_proj.", ".attn.value."),
+        (".self_attn.out_proj.", ".attn.out."),
+        (".encoder_attn.q_proj.", ".cross_attn.query."),
+        (".encoder_attn.k_proj.", ".cross_attn.key."),
+        (".encoder_attn.v_proj.", ".cross_attn.value."),
+        (".encoder_attn.out_proj.", ".cross_attn.out."),
+        (".self_attn_layer_norm.", ".attn_ln."),
+        (".encoder_attn_layer_norm.", ".cross_attn_ln."),
+        (".fc1.", ".mlp1."),
+        (".fc2.", ".mlp2."),
+        (".final_layer_norm.", ".mlp_ln."),
+    )
+    out = {}
+    for k, v in weights.items():
+        k = k.removeprefix("model.")
+        if k.startswith("proj_out.") or k == "encoder.embed_positions.weight":
+            continue  # tied to token_embedding / fixed sinusoids
+        k = k.replace(".layers.", ".blocks.")
+        for old, new in rules:
+            k = k.replace(old, new)
+        if k == "decoder.embed_tokens.weight":
+            k = "decoder.token_embedding.weight"
+        elif k == "decoder.embed_positions.weight":
+            k = "decoder.positional_embedding"
+        elif k == "encoder.layer_norm.weight":
+            k = "encoder.ln_post.weight"
+        elif k == "encoder.layer_norm.bias":
+            k = "encoder.ln_post.bias"
+        elif k == "decoder.layer_norm.weight":
+            k = "decoder.ln.weight"
+        elif k == "decoder.layer_norm.bias":
+            k = "decoder.ln.bias"
+        out[k] = np.asarray(v)
+    return out

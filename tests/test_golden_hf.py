@@ -102,6 +102,318 @@ def test_mimi_matches_hf_transformers():
     )
 
 
+def test_encodec_matches_hf_transformers():
+    """Codes identical + waveform allclose vs a torch transformers
+    EncodecModel (validates weight-norm folding, the custom-LSTM gate
+    packing, causal conv padding, and RVQ bandwidth selection against the
+    implementation facebook/encodec_24khz ships in)."""
+    from transformers import EncodecConfig as HFEncodecConfig, EncodecModel
+
+    from mlx_audio_tpu.codec.encodec import (
+        Encodec,
+        EncodecConfig,
+        preprocess_audio,
+    )
+
+    torch.manual_seed(0)
+    common = dict(
+        target_bandwidths=[1.5, 3.0], sampling_rate=24000, audio_channels=1,
+        num_filters=4, num_residual_layers=1, upsampling_ratios=[8, 5, 4, 2],
+        codebook_size=1024, codebook_dim=8, hidden_size=8, num_lstm_layers=2,
+        kernel_size=7, last_kernel_size=7, residual_kernel_size=3,
+        dilation_growth_rate=2, use_causal_conv=True, normalize=False,
+    )
+    hf = EncodecModel(HFEncodecConfig(**common)).eval()
+    ours = Encodec(
+        EncodecConfig(**common, pad_mode="reflect", norm_type="weight_norm",
+                      trim_right_ratio=1.0, compress=2)
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ours = update_arrays(ours, ours.sanitize(sd), strict=True)
+
+    rng = np.random.default_rng(2)
+    wav = (rng.standard_normal(9600) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        t_in = torch.from_numpy(wav)[None, None]
+        enc = hf.encode(t_in, bandwidth=3.0)
+        codes_hf = enc.audio_codes.numpy()
+        wav_hf = hf.decode(enc.audio_codes, enc.audio_scales).audio_values.numpy()
+
+    audio, mask = preprocess_audio(wav)
+    codes, scales = ours.encode(audio, mask, bandwidth=3.0)
+    codes = np.asarray(codes)
+    assert codes.shape == codes_hf.shape
+    assert (codes == codes_hf).all()
+
+    wav_ours = np.asarray(ours.decode(jnp.asarray(codes), scales, mask))
+    n = min(wav_ours.shape[-1], wav_hf.shape[-1])
+    np.testing.assert_allclose(
+        wav_ours.reshape(-1)[:n], wav_hf.reshape(-1)[:n], atol=1e-4, rtol=1e-4
+    )
+
+
+def test_dac_matches_hf_transformers():
+    """Codes identical + waveform allclose vs a torch transformers DacModel
+    (validates the weight-norm re-split g=||w||, v=w, snake activation, and
+    L2-normalized factorized VQ against the implementation descript/dac_*
+    checkpoints ship in)."""
+    from transformers import DacConfig as HFDacConfig, DacModel
+
+    from mlx_audio_tpu.codec.dac import DAC, DACConfig
+
+    torch.manual_seed(0)
+    rates = [2, 4, 5, 8]
+    hf = DacModel(
+        HFDacConfig(
+            encoder_hidden_size=16, downsampling_ratios=rates,
+            decoder_hidden_size=128, upsampling_ratios=rates[::-1],
+            n_codebooks=4, codebook_size=64, codebook_dim=8,
+            sampling_rate=16000,
+        )
+    ).eval()
+    ours = DAC(
+        DACConfig(
+            encoder_dim=16, encoder_rates=rates, decoder_dim=128,
+            decoder_rates=rates[::-1], n_codebooks=4, codebook_size=64,
+            codebook_dim=8, sample_rate=16000,
+        )
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ours = update_arrays(ours, ours.sanitize(sd), strict=True)
+
+    rng = np.random.default_rng(3)
+    hop = int(np.prod(rates))
+    wav = (rng.standard_normal(hop * 30) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        enc = hf.encode(torch.from_numpy(wav)[None, None])
+        codes_hf = enc.audio_codes.numpy()
+        wav_hf = hf.decode(enc.quantized_representation).audio_values.numpy()
+
+    z, codes, _ = ours.encode(jnp.asarray(wav)[None, None, :])
+    codes = np.asarray(codes)
+    assert codes.shape == codes_hf.shape
+    assert (codes == codes_hf).all()
+
+    wav_ours = np.asarray(ours.decode(z))
+    n = min(wav_ours.shape[-1], wav_hf.shape[-1])
+    np.testing.assert_allclose(
+        wav_ours.reshape(-1)[:n], wav_hf.reshape(-1)[:n], atol=1e-4, rtol=1e-4
+    )
+
+
+def test_whisper_matches_hf_transformers():
+    """Encoder features + decoder logits allclose vs a torch transformers
+    WhisperForConditionalGeneration (the openai/whisper-* hub format):
+    validates conv frontend, sinusoidal/learned positions, attention and
+    the tied output head through our sanitize remap."""
+    from transformers import WhisperConfig as HFWhisperConfig
+    from transformers import WhisperForConditionalGeneration
+
+    from mlx_audio_tpu.models.stt.whisper.model import (
+        ModelDimensions,
+        WhisperModel,
+    )
+
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(
+        HFWhisperConfig(
+            vocab_size=100, num_mel_bins=8, d_model=16,
+            encoder_layers=2, encoder_attention_heads=2,
+            decoder_layers=2, decoder_attention_heads=2,
+            encoder_ffn_dim=64, decoder_ffn_dim=64,
+            max_source_positions=16, max_target_positions=16,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2,
+            decoder_start_token_id=1,
+        )
+    ).eval()
+    ours = WhisperModel(
+        ModelDimensions(
+            n_mels=8, n_audio_ctx=16, n_audio_state=16, n_audio_head=2,
+            n_audio_layer=2, n_vocab=100, n_text_ctx=16, n_text_state=16,
+            n_text_head=2, n_text_layer=2,
+        )
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ours = update_arrays(ours, ours.sanitize(sd), strict=False)
+
+    rng = np.random.default_rng(4)
+    mel = (rng.standard_normal((1, 8, 32)) * 0.5).astype(np.float32)
+    tokens = rng.integers(0, 100, size=(1, 10))
+
+    with torch.no_grad():
+        enc_hf = hf.model.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+        logits_hf = hf(
+            input_features=torch.from_numpy(mel),
+            decoder_input_ids=torch.from_numpy(tokens),
+        ).logits.numpy()
+
+    enc_ours = np.asarray(ours.encoder(jnp.asarray(mel.transpose(0, 2, 1))))
+    np.testing.assert_allclose(enc_ours, enc_hf, atol=1e-4, rtol=1e-4)
+
+    logits_ours = np.asarray(
+        ours.decoder.full_forward(jnp.asarray(tokens), jnp.asarray(enc_ours))
+    )
+    np.testing.assert_allclose(logits_ours, logits_hf, atol=1e-3, rtol=1e-3)
+
+
+def test_albert_matches_hf_transformers():
+    """Kokoro's PLBERT text encoder vs torch transformers AlbertModel:
+    identical key naming (loads a hub AlbertModel state_dict unchanged),
+    last_hidden_state and pooled output allclose, with a padding mask."""
+    from transformers import AlbertConfig, AlbertModel
+
+    from mlx_audio_tpu.models.tts.kokoro.albert import (
+        AlbertModelArgs,
+        CustomAlbert,
+    )
+
+    torch.manual_seed(0)
+    kw = dict(vocab_size=50, hidden_size=16, num_attention_heads=2,
+              num_hidden_layers=2, intermediate_size=32, embedding_size=8,
+              max_position_embeddings=32)
+    hf = AlbertModel(AlbertConfig(pad_token_id=0, **kw)).eval()
+    ours = CustomAlbert(AlbertModelArgs(**kw))
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ours = update_arrays(ours, sd, strict=True)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 50, size=(2, 12))
+    mask = np.ones((2, 12), dtype=np.int64)
+    mask[1, 8:] = 0
+
+    with torch.no_grad():
+        out_hf = hf(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        )
+    seq, pooled = ours(jnp.asarray(ids), jnp.asarray(mask))
+    # compare only unmasked positions (masked ones are unconstrained)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(seq)[valid], out_hf.last_hidden_state.numpy()[valid],
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled), out_hf.pooler_output.numpy(), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_wav2vec2_matches_hf_transformers():
+    """Spark's feature tower vs torch transformers Wav2Vec2Model:
+    hidden states allclose through conv feature encoder, grouped pos-conv
+    (weight-norm), and transformer encoder."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model as HFWav2Vec2
+
+    from mlx_audio_tpu.models.stt.wav2vec.wav2vec import (
+        ModelConfig,
+        Wav2Vec2Model,
+    )
+
+    torch.manual_seed(0)
+    kw = dict(
+        hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(4, 4), conv_stride=(5, 2),
+        conv_kernel=(10, 3), num_feat_extract_layers=2,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
+        do_stable_layer_norm=False, feat_extract_norm="group",
+    )
+    hf = HFWav2Vec2(Wav2Vec2Config(**kw)).eval()
+    ours = Wav2Vec2Model(ModelConfig.from_dict(kw))
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()
+          if "masked_spec_embed" not in k}
+    ours = update_arrays(ours, ours.sanitize(sd), strict=False)
+
+    rng = np.random.default_rng(6)
+    wav = (rng.standard_normal((1, 400)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        out_hf = hf(torch.from_numpy(wav)).last_hidden_state.numpy()
+    out_ours = np.asarray(ours(jnp.asarray(wav))[0])
+    np.testing.assert_allclose(out_ours, out_hf, atol=1e-4, rtol=1e-4)
+
+
+def test_llama_matches_hf_transformers():
+    """The shared LM backbone (CSM/Sesame, Orpheus, OuteTTS) vs a torch
+    transformers LlamaModel: final hidden states allclose over a full
+    causal forward (validates GQA, rotate-half RoPE tables, RMSNorm and
+    SwiGLU against the hub checkpoint implementation)."""
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaModel
+
+    from mlx_audio_tpu.models.lm.llama import (
+        LlamaConfig,
+        LlamaModel as OurLlama,
+    )
+
+    torch.manual_seed(0)
+    hf = LlamaModel(
+        HFLlamaConfig(
+            vocab_size=100, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, max_position_embeddings=64,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            attention_bias=False, mlp_bias=False,
+        )
+    ).eval()
+    ours = OurLlama(
+        LlamaConfig(
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, hidden_size=32, intermediate_size=64,
+            rms_norm_eps=1e-5, vocab_size=100, max_position_embeddings=64,
+            rope_theta=10000.0,
+        )
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()
+          if "rotary_emb" not in k}
+    ours = update_arrays(ours, sd, strict=False)
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 100, size=(2, 11))
+    with torch.no_grad():
+        out_hf = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
+    out_ours = np.asarray(ours(jnp.asarray(ids)))
+    np.testing.assert_allclose(out_ours, out_hf, atol=1e-4, rtol=1e-4)
+
+
+def test_qwen2_matches_hf_transformers():
+    """Spark-TTS's Qwen2 backbone flavor (qkv biases) vs a torch
+    transformers Qwen2Model."""
+    from transformers import Qwen2Config as HFQwen2Config, Qwen2Model
+
+    from mlx_audio_tpu.models.lm.llama import (
+        LlamaConfig,
+        LlamaModel as OurLlama,
+    )
+
+    torch.manual_seed(0)
+    hf = Qwen2Model(
+        HFQwen2Config(
+            vocab_size=100, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+        )
+    ).eval()
+    ours = OurLlama(
+        LlamaConfig(
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, hidden_size=32, intermediate_size=64,
+            rms_norm_eps=1e-5, vocab_size=100, max_position_embeddings=64,
+            rope_theta=10000.0, qkv_bias=True,
+        )
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()
+          if "rotary_emb" not in k}
+    ours = update_arrays(ours, sd, strict=False)
+
+    rng = np.random.default_rng(8)
+    ids = rng.integers(0, 100, size=(2, 9))
+    with torch.no_grad():
+        out_hf = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
+    out_ours = np.asarray(ours(jnp.asarray(ids)))
+    np.testing.assert_allclose(out_ours, out_hf, atol=1e-4, rtol=1e-4)
+
+
 def test_mimi_hf_rope_convention_is_discriminated():
     """The q/k un-permutation must matter: mapping HF weights without it
     diverges in attention (guards against a silently non-discriminating
