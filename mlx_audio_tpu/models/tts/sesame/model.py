@@ -584,9 +584,42 @@ def _frame_chunk(model, caches, pad_len, last_frame, key, temp, top_k, n_arr):
     return frames, caches
 
 
+def sanitize_hf_csm(weights: dict) -> dict:
+    """Map HF-transformers `CsmForConditionalGeneration` checkpoint keys
+    (the sesame/csm-1b hub format) to our paths.  `codec_model.*` keys are
+    dropped (Mimi loads separately via sanitize_hf_mimi); the depth
+    decoder's duplicated audio-embedding table is dropped in favor of the
+    shared backbone table (the original shares one, sesame.py:397-415).
+    Golden logits parity in tests/test_golden_hf.py."""
+    out = {}
+    for k, v in weights.items():
+        if k.startswith("codec_model.") or k == "depth_decoder.model.embed_tokens.weight":
+            continue
+        v = np.asarray(v)
+        if k == "embed_text_tokens.weight":
+            k = "model.text_embeddings.weight"
+        elif k == "backbone_model.embed_tokens.embed_audio_tokens.weight":
+            k = "model.audio_embeddings.weight"
+        elif k == "lm_head.weight":
+            k = "model.codebook0_head.weight"
+        elif k == "depth_decoder.codebooks_head.weight":
+            k = "model.audio_head"
+        elif k == "depth_decoder.model.inputs_embeds_projector.weight":
+            k = "model.projection.weight"
+        elif k.startswith("depth_decoder.model."):
+            k = "model.decoder." + k[len("depth_decoder.model."):]
+        elif k.startswith("backbone_model."):
+            k = "model.backbone." + k[len("backbone_model."):]
+        out[k] = v
+    return out
+
+
 def sanitize(weights: dict) -> dict:
     """Map the CSM torch/MLX checkpoint keys to our paths (reference
-    sesame.py:543-570)."""
+    sesame.py:543-570).  HF-transformers CSM checkpoints (backbone_model.*
+    naming) are auto-detected."""
+    if any(k.startswith("backbone_model.") for k in weights):
+        return sanitize_hf_csm(weights)
     out = {}
     for k, v in weights.items():
         v = np.asarray(v)

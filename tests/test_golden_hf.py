@@ -414,6 +414,158 @@ def test_qwen2_matches_hf_transformers():
     np.testing.assert_allclose(out_ours, out_hf, atol=1e-4, rtol=1e-4)
 
 
+def _csm_pair():
+    from transformers import CsmConfig, CsmForConditionalGeneration
+    from transformers.models.csm.configuration_csm import (
+        CsmDepthDecoderConfig,
+    )
+
+    from mlx_audio_tpu.models.tts.sesame.model import SesameModel
+
+    torch.manual_seed(0)
+    rope = {"rope_type": "llama3", "factor": 32.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 16}
+    nc, v = 4, 66
+    depth = CsmDepthDecoderConfig(
+        num_codebooks=nc, backbone_hidden_size=64, vocab_size=v,
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+        max_position_embeddings=33, rope_theta=500000.0, rope_scaling=rope,
+        rms_norm_eps=1e-5,
+    )
+    # tiny codec config keeps construction cheap; the codec is not used in
+    # the logits comparisons
+    codec = dict(
+        model_type="mimi", sampling_rate=24000, frame_rate=12.5,
+        audio_channels=1, hidden_size=32, num_filters=4,
+        num_residual_layers=1, upsampling_ratios=[8, 6, 5, 4],
+        codebook_size=16, codebook_dim=8, num_quantizers=nc,
+        intermediate_size=64, upsample_groups=32, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=16,
+        sliding_window=25, vector_quantization_hidden_dimension=8,
+        num_semantic_quantizers=1,
+    )
+    hf = CsmForConditionalGeneration(
+        CsmConfig(
+            num_codebooks=nc, vocab_size=v, text_vocab_size=128,
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=64, rope_theta=500000.0,
+            rope_scaling=rope, rms_norm_eps=1e-5,
+            depth_decoder_config=depth.to_dict(), codec_config=codec,
+            pad_token_id=2, bos_token_id=1,
+        )
+    ).eval()
+    # the original CSM shares one audio-embedding table between backbone and
+    # depth decoder (reference sesame.py:397-415); HF duplicates it — tie
+    # for a faithful comparison
+    with torch.no_grad():
+        hf.depth_decoder.model.embed_tokens.weight.copy_(
+            hf.backbone_model.embed_tokens.embed_audio_tokens.weight
+        )
+
+    ours = SesameModel(
+        {
+            "text_vocab_size": 128, "audio_vocab_size": v,
+            "audio_num_codebooks": nc,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "head_dim": 16, "hidden_size": 64,
+            "intermediate_size": 128, "rms_norm_eps": 1e-5, "vocab_size": 128,
+            "max_position_embeddings": 64, "rope_theta": 500000.0,
+            "rope_scaling": rope,
+            "depth_decoder_config": {
+                "num_hidden_layers": 2, "num_attention_heads": 2,
+                "num_key_value_heads": 1, "head_dim": 16, "hidden_size": 32,
+                "intermediate_size": 64, "rms_norm_eps": 1e-5,
+                "vocab_size": v, "max_position_embeddings": 33,
+                "rope_theta": 500000.0, "rope_scaling": rope,
+            },
+        }
+    )
+    from mlx_audio_tpu.models.tts.sesame.model import sanitize_hf_csm
+
+    sd = {k: w.detach().numpy() for k, w in hf.state_dict().items()}
+    mapping = {k.removeprefix("model."): w
+               for k, w in sanitize_hf_csm(sd).items()}
+    ours = update_arrays(ours, mapping, strict=False)
+    return hf, ours, nc, v
+
+
+def test_csm_matches_hf_transformers():
+    """The CSM-1B flagship vs torch transformers CsmForConditionalGeneration
+    (the sesame/csm-1b hub format): fused audio-frame embeddings, backbone
+    hidden states, codebook-0 logits, and depth-decoder logits at every
+    codebook position all allclose — validates the embedding offset scheme,
+    llama3 RoPE scaling, the projection placement, and the per-position
+    depth heads against the official implementation."""
+    import jax
+
+    hf, ours, nc, v = _csm_pair()
+    rng = np.random.default_rng(9)
+    b, t = 2, 6
+    audio_ids = rng.integers(0, v, size=(b, t, nc))
+
+    with torch.no_grad():
+        e_hf = hf.backbone_model.embed_tokens(
+            torch.from_numpy(audio_ids)
+        ).numpy()
+        h_hf = hf.backbone_model(
+            inputs_embeds=torch.from_numpy(e_hf)
+        ).last_hidden_state.numpy()
+        c0_logits_hf = (hf.lm_head(torch.from_numpy(h_hf[:, -1]))).numpy()
+
+    # ours: audio-only frames = tokens with text col masked out
+    tokens = np.concatenate(
+        [audio_ids, np.zeros((b, t, 1), dtype=audio_ids.dtype)], axis=-1
+    )
+    mask = np.ones((b, t, nc + 1), dtype=bool)
+    mask[..., -1] = False
+    e_ours = np.asarray(
+        ours.embed_tokens(jnp.asarray(tokens), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(e_ours, e_hf, atol=1e-4, rtol=1e-4)
+
+    h_ours = np.asarray(ours.backbone(jnp.asarray(e_ours)))
+    np.testing.assert_allclose(h_ours, h_hf, atol=1e-4, rtol=1e-4)
+
+    c0_logits = np.asarray(ours.codebook0_head(jnp.asarray(h_ours[:, -1])))
+    np.testing.assert_allclose(c0_logits, c0_logits_hf, atol=1e-4, rtol=1e-4)
+
+    # depth decoder: logits for predicting c_S given [last_h, c0..c_{S-1}]
+    last_h = h_hf[:, -1]
+    codes = rng.integers(0, v, size=(b, nc - 1))
+    for s in range(1, nc):
+        with torch.no_grad():
+            # HF replaces position 0's embedding with the backbone hidden
+            # state, so input_ids = [placeholder, c0, ..., c_{s-1}]
+            ids = np.concatenate(
+                [np.zeros((b, 1), dtype=codes.dtype), codes[:, :s]], axis=1
+            )
+            out = hf.depth_decoder(
+                input_ids=torch.from_numpy(ids),
+                backbone_last_hidden_state=torch.from_numpy(last_h),
+            )
+            d_logits_hf = out.logits[:, -1].numpy()
+
+        dec_caches = ours.decoder.init_cache(b, max_len=nc + 1)
+        pad0 = jnp.zeros((b,), dtype=jnp.int32)
+        offsets = (jnp.arange(s - 1) + 1) * v if s > 1 else None
+        emb0 = ours.embed_audio(0, jnp.asarray(codes[:, :1]))
+        embeds = [jnp.asarray(last_h)[:, None, :], emb0]
+        if s > 1:
+            embeds.append(
+                ours.audio_embeddings(jnp.asarray(codes[:, 1:s]) + offsets)
+            )
+        seq = jnp.concatenate(embeds, axis=1)
+        h, _ = ours.decoder.step(dec_caches, ours.projection(seq), pad0)
+        d_logits = np.asarray(
+            jnp.einsum("bd,dv->bv", h[:, -1], ours.audio_head[s - 1])
+        )
+        np.testing.assert_allclose(d_logits, d_logits_hf, atol=1e-4,
+                                   rtol=1e-4)
+
+
 def test_mimi_hf_rope_convention_is_discriminated():
     """The q/k un-permutation must matter: mapping HF weights without it
     diverges in attention (guards against a silently non-discriminating
