@@ -80,6 +80,9 @@ class DiaAttention(Module):
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
         self.is_cross_attn = is_cross_attn
+        # nari-labs applies RoPE to cross-attn q/k (layers.py:317,679); the
+        # HF-transformers port (hub checkpoint format) does not.
+        self.use_rope = (not is_cross_attn) or cfg.model.cross_attn_rope
         self.num_gqa_groups = num_query_heads // num_kv_heads
         self.rope_min = cfg.model.rope_min_timescale
         self.rope_max = cfg.model.rope_max_timescale
@@ -90,6 +93,8 @@ class DiaAttention(Module):
         self.o_proj = DenseGeneral((num_query_heads, head_dim), (out_dim,))
 
     def _rope(self, x, pos):
+        if not self.use_rope:
+            return x
         return rope_timescale(x, pos, self.rope_min, self.rope_max)
 
     def _kv(self, xkv, kv_positions):

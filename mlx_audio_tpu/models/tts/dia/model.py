@@ -263,8 +263,70 @@ class Model(Module):
             )
 
     def sanitize(self, weights: dict) -> dict:
+        """Original nari-labs checkpoints already use our DenseGeneral
+        layouts.  HF-transformers `DiaForConditionalGeneration` checkpoints
+        (nari-labs/Dia-1.6B hub format: flattened 2-D projections, fused
+        embeddings) are auto-detected and reshaped."""
+        if any(".mlp.gate_up_proj." in k or "embeddings.embed." in k
+               for k in weights):
+            return sanitize_hf_dia(weights, self.config)
         return {k if k.startswith("model.") else f"model.{k}": np.asarray(v)
                 for k, v in weights.items()}
+
+
+def sanitize_hf_dia(weights: dict, config) -> dict:
+    """Map HF-transformers Dia checkpoints to our DenseGeneral layouts.
+
+    HF flattens every projection to 2-D torch Linear layout; we reshape to
+    the original jax DenseGeneral axes: q/k/v [D, H, hd], o [H, hd, D],
+    gate_up [D, 2, hidden], down [hidden, D], fused channel embeddings and
+    logits head split per channel.  Golden parity in tests/test_golden_hf.py.
+    """
+    enc, dec = config.model.encoder, config.model.decoder
+    channels = config.data.channels
+    tgt_v = config.model.tgt_vocab_size
+
+    def qkv(v, heads, hd):
+        return v.T.reshape(v.shape[1], heads, hd)
+
+    out = {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        k = k.removeprefix("model.")
+        if k == "logits_dense.weight":
+            out["model.decoder.logits_dense.weight"] = v.T.reshape(
+                v.shape[1], channels, tgt_v)
+            continue
+        if k == "decoder.embeddings.embed.weight":
+            for c in range(channels):
+                out[f"model.decoder.embeddings.{c}.weight"] = (
+                    v[c * tgt_v:(c + 1) * tgt_v])
+            continue
+        if ".self_attention." in k or ".cross_attention." in k:
+            is_enc = k.startswith("encoder.")
+            is_cross = ".cross_attention." in k
+            if is_enc:
+                h, hd, kvh, kvd = enc.n_head, enc.head_dim, enc.n_head, enc.head_dim
+            elif is_cross:
+                h, hd = dec.cross_query_heads, dec.cross_head_dim
+                kvh, kvd = dec.cross_query_heads, dec.cross_head_dim
+            else:
+                h, hd = dec.gqa_query_heads, dec.gqa_head_dim
+                kvh, kvd = dec.kv_heads, dec.gqa_head_dim
+            if k.endswith("q_proj.weight"):
+                v = qkv(v, h, hd)
+            elif k.endswith("k_proj.weight") or k.endswith("v_proj.weight"):
+                v = qkv(v, kvh, kvd)
+            elif k.endswith("o_proj.weight"):
+                v = v.T.reshape(h, hd, v.shape[0])
+        elif k.endswith(".mlp.gate_up_proj.weight"):
+            k = k.replace(".gate_up_proj.", ".wi_fused.")
+            v = v.T.reshape(v.shape[1], 2, v.shape[0] // 2)
+        elif k.endswith(".mlp.down_proj.weight"):
+            k = k.replace(".down_proj.", ".wo.")
+            v = v.T
+        out["model." + k] = v
+    return out
 
 
 @jax.jit

@@ -14,7 +14,13 @@ import pytest
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
+import jax
 import jax.numpy as jnp
+
+# XLA:CPU's default matmul path (oneDNN fastmath) carries ~0.3% relative
+# error vs torch's f32 GEMMs — force true f32 so allclose tolerances mean
+# what they say.  (On TPU the bf16/f32 policy is chosen per-model instead.)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from mlx_audio_tpu.nn.module import update_arrays
 
@@ -564,6 +570,107 @@ def test_csm_matches_hf_transformers():
         )
         np.testing.assert_allclose(d_logits, d_logits_hf, atol=1e-4,
                                    rtol=1e-4)
+
+
+def test_dia_matches_hf_transformers():
+    """Dia-1.6B vs torch transformers DiaForConditionalGeneration (the
+    nari-labs/Dia-1.6B hub format): encoder hidden states and full-sequence
+    decoder audio logits allclose — validates the DenseGeneral reshapes
+    (q/k/v [D,H,hd], o [H,hd,D]), fused gate_up→wi_fused split, per-channel
+    embedding de-fusing, timescale RoPE, unscaled attention scores, and the
+    channel-major logits head through `sanitize`."""
+    from transformers import DiaConfig as HFDiaConfig
+    from transformers import DiaForConditionalGeneration
+    from transformers.models.dia.configuration_dia import (
+        DiaDecoderConfig as HFDec,
+        DiaEncoderConfig as HFEnc,
+    )
+
+    from mlx_audio_tpu.models.tts.dia.config import (
+        DataConfig,
+        DecoderConfig,
+        DiaConfig,
+        DiaModelConfig,
+        EncoderConfig,
+    )
+    from mlx_audio_tpu.models.tts.dia.model import Model
+
+    torch.manual_seed(0)
+    C, V, SV = 3, 36, 64
+    hf = DiaForConditionalGeneration(
+        HFDiaConfig(
+            encoder_config=HFEnc(
+                max_position_embeddings=64, num_hidden_layers=2,
+                hidden_size=32, num_attention_heads=2,
+                num_key_value_heads=2, head_dim=16, intermediate_size=64,
+                vocab_size=SV, norm_eps=1e-5, rope_theta=10000.0,
+            ).to_dict(),
+            decoder_config=HFDec(
+                max_position_embeddings=128, num_hidden_layers=2,
+                hidden_size=32, intermediate_size=64,
+                num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+                cross_num_attention_heads=2, cross_head_dim=16,
+                cross_num_key_value_heads=2, cross_hidden_size=32,
+                vocab_size=V, num_channels=C, norm_eps=1e-5,
+                rope_theta=10000.0,
+            ).to_dict(),
+            delay_pattern=[0, 1, 2],
+        )
+    ).eval()
+    ours = Model(
+        DiaConfig(
+            data=DataConfig(text_length=16, audio_length=128, channels=C,
+                            delay_pattern=[0, 1, 2]),
+            model=DiaModelConfig(
+                encoder=EncoderConfig(n_layer=2, n_embd=32, n_hidden=64,
+                                      n_head=2, head_dim=16),
+                decoder=DecoderConfig(n_layer=2, n_embd=32, n_hidden=64,
+                                      gqa_query_heads=4, kv_heads=2,
+                                      gqa_head_dim=8, cross_query_heads=2,
+                                      cross_head_dim=16),
+                src_vocab_size=SV, tgt_vocab_size=V, sample_rate=16000,
+                cross_attn_rope=False,
+            ),
+        )
+    )
+    sd = {k: w.detach().numpy() for k, w in hf.state_dict().items()}
+    ours = update_arrays(ours, ours.sanitize(sd), strict=True)
+
+    rng = np.random.default_rng(10)
+    b, s, t = 1, 12, 7
+    src = rng.integers(1, SV, size=(b, s))
+    codes = rng.integers(0, V, size=(b, t, C))
+
+    with torch.no_grad():
+        enc_hf = hf.model.encoder(
+            input_ids=torch.from_numpy(src)
+        ).last_hidden_state.numpy()
+        logits_hf = hf(
+            input_ids=torch.from_numpy(src),
+            decoder_input_ids=torch.from_numpy(codes),
+        ).logits.numpy()  # [B*C, T, V]
+
+    pos = jnp.arange(s)[None]
+    enc_ours = np.asarray(
+        ours.model.encoder(jnp.asarray(src), pos, None)
+    )
+    np.testing.assert_allclose(enc_ours, enc_hf, atol=1e-4, rtol=1e-4)
+
+    caches = ours.model.decoder.init_cache(b, t)
+    cross_kvs = ours.model.decoder.precompute_cross_kv(
+        jnp.asarray(enc_ours), pos
+    )
+    i = jnp.arange(t)[:, None]
+    j = jnp.arange(t)[None, :]
+    sa_mask = (j <= i)[None, None]
+    logits_ours, _ = ours.model.decoder.step(
+        jnp.asarray(codes), jnp.arange(t)[None], caches, cross_kvs,
+        sa_mask, None,
+    )  # [B, T, C, V]
+    logits_ours = np.asarray(logits_ours).transpose(0, 2, 1, 3).reshape(
+        b * C, t, V
+    )
+    np.testing.assert_allclose(logits_ours, logits_hf, atol=1e-3, rtol=1e-3)
 
 
 def test_mimi_hf_rope_convention_is_discriminated():
