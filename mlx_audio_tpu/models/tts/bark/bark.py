@@ -381,5 +381,7 @@ class Model(Module):
             k = re.sub(r"(^|\.)h\.(\d+)\.", r"\1layers.\2.", k)
             if "codec" in k:
                 continue
+            if k.endswith(".attn.bias"):
+                continue  # registered causal-mask buffer, not a parameter
             out[k] = np.asarray(v)
         return out

@@ -32,6 +32,19 @@ class GPTConfig(BaseModelArgs):
     n_codes_total: int = 8
     n_codes_given: int = 1
 
+    # HF-transformers BarkConfig field names (suno/bark config.json) →
+    # the suno-native names this dataclass uses.
+    _HF_ALIASES = {
+        "num_layers": "n_layer",
+        "num_heads": "n_head",
+        "hidden_size": "n_embd",
+    }
+
+    @classmethod
+    def from_dict(cls, params: dict):
+        params = {cls._HF_ALIASES.get(k, k): v for k, v in params.items()}
+        return super(GPTConfig, cls).from_dict(params)
+
 
 class CausalSelfAttention(Module):
     def __init__(self, cfg: GPTConfig):
@@ -76,8 +89,10 @@ class CausalSelfAttention(Module):
 
 class MLP(Module):
     def __init__(self, cfg: GPTConfig):
-        self.in_proj = Linear(cfg.n_embd, 4 * cfg.n_embd, bias=False)
-        self.out_proj = Linear(4 * cfg.n_embd, cfg.n_embd, bias=False)
+        # suno checkpoints ship bias-free MLPs; HF-transformers Bark
+        # (modeling_bark.BarkMLP) honors config.bias — follow the config.
+        self.in_proj = Linear(cfg.n_embd, 4 * cfg.n_embd, bias=cfg.bias)
+        self.out_proj = Linear(4 * cfg.n_embd, cfg.n_embd, bias=cfg.bias)
 
     def __call__(self, x):
         return self.out_proj(jax.nn.gelu(self.in_proj(x), approximate=False))

@@ -701,3 +701,140 @@ def test_mimi_hf_rope_convention_is_discriminated():
     wrong = update_arrays(ours, naive, strict=False)
     t_wrong = np.asarray(wrong.encoder_transformer(jnp.asarray(x))[0])
     assert np.abs(t_hf - t_wrong).max() > 1e-4
+
+
+def test_bark_matches_hf_transformers():
+    """All three Bark GPT stages vs HF transformers (modeling_bark.py):
+    semantic/coarse causal stacks match position-by-position through our
+    prefill+step KV-cache path, and the non-causal fine stage matches
+    per-codebook logits — loading a combined BarkModel-format state dict
+    through Model.sanitize (validates the suno/bark checkpoint path)."""
+    from transformers.models.bark import (
+        BarkCoarseConfig,
+        BarkFineConfig,
+        BarkSemanticConfig,
+    )
+    from transformers.models.bark.modeling_bark import (
+        BarkCoarseModel,
+        BarkFineModel,
+        BarkSemanticModel,
+    )
+
+    from mlx_audio_tpu.models.tts.bark.bark import Model, ModelConfig
+
+    V = 200
+    stage = dict(
+        block_size=64, input_vocab_size=V, output_vocab_size=V,
+        num_layers=2, num_heads=2, hidden_size=32, dropout=0.0, bias=True,
+    )
+    torch.manual_seed(0)
+    sem_hf = BarkSemanticModel(BarkSemanticConfig(**stage)).eval()
+    coa_hf = BarkCoarseModel(BarkCoarseConfig(**stage)).eval()
+    fin_hf = BarkFineModel(
+        BarkFineConfig(**stage, n_codes_total=8, n_codes_given=1)
+    ).eval()
+
+    ours = Model(
+        ModelConfig(
+            semantic_config=dict(stage),
+            coarse_acoustics_config=dict(stage),
+            fine_acoustics_config={**stage, "n_codes_total": 8,
+                                   "n_codes_given": 1},
+        )
+    )
+    sd = {}
+    for prefix, hf in (("semantic", sem_hf), ("coarse_acoustics", coa_hf),
+                       ("fine_acoustics", fin_hf)):
+        for k, v in hf.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.detach().numpy()
+    ours = update_arrays(ours, ours.sanitize(sd), strict=True)
+
+    rng = np.random.default_rng(0)
+    T = 12
+    for hf, gpt in ((sem_hf, ours.semantic), (coa_hf, ours.coarse_acoustics)):
+        ids = rng.integers(0, V, (1, T))
+        with torch.no_grad():
+            logits_hf = hf(input_ids=torch.from_numpy(ids)).logits.numpy()
+
+        x = jnp.asarray(ids, dtype=jnp.int32)
+        caches = gpt.init_cache(1, 32)
+        # prefill over the first 4 tokens, then single-token steps: every
+        # position's logits must match HF's full forward
+        embeds = gpt.input_embeds_layer(x[:, :4])
+        logits_p, caches = gpt.prefill(caches, embeds, jnp.array(4))
+        np.testing.assert_allclose(
+            np.asarray(logits_p)[0], logits_hf[0, 3], atol=1e-4, rtol=1e-4
+        )
+        for t in range(4, T):
+            logits_s, caches = gpt.step(caches, x[:, t : t + 1])
+            np.testing.assert_allclose(
+                np.asarray(logits_s)[0], logits_hf[0, t], atol=1e-4,
+                rtol=1e-4,
+            )
+
+    codes = rng.integers(0, V, (1, T, 8))
+    for pred_idx in (1, 4):
+        with torch.no_grad():
+            logits_hf = fin_hf(
+                codebook_idx=pred_idx, input_ids=torch.from_numpy(codes)
+            ).logits.numpy()
+        logits_ours = np.asarray(
+            ours.fine_acoustics(pred_idx, jnp.asarray(codes, dtype=jnp.int32))
+        )
+        np.testing.assert_allclose(
+            logits_ours, logits_hf, atol=1e-4, rtol=1e-4
+        )
+
+
+def test_indextts_gpt2_matches_hf_transformers():
+    """IndexTTS's embedding-level GPT-2 decoder stack vs HF transformers
+    GPT2Model (the implementation IndexTTS checkpoints ship in): hidden
+    states match position-by-position through our prefill+step KV-cache
+    path, with weights routed through Model.sanitize's HF-GPT2 rules
+    (Conv1D [in,out] -> Linear [out,in] transposes)."""
+    from transformers import GPT2Config, GPT2Model as HFGPT2Model
+
+    from mlx_audio_tpu.models.tts.indextts.gpt import GPT2Args, GPT2Model
+    from mlx_audio_tpu.models.tts.indextts.indextts import Model as IndexTTS
+    from mlx_audio_tpu.nn import Module
+
+    D, H, L, T = 32, 2, 2, 12
+    torch.manual_seed(0)
+    hf = HFGPT2Model(
+        GPT2Config(
+            vocab_size=64, n_positions=64, n_embd=D, n_layer=L, n_head=H,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        )
+    ).eval()
+    with torch.no_grad():
+        hf.wpe.weight.zero_()  # ours is embedding-level: caller adds positions
+
+    class Holder(Module):
+        def __init__(self, gpt):
+            self.gpt = gpt
+
+    holder = Holder(GPT2Model(GPT2Args(n_embd=D, n_head=H, n_layer=L)))
+    sd = {
+        f"gpt.{k}": v.detach().numpy()
+        for k, v in hf.state_dict().items()
+        if not k.startswith(("wte.", "wpe."))
+    }
+    holder = update_arrays(holder, IndexTTS.sanitize(None, sd), strict=True)
+    gpt = holder.gpt
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, T, D)).astype(np.float32)
+    with torch.no_grad():
+        h_hf = hf(inputs_embeds=torch.from_numpy(x)).last_hidden_state.numpy()
+
+    xj = jnp.asarray(x)
+    caches = gpt.init_cache(1, 32)
+    h_p, caches = gpt.prefill(caches, xj[:, :4], jnp.array(4))
+    np.testing.assert_allclose(
+        np.asarray(h_p)[0], h_hf[0, 3], atol=1e-4, rtol=1e-4
+    )
+    for t in range(4, T):
+        h_s, caches = gpt.step(caches, xj[:, t : t + 1])
+        np.testing.assert_allclose(
+            np.asarray(h_s)[0], h_hf[0, t], atol=1e-4, rtol=1e-4
+        )
