@@ -4,6 +4,8 @@ from mlx_audio_tpu.models.stt.parakeet.parakeet import (
     ParakeetCTC,
     ParakeetRNNT,
     ParakeetTDT,
+    sanitize_hf_parakeet,
 )
 
-__all__ = ["Model", "BaseParakeet", "ParakeetTDT", "ParakeetRNNT", "ParakeetCTC"]
+__all__ = ["Model", "BaseParakeet", "ParakeetTDT", "ParakeetRNNT",
+           "ParakeetCTC", "sanitize_hf_parakeet"]

@@ -368,6 +368,57 @@ class ParakeetCTC(BaseParakeet):
         return results
 
 
+def sanitize_hf_parakeet(weights: dict) -> dict:
+    """HF-transformers Parakeet state dict (modeling_parakeet.py, the
+    format nvidia/parakeet-* HF checkpoints ship in) -> our NeMo-style
+    layout (ParakeetCTC pytree keys).
+
+    Subsampling Sequential indices: HF interleaves ReLU modules (conv at 0,
+    then dw/pw at 3k-1/3k per extra stage); ours keeps a conv-only list
+    (dw/pw at 2k-1/2k).  Conv weights go torch [O, I/g, ...] -> K-major
+    ([K, I/g, O] for 1-D, HWIO for 2-D).
+    """
+    import re
+
+    out = {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.startswith("ctc_head."):
+            if k.endswith("weight"):
+                out["decoder.decoder_layers.0.weight"] = v.transpose(2, 1, 0)
+            else:
+                out["decoder.decoder_layers.0.bias"] = v
+            continue
+        m = re.match(r"encoder\.subsampling\.layers\.(\d+)\.(weight|bias)", k)
+        if m:
+            j, leaf = int(m.group(1)), m.group(2)
+            if j == 0:
+                idx = 0
+            elif j % 3 == 2:  # depthwise conv of stage k=(j+1)/3
+                idx = 2 * ((j + 1) // 3) - 1
+            else:  # pointwise conv of stage k=j/3
+                idx = 2 * (j // 3)
+            if leaf == "weight":
+                v = v.transpose(2, 3, 1, 0)  # [O, I/g, kh, kw] -> HWIO
+            out[f"encoder.pre_encode.conv.{idx}.{leaf}"] = v
+            continue
+        k = k.replace("encoder.subsampling.linear.", "encoder.pre_encode.out.")
+        k = (k.replace(".self_attn.q_proj.", ".self_attn.linear_q.")
+             .replace(".self_attn.k_proj.", ".self_attn.linear_k.")
+             .replace(".self_attn.v_proj.", ".self_attn.linear_v.")
+             .replace(".self_attn.o_proj.", ".self_attn.linear_out.")
+             .replace(".self_attn.relative_k_proj.", ".self_attn.linear_pos.")
+             .replace(".self_attn.bias_u", ".self_attn.pos_bias_u")
+             .replace(".self_attn.bias_v", ".self_attn.pos_bias_v")
+             .replace(".conv.norm.", ".conv.batch_norm."))
+        if ".conv." in k and v.ndim == 3:
+            v = v.transpose(2, 1, 0)  # torch [O, I/g, K] -> [K, I/g, O]
+        out[k] = v
+    return out
+
+
 class Model:
     """Registry entry point: dispatches on the NeMo config target."""
 

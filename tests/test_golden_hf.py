@@ -838,3 +838,68 @@ def test_indextts_gpt2_matches_hf_transformers():
         np.testing.assert_allclose(
             np.asarray(h_s)[0], h_hf[0, t], atol=1e-4, rtol=1e-4
         )
+
+
+def test_parakeet_ctc_matches_hf_transformers():
+    """Conformer encoder + CTC head vs HF transformers ParakeetForCTC (the
+    implementation nvidia/parakeet-* HF checkpoints ship in): encoder
+    hidden states and CTC log-probs allclose, with weights routed through
+    sanitize_hf_parakeet (validates dw-striding subsampling indexing,
+    rel-pos attention bias_u/bias_v + relative projection mapping, and the
+    conv-module batch-norm layout)."""
+    from transformers.models.parakeet import (
+        ParakeetCTCConfig,
+        ParakeetEncoderConfig,
+    )
+    from transformers.models.parakeet.modeling_parakeet import ParakeetForCTC
+
+    from mlx_audio_tpu.models.stt.parakeet import (
+        ParakeetCTC,
+        sanitize_hf_parakeet,
+    )
+    from mlx_audio_tpu.models.stt.parakeet.conformer import ConformerArgs
+    from mlx_audio_tpu.models.stt.parakeet.ctc import ConvASRDecoderArgs
+
+    enc = ParakeetEncoderConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_kernel_size=9, num_mel_bins=16,
+        subsampling_factor=8, subsampling_conv_channels=8, dropout=0.0,
+        attention_dropout=0.0, dropout_positions=0.0, scale_input=False,
+    )
+    torch.manual_seed(0)
+    hf = ParakeetForCTC(
+        ParakeetCTCConfig(encoder_config=enc.to_dict(), vocab_size=33)
+    ).eval()
+
+    ours = ParakeetCTC(
+        None,
+        ConformerArgs(
+            feat_in=16, n_layers=2, d_model=32, n_heads=2,
+            ff_expansion_factor=2, subsampling_factor=8,
+            self_attention_model="rel_pos", subsampling="dw_striding",
+            conv_kernel_size=9, subsampling_conv_channels=8,
+            pos_emb_max_len=5000,
+        ),
+        ConvASRDecoderArgs(feat_in=32, num_classes=-1,
+                           vocabulary=[str(i) for i in range(32)]),
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ours = update_arrays(ours, sanitize_hf_parakeet(sd), strict=True)
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 64, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        t_in = torch.from_numpy(mel)
+        enc_hf = hf.encoder(input_features=t_in).last_hidden_state.numpy()
+        logp_hf = torch.log_softmax(
+            hf(input_features=t_in).logits, dim=-1
+        ).numpy()
+
+    enc_ours, lengths = ours.encoder(jnp.asarray(mel))
+    enc_ours = np.asarray(enc_ours)
+    assert enc_ours.shape == enc_hf.shape
+    np.testing.assert_allclose(enc_ours, enc_hf, atol=1e-4, rtol=1e-4)
+
+    logp_ours = np.asarray(ours.decoder(jnp.asarray(enc_ours)))
+    np.testing.assert_allclose(logp_ours, logp_hf, atol=1e-4, rtol=1e-4)
