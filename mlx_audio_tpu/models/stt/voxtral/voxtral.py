@@ -293,6 +293,14 @@ class Model(Module):
 
         mel = log_mel_spectrogram(np.asarray(audio),
                                   n_mels=self.audio_cfg.num_mel_bins)
+        # The encoder's positional table is sized for a fixed window of
+        # 2 * max_source_positions frames (HF pads/rejects anything else,
+        # modeling_voxtral.py VoxtralEncoder.forward); pad or trim to it.
+        window = 2 * self.audio_cfg.max_source_positions
+        if mel.shape[0] < window:
+            mel = jnp.pad(mel, ((0, window - mel.shape[0]), (0, 0)))
+        else:
+            mel = mel[:window]
         n_audio_tokens = (mel.shape[0] // 2) // (
             self.audio_cfg.intermediate_size // self.audio_cfg.d_model
         )
@@ -307,6 +315,11 @@ class Model(Module):
                 # torch [O, I, K] -> [K, I, O]
                 v = v.transpose(2, 1, 0)
             k = k.replace("language_model.model.", "language_model.")
+            k = k.replace("language_model.lm_head.", "lm_head.")
+            if k.startswith("audio_tower."):
+                # HF nests the encoder projections under .self_attn.; our
+                # VoxtralEncoderLayer hosts them directly.
+                k = k.replace(".self_attn.", ".")
             out[k] = v
         return out
 

@@ -903,3 +903,91 @@ def test_parakeet_ctc_matches_hf_transformers():
 
     logp_ours = np.asarray(ours.decoder(jnp.asarray(enc_ours)))
     np.testing.assert_allclose(logp_ours, logp_hf, atol=1e-4, rtol=1e-4)
+
+
+def test_voxtral_matches_hf_transformers():
+    """Audio tower + multimodal projector + spliced-LM forward vs HF
+    transformers VoxtralForConditionalGeneration (the implementation
+    mistralai/Voxtral-* checkpoints ship in): audio embeddings and full
+    causal-LM logits over a prompt with audio placeholders allclose
+    (validates the Whisper-style conv frontend layout, the frame-grouping
+    reshape before projection, the cumsum embed splice vs masked_scatter,
+    and the lm_head key routing in sanitize)."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers.models.voxtral import VoxtralConfig
+    from transformers.models.voxtral.configuration_voxtral import (
+        VoxtralEncoderConfig,
+    )
+    from transformers.models.voxtral.modeling_voxtral import (
+        VoxtralForConditionalGeneration,
+    )
+
+    from mlx_audio_tpu.models.stt.voxtral.voxtral import Model
+
+    ac = VoxtralEncoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_mel_bins=16,
+        max_source_positions=64, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0,
+    )
+    tc = HFLlamaConfig(
+        vocab_size=96, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=8, max_position_embeddings=128, rope_theta=1e4,
+        rms_norm_eps=1e-5, attention_bias=False, mlp_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = VoxtralForConditionalGeneration(
+        VoxtralConfig(audio_config=ac.to_dict(), text_config=tc.to_dict(),
+                      audio_token_id=90)
+    ).eval()
+
+    ours = Model({
+        "audio_config": {
+            "num_mel_bins": 16, "d_model": 32, "encoder_layers": 2,
+            "encoder_attention_heads": 2, "encoder_ffn_dim": 64,
+            "intermediate_size": 64, "max_source_positions": 64,
+        },
+        "text_config": {
+            "vocab_size": 96, "hidden_size": 16, "intermediate_size": 32,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "num_key_value_heads": 1, "head_dim": 8,
+            "max_position_embeddings": 128, "rope_theta": 1e4,
+            "rms_norm_eps": 1e-5, "tie_word_embeddings": False,
+        },
+        "audio_token_id": 90,
+    })
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()
+          if "rotary_emb" not in k}
+    ours = update_arrays(ours, ours.sanitize(sd), strict=True)
+
+    rng = np.random.default_rng(3)
+    # HF requires the full padded mel window: max_source_positions * 2 frames
+    mel = rng.standard_normal((1, 16, 128)).astype(np.float32)
+
+    with torch.no_grad():
+        ae_hf = hf.get_audio_features(torch.from_numpy(mel)).numpy()
+    ae_ours = np.asarray(
+        ours.get_audio_embeds(jnp.asarray(mel.transpose(0, 2, 1)))
+    )
+    assert ae_ours.shape == ae_hf.shape  # 128 frames -> 64 -> 32 groups
+    np.testing.assert_allclose(ae_ours, ae_hf, atol=1e-4, rtol=1e-4)
+
+    # full forward: text tokens around 32 audio placeholders
+    n_audio = ae_hf.shape[0]
+    ids = np.concatenate([
+        np.array([1, 5, 7]), np.full(n_audio, 90), np.array([9, 11, 2]),
+    ]).astype(np.int64)[None]
+    with torch.no_grad():
+        logits_hf = hf(
+            input_ids=torch.from_numpy(ids),
+            input_features=torch.from_numpy(mel),
+        ).logits.numpy()
+
+    embeds = ours.merge_input_embeddings(
+        jnp.asarray(ids), jnp.asarray(mel.transpose(0, 2, 1))
+    )
+    h = ours.language_model(embeds)
+    logits_ours = np.asarray(ours.lm_logits(h))
+    np.testing.assert_allclose(logits_ours, logits_hf, atol=1e-4, rtol=1e-4)
