@@ -206,8 +206,14 @@ class TextDecoder(Module):
         new_caches = []
         for block, cache, (ck, cv) in zip(self.blocks, caches, cross_kv):
             x, cache, _ = block.decoder_call(x, cache, mask, ck, cv)
-            # rewind the write index to the true prompt length
-            new_caches.append(cache._replace(idx=n_valid.astype(jnp.int32)))
+            # Rewind the write index to the LAST valid prompt slot: the
+            # decode loops (decoding.py) re-feed tokens[t-1] on their first
+            # step, so that step must overwrite slot n_valid-1 with the
+            # identical token/position rather than append a duplicate at
+            # n_valid (which shifted every generated position by one).
+            new_caches.append(
+                cache._replace(idx=n_valid.astype(jnp.int32) - 1)
+            )
         return self.ln(x), new_caches
 
     def step(self, caches: list, tokens: jax.Array, cross_kv: list):

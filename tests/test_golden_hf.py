@@ -991,3 +991,138 @@ def test_voxtral_matches_hf_transformers():
     h = ours.language_model(embeds)
     logits_ours = np.asarray(ours.lm_logits(h))
     np.testing.assert_allclose(logits_ours, logits_hf, atol=1e-4, rtol=1e-4)
+
+
+def _tiny_whisper_pair():
+    from transformers import WhisperConfig as HFWhisperConfig
+    from transformers import WhisperForConditionalGeneration
+
+    from mlx_audio_tpu.models.stt.whisper.model import (
+        ModelDimensions,
+        WhisperModel,
+    )
+
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(
+        HFWhisperConfig(
+            vocab_size=100, num_mel_bins=8, d_model=16,
+            encoder_layers=2, encoder_attention_heads=2,
+            decoder_layers=2, decoder_attention_heads=2,
+            encoder_ffn_dim=64, decoder_ffn_dim=64,
+            max_source_positions=16, max_target_positions=32,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2,
+            decoder_start_token_id=1,
+        )
+    ).eval()
+    ours = WhisperModel(
+        ModelDimensions(
+            n_mels=8, n_audio_ctx=16, n_audio_state=16, n_audio_head=2,
+            n_audio_layer=2, n_vocab=100, n_text_ctx=32, n_text_state=16,
+            n_text_head=2, n_text_layer=2,
+        )
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ours = update_arrays(ours, ours.sanitize(sd), strict=False)
+    return hf, ours
+
+
+def test_whisper_beam_search_matches_hf_generate():
+    """Our jitted batched beam search (a capability the reference declares
+    NotImplemented, decoding.py:436) vs HF transformers' reference beam
+    search on the same tiny Whisper: identical best sequences and
+    sum-logprob scores per audio.  This test caught a real off-by-one in
+    the KV-cache prefill rewind (the decode loops re-feed the last prompt
+    token; the cache must overwrite its slot, not append a duplicate)."""
+    from transformers.generation import GenerationConfig, GenerationMixin
+
+    from mlx_audio_tpu.models.stt.whisper.api import _prefill_jit
+    from mlx_audio_tpu.models.stt.whisper.decoding import (
+        FilterConfig,
+        beam_search_loop,
+    )
+
+    hf, ours = _tiny_whisper_pair()
+    rng = np.random.default_rng(11)
+    n_audio, beam, sample_len = 3, 4, 10
+    mel = (rng.standard_normal((n_audio, 8, 32)) * 0.5).astype(np.float32)
+
+    gc = GenerationConfig(
+        num_beams=beam, do_sample=False, max_new_tokens=sample_len,
+        length_penalty=0.0, early_stopping=True, output_scores=True,
+        return_dict_in_generate=True, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=1,
+    )
+    with torch.no_grad():
+        # plain GenerationMixin.generate: bypasses Whisper's long-form
+        # orchestration (irrelevant to the tiny config) but runs the
+        # canonical HF beam scorer
+        out = GenerationMixin.generate(
+            hf, input_features=torch.from_numpy(mel),
+            decoder_input_ids=torch.full((n_audio, 1), 1, dtype=torch.long),
+            generation_config=gc,
+        )
+    seqs_hf = out.sequences.numpy()
+    scores_hf = out.sequences_scores.numpy()
+
+    features = ours.encoder(jnp.asarray(mel.transpose(0, 2, 1)))
+    buf_len = 1 + sample_len + 1
+    tokens0 = np.full((n_audio, buf_len), 2, dtype=np.int32)
+    tokens0[:, 0] = 1
+    tokens0 = jnp.asarray(tokens0)
+    cross_kv = ours.decoder.compute_cross_kv(features)
+    caches = ours.decoder.init_cache(n_audio, buf_len, dtype=features.dtype)
+    _, caches = _prefill_jit(ours, caches, cross_kv, tokens0[:, :1],
+                             jnp.asarray(1, jnp.int32), 0)
+    tile = lambda x: jnp.repeat(x, beam, axis=0)
+    caches = [c._replace(k=tile(c.k), v=tile(c.v)) for c in caches]
+    cross_kv = [(tile(ck), tile(cv)) for ck, cv in cross_kv]
+    cfg = FilterConfig(eot=2, timestamp_begin=100, no_timestamps=99,
+                       max_initial_timestamp_index=-1,
+                       apply_timestamp_rules=False)
+    zeros = jnp.zeros((100,), jnp.float32)
+    fin_tokens, fin_len, fin_scores = beam_search_loop(
+        ours, caches, cross_kv, tile(tokens0), jnp.asarray(1, jnp.int32),
+        jnp.asarray(1, jnp.int32), zeros, zeros, sample_len=sample_len,
+        beam_size=beam, params=cfg,
+    )
+    fin_tokens = np.asarray(fin_tokens)
+    fin_len = np.asarray(fin_len)
+    fin_scores = np.asarray(fin_scores)
+
+    for i in range(n_audio):
+        g = int(fin_scores[i].argmax())
+        seq = fin_tokens[i, g, : fin_len[i, g]].tolist()
+        if 2 in seq:  # strip our forced/natural EOT for comparison
+            seq = seq[: seq.index(2)]
+        ref = seqs_hf[i].tolist()
+        if 2 in ref:
+            ref = ref[: ref.index(2)]
+        assert seq == ref
+        np.testing.assert_allclose(fin_scores[i, g], scores_hf[i], atol=1e-4)
+
+
+def test_whisper_greedy_cached_decode_matches_full_forward():
+    """The cached greedy decode loop must reproduce the teacher-forced
+    full_forward distributions exactly (guards the prefill idx-rewind
+    contract under the loops' re-feed-last-token convention)."""
+    from mlx_audio_tpu.models.stt.whisper.api import _prefill_jit
+
+    _, ours = _tiny_whisper_pair()
+    rng = np.random.default_rng(11)
+    mel = (rng.standard_normal((1, 8, 32)) * 0.5).astype(np.float32)
+    features = ours.encoder(jnp.asarray(mel.transpose(0, 2, 1)))
+
+    seq = [1, 35, 47, 12, 80]
+    t0 = 2
+    ids = jnp.asarray(np.array([seq], dtype=np.int32))
+    ff = np.asarray(ours.decoder.full_forward(ids, features).astype(jnp.float32))
+    cross_kv = ours.decoder.compute_cross_kv(features)
+    caches = ours.decoder.init_cache(1, 16, dtype=features.dtype)
+    _, caches = _prefill_jit(ours, caches, cross_kv, ids[:, :t0],
+                             jnp.asarray(t0, jnp.int32), 0)
+    for t in range(t0, len(seq)):
+        lg, caches = ours.decoder.step(caches, ids[:, t - 1: t], cross_kv)
+        np.testing.assert_allclose(
+            np.asarray(lg.astype(jnp.float32))[0], ff[0, t - 1],
+            atol=1e-5, rtol=1e-5,
+        )
