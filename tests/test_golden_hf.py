@@ -1126,3 +1126,53 @@ def test_whisper_greedy_cached_decode_matches_full_forward():
             np.asarray(lg.astype(jnp.float32))[0], ff[0, t - 1],
             atol=1e-5, rtol=1e-5,
         )
+
+
+def test_csm_greedy_frame_loop_matches_hf_generate():
+    """Full integrated generation loop (backbone prefill + cached frame
+    steps + 31-step depth-decoder scan + greedy sampling) vs HF
+    transformers CsmForConditionalGeneration.generate: identical codebook
+    frames for multi-frame greedy decodes on different prompts.  Guards
+    the cache/positions/pad bookkeeping of the flagship AR path end to
+    end, not just per-stage logits."""
+    from transformers.generation import GenerationConfig
+
+    from mlx_audio_tpu.models.tts.sesame.model import (
+        _frame_chunk,
+        _prefill_and_first_frame,
+    )
+
+    hf, ours, nc, v = _csm_pair()
+
+    for prompt in ([1, 5, 9, 12, 3], [1, 40, 100, 3]):
+        ids = np.asarray(prompt, dtype=np.int64)[None]
+        n_frames = 4
+        gc = GenerationConfig(do_sample=False, max_new_tokens=n_frames,
+                              min_new_tokens=n_frames, pad_token_id=2,
+                              bos_token_id=1)
+        with torch.no_grad():
+            frames_hf = hf.generate(
+                input_ids=torch.from_numpy(ids), generation_config=gc,
+                output_audio=False,
+            ).numpy()  # [1, n_frames, nc]
+
+        b, t = ids.shape
+        tokens = np.zeros((b, t, nc + 1), dtype=np.int32)
+        mask = np.zeros((b, t, nc + 1), dtype=bool)
+        tokens[:, :, -1] = ids
+        mask[:, :, -1] = True
+        pad_len = jnp.zeros((b,), dtype=jnp.int32)
+        caches = ours.backbone.init_cache(b, max_len=t + n_frames + 4)
+        key = jax.random.PRNGKey(0)
+        frame, caches = _prefill_and_first_frame(
+            ours, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
+            key, 0.0, 50,
+        )
+        frames = [np.asarray(frame)]
+        out, caches = _frame_chunk(
+            ours, caches, pad_len, jnp.asarray(frames[0]), key, 0.0, 50,
+            jnp.zeros((n_frames - 1,), dtype=jnp.int32),
+        )
+        frames.extend(list(np.asarray(out)))
+        frames_ours = np.stack(frames, axis=1)  # [1, n_frames, nc]
+        assert (frames_ours == frames_hf).all()
