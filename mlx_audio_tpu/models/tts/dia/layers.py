@@ -129,13 +129,24 @@ class DiaAttention(Module):
         return self._attend(q, k, v, mask)
 
     def self_cached(self, xq, q_positions, cache: KVCache, mask):
-        """Append this step's KV and attend over the cache buffer."""
+        """Append this step's KV and attend over the cache buffer.
+
+        The attention is always restricted to written slots (causally up to
+        the cache's write frontier): unwritten zero keys would otherwise
+        receive softmax weight e^0 and pollute every decode step when the
+        caller passes mask=None (as the generate loop does)."""
         q = self._rope(self.q_proj(xq), q_positions).transpose(0, 2, 1, 3)
         k = self._rope(self.k_proj(xq), q_positions).transpose(0, 2, 1, 3)
         v = self.v_proj(xq).transpose(0, 2, 1, 3)
         if self.num_gqa_groups > 1:
             k = jnp.repeat(k, self.num_gqa_groups, axis=1)
             v = jnp.repeat(v, self.num_gqa_groups, axis=1)
+        q_len = xq.shape[1]
+        max_len = cache.k.shape[-2]
+        j = jnp.arange(max_len)[None, None, None, :]
+        i = jnp.arange(q_len)[None, None, :, None]
+        valid = j < (cache.idx + i + 1)  # pre-update frontier, causal
+        mask = valid if mask is None else (mask & valid)
         cache = cache.update(k, v)
         out = self._attend(q, cache.k, cache.v, mask)
         return out, cache

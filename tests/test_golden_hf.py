@@ -572,13 +572,7 @@ def test_csm_matches_hf_transformers():
                                    rtol=1e-4)
 
 
-def test_dia_matches_hf_transformers():
-    """Dia-1.6B vs torch transformers DiaForConditionalGeneration (the
-    nari-labs/Dia-1.6B hub format): encoder hidden states and full-sequence
-    decoder audio logits allclose — validates the DenseGeneral reshapes
-    (q/k/v [D,H,hd], o [H,hd,D]), fused gate_up→wi_fused split, per-channel
-    embedding de-fusing, timescale RoPE, unscaled attention scores, and the
-    channel-major logits head through `sanitize`."""
+def _dia_pair():
     from transformers import DiaConfig as HFDiaConfig
     from transformers import DiaForConditionalGeneration
     from transformers.models.dia.configuration_dia import (
@@ -635,9 +629,18 @@ def test_dia_matches_hf_transformers():
     )
     sd = {k: w.detach().numpy() for k, w in hf.state_dict().items()}
     ours = update_arrays(ours, ours.sanitize(sd), strict=True)
+    return hf, ours, (1, 12, 7, C, V, SV)
 
+
+def test_dia_matches_hf_transformers():
+    """Dia-1.6B vs torch transformers DiaForConditionalGeneration (the
+    nari-labs/Dia-1.6B hub format): encoder hidden states and full-sequence
+    decoder audio logits allclose — validates the DenseGeneral reshapes
+    (q/k/v [D,H,hd], o [H,hd,D]), fused gate_up→wi_fused split, per-channel
+    embedding de-fusing, timescale RoPE, unscaled attention scores, and the
+    channel-major logits head through `sanitize`."""
+    hf, ours, (b, s, t, C, V, SV) = _dia_pair()
     rng = np.random.default_rng(10)
-    b, s, t = 1, 12, 7
     src = rng.integers(1, SV, size=(b, s))
     codes = rng.integers(0, V, size=(b, t, C))
 
@@ -1176,3 +1179,35 @@ def test_csm_greedy_frame_loop_matches_hf_generate():
         frames.extend(list(np.asarray(out)))
         frames_ours = np.stack(frames, axis=1)  # [1, n_frames, nc]
         assert (frames_ours == frames_hf).all()
+
+
+def test_dia_incremental_decode_matches_hf_transformers():
+    """The one-token-at-a-time cached decode path (the convention the real
+    generate loop `_dia_chunk` uses) vs HF teacher-forced logits at every
+    position — guards the KV-cache write/position bookkeeping that a
+    full-sequence pass cannot (cf. the Whisper prefill off-by-one this
+    golden suite caught)."""
+    hf, ours, (b, s, t, C, V, SV) = _dia_pair()
+    rng = np.random.default_rng(12)
+    src = rng.integers(1, SV, size=(b, s))
+    codes = rng.integers(0, V, size=(b, t, C))
+
+    with torch.no_grad():
+        logits_hf = hf(
+            input_ids=torch.from_numpy(src),
+            decoder_input_ids=torch.from_numpy(codes),
+        ).logits.numpy()  # [B*C, T, V]
+
+    pos = jnp.arange(s)[None]
+    enc = ours.model.encoder(jnp.asarray(src), pos, None)
+    cross_kvs = ours.model.decoder.precompute_cross_kv(enc, pos)
+    caches = ours.model.decoder.init_cache(b, t)
+    for step in range(t):
+        logits_s, caches = ours.model.decoder.step(
+            jnp.asarray(codes[:, step: step + 1]),
+            jnp.asarray([[step]]), caches, cross_kvs, None, None,
+        )
+        got = np.asarray(logits_s)[0, -1]  # [C, V]
+        np.testing.assert_allclose(
+            got, logits_hf[:, step], atol=1e-3, rtol=1e-3
+        )
