@@ -289,7 +289,10 @@ class ParakeetTDT(BaseParakeet):
         scale = self._time_scale()
         for b in range(features.shape[0]):
             max_len = int(lengths[b])
-            max_out = max(16, 2 * max_len)
+            # worst case: max_symbols emissions per frame before the forced
+            # time advance (reference parakeet.py:384-386,477-480) — a
+            # smaller buffer would silently truncate the transcript
+            max_out = max(16, (int(self.max_symbols) + 1) * max_len)
             toks, times, durs, count = _transducer_greedy_loop(
                 self, features[b: b + 1], jnp.asarray(max_len, jnp.int32),
                 jnp.asarray(self.durations, jnp.int32),

@@ -141,3 +141,86 @@ def test_batched_chunk_decode_matches_single():
     batch = model.decode(jnp.concatenate([mel_a, mel_b], axis=0))
     singles = [model.decode(mel_a)[0], model.decode(mel_b)[0]]
     assert [r.text for r in batch] == [r.text for r in singles]
+
+
+def _eager_transducer_oracle(model, features, max_length, tdt):
+    """Reference-semantics greedy loop (parakeet.py:334-386 TDT,
+    :435-482 RNNT) run eagerly over the same networks — an independent
+    oracle for the jitted lax.while_loop."""
+    import jax
+
+    blank = len(model.vocabulary)
+    durations = model.durations
+    max_symbols = model.max_symbols
+    h, c = model.decoder.init_state(1)
+    last_token, use_emb = blank, False
+    hyp = []
+    time, new_symbols = 0, 0
+    while time < max_length:
+        feature = features[:, time]
+        dec_out, (h2, c2) = model.decoder.step(
+            jnp.asarray([last_token], jnp.int32), (h, c),
+            jnp.asarray([use_emb]),
+        )
+        joint = np.asarray(model.joint(feature, dec_out)[0], np.float32)
+        pred = int(joint[: blank + 1].argmax())
+        if tdt:
+            decision = int(joint[blank + 1:].argmax())
+            dur = durations[decision]
+        if pred != blank:
+            hyp.append((pred, time, durations[decision] if tdt else 1))
+            last_token, use_emb = pred, True
+            h, c = h2, c2
+        if tdt:
+            time += dur
+            new_symbols += 1
+            if dur != 0:
+                new_symbols = 0
+            elif max_symbols is not None and max_symbols <= new_symbols:
+                time += 1
+                new_symbols = 0
+        else:
+            if pred != blank:
+                new_symbols += 1
+                if max_symbols is not None and max_symbols <= new_symbols:
+                    time += 1
+                    new_symbols = 0
+            else:
+                time += 1
+                new_symbols = 0
+    return hyp
+
+
+@pytest.mark.parametrize("tdt", [True, False])
+def test_transducer_while_loop_matches_eager_oracle(tdt):
+    """The jitted lax.while_loop greedy decoders must emit exactly the
+    tokens/times/durations of an eager re-implementation of the reference
+    loop semantics (guards the emit/advance/max_symbols bookkeeping and
+    the LSTM-state carry under the blank-vs-emit branches)."""
+    from mlx_audio_tpu.models.stt.parakeet.parakeet import (
+        _encode_jit,
+        _transducer_greedy_loop,
+    )
+
+    cfg = tdt_config(tdt=tdt)
+    if not tdt:
+        cfg["model_defaults"] = {"tdt_durations": None}
+    model = BaseParakeet.from_config(cfg)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((1, 120, 80)).astype(np.float32)
+    features, lengths = _encode_jit(model, jnp.asarray(mel))
+    max_len = int(lengths[0])
+
+    toks, times, durs, count = _transducer_greedy_loop(
+        model, features[:1], jnp.asarray(max_len, jnp.int32),
+        jnp.asarray(model.durations, jnp.int32),
+        vocab_size=len(model.vocabulary),
+        max_symbols=int(model.max_symbols),
+        max_out=max(16, (int(model.max_symbols) + 1) * max_len),
+        tdt=tdt,
+    )
+    got = [(int(toks[i]), int(times[i]), int(durs[i]))
+           for i in range(int(count))]
+    want = _eager_transducer_oracle(model, features, max_len, tdt)
+    assert got == want
+    assert len(want) > 0  # random weights must emit something non-trivial
