@@ -48,6 +48,7 @@ class ServerState:
         self.stt_repo: Optional[str] = None
         self.player = None
         self.batcher = None  # set to a DynamicBatcher to enable micro-batching
+        self.sts_options: dict = {}  # set via POST /speech_to_speech_input
         try:
             os.makedirs(output_folder, exist_ok=True)
             self.output_folder = output_folder
@@ -430,6 +431,29 @@ def create_app(state: Optional[ServerState] = None):
         # headless deployments just report the path
         return web.json_response({"folder": state.output_folder})
 
+    async def speech_to_speech_input(request):
+        """Configure the speech-to-speech session (reference server.py:101-104
+        — same fields minus the WebRTC id, since our transport is the
+        /ws/sts websocket): voice, speed, model, language apply to
+        subsequently opened websocket sessions."""
+        data = await request.post() if request.content_type.startswith(
+            "multipart") or request.content_type.startswith(
+            "application/x-www-form") else await request.json()
+        opts = {}
+        if data.get("voice"):
+            opts["tts_voice"] = str(data["voice"])
+        if data.get("speed") is not None:
+            try:
+                opts["tts_speed"] = float(data["speed"])
+            except (TypeError, ValueError):
+                pass
+        if data.get("model"):
+            opts["tts_model"] = str(data["model"])
+        if data.get("language"):
+            opts["tts_language"] = str(data["language"])
+        state.sts_options.update(opts)
+        return web.json_response({"status": "success"})
+
     async def sts_ws(request):
         """Websocket speech-to-speech: binary frames of 16 kHz f32 PCM in,
         JSON transcripts + binary synthesized audio out."""
@@ -437,9 +461,13 @@ def create_app(state: Optional[ServerState] = None):
 
         ws = _web.WebSocketResponse()
         await ws.prepare(request)
-        from mlx_audio_tpu.sts.voice_pipeline import VoicePipeline
+        from mlx_audio_tpu.sts.voice_pipeline import (
+            VoicePipeline,
+            VoicePipelineConfig,
+        )
 
-        pipeline = VoicePipeline(server_state=state)
+        cfg = VoicePipelineConfig(**state.sts_options)
+        pipeline = VoicePipeline(config=cfg, server_state=state)
         buffer = []
         async for msg in ws:
             if msg.type == WSMsgType.BINARY:
@@ -466,6 +494,7 @@ def create_app(state: Optional[ServerState] = None):
     app.router.add_get("/languages", languages)
     app.router.add_get("/models", models)
     app.router.add_post("/open_output_folder", open_output_folder)
+    app.router.add_post("/speech_to_speech_input", speech_to_speech_input)
     app.router.add_get("/ws/sts", sts_ws)
 
     ui = Path(__file__).parent / "tts" / "audio_player.html"

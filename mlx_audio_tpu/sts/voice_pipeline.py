@@ -37,6 +37,8 @@ class VoicePipelineConfig:
     llm_model: Optional[str] = None
     tts_model: str = "prince-canuma/Kokoro-82M"
     tts_voice: str = "af_heart"
+    tts_speed: float = 1.0
+    tts_language: str = "a"
 
 
 class EnergyVAD:
@@ -119,7 +121,9 @@ class VoicePipeline:
         """TTS a response; yields audio chunks, polling cancel for barge-in
         (reference _speak_response, :233-267)."""
         self.init_models()
-        for result in self._tts.generate(text, voice=self.config.tts_voice):
+        for result in self._tts.generate(text, voice=self.config.tts_voice,
+                                         speed=self.config.tts_speed,
+                                         lang_code=self.config.tts_language):
             if self.cancel_event.is_set():
                 break
             yield np.asarray(result.audio).reshape(-1)

@@ -17,7 +17,10 @@ def parse_args(argv=None):
     parser.add_argument("--model", type=str,
                         default="mlx-community/whisper-large-v3-turbo")
     parser.add_argument("--audio", type=str, required=True)
-    parser.add_argument("--output-path", type=str, default=".")
+    parser.add_argument("--output-path", "--output", dest="output_path",
+                        type=str, default=".")
+    parser.add_argument("--max_tokens", type=int, default=None,
+                        help="Maximum number of new tokens to generate")
     parser.add_argument("--format", type=str, default="txt",
                         choices=["txt", "srt", "vtt", "json", "tsv", "all"])
     parser.add_argument("--language", type=str, default=None)
@@ -61,6 +64,8 @@ def main(argv=None):
         kwargs["language"] = args.language
     if args.beam_size:
         kwargs["beam_size"] = args.beam_size
+    if args.max_tokens:
+        kwargs["max_tokens"] = args.max_tokens
     generate(
         args.model, args.audio, args.output_path, args.format,
         task=args.task, word_timestamps=args.word_timestamps,

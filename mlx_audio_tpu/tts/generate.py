@@ -147,6 +147,16 @@ def parse_args(argv=None):
                         choices=[None, "male", "female"],
                         help="Voice gender (Spark controllable TTS)")
     parser.add_argument("--stream", action="store_true")
+    parser.add_argument("--max_tokens", type=int, default=1200,
+                        help="Maximum number of tokens to generate")
+    parser.add_argument("--repetition_penalty", type=float, default=1.1,
+                        help="Repetition penalty for LM-based models")
+    parser.add_argument("--streaming_interval", type=float, default=2.0,
+                        help="Seconds of audio per streamed chunk")
+    parser.add_argument("--stt_model", type=str,
+                        default="mlx-community/whisper-large-v3-turbo",
+                        help="STT model used to transcribe --ref_audio when "
+                             "--ref_text is absent")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="capture an XLA profiler trace into this dir")
     return parser.parse_args(argv)
@@ -180,6 +190,10 @@ def main(argv=None):
         pitch=args.pitch,
         **({"gender": args.gender} if args.gender else {}),
         stream=args.stream,
+        max_tokens=args.max_tokens,
+        repetition_penalty=args.repetition_penalty,
+        streaming_interval=args.streaming_interval,
+        stt_model=args.stt_model,
         trace_dir=args.trace_dir,
     )
 

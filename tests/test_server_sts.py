@@ -180,5 +180,36 @@ def test_server_routes_exist():
               if r.resource is not None}
     for path in ["/tts", "/audio/{filename}", "/stt", "/play", "/stop",
                  "/languages", "/models", "/open_output_folder", "/ws/sts",
+                 "/speech_to_speech_input",
                  "/"]:  # "/" serves the web UI (tts/audio_player.html)
         assert path in routes, path
+
+
+def test_speech_to_speech_input_sets_session_options():
+    """POST /speech_to_speech_input (reference server.py:101-104) updates
+    the options applied to subsequent /ws/sts sessions."""
+    pytest.importorskip("aiohttp")
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mlx_audio_tpu.server import create_app
+
+    state = ServerState(output_folder="/tmp/mlx_audio_tpu_test_out")
+    app = create_app(state)
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.post(
+                "/speech_to_speech_input",
+                json={"voice": "af_sky", "speed": 1.25,
+                      "model": "prince-canuma/Kokoro-82M", "language": "b"},
+            )
+            assert resp.status == 200
+            assert (await resp.json())["status"] == "success"
+
+    asyncio.run(run())
+    assert state.sts_options == {
+        "tts_voice": "af_sky", "tts_speed": 1.25,
+        "tts_model": "prince-canuma/Kokoro-82M", "tts_language": "b",
+    }
