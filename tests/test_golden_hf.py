@@ -1211,3 +1211,66 @@ def test_dia_incremental_decode_matches_hf_transformers():
         np.testing.assert_allclose(
             got, logits_hf[:, step], atol=1e-3, rtol=1e-3
         )
+
+
+def test_causal_lm_greedy_loop_matches_hf_generate():
+    """The shared batched decode loop (Orpheus/OuteTTS/Spark backbone,
+    models/lm/causal.py) vs HF transformers LlamaForCausalLM.generate:
+    greedy continuations identical for a ragged batch of prompts —
+    exercises left-padded prefill buckets, the lax.scan chunk loop, and
+    per-row stop handling end to end against the reference generator."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM as HFLlamaForCausalLM
+
+    from mlx_audio_tpu.models.lm.causal import (
+        LlamaForCausalLM,
+        generate_tokens_batch,
+    )
+    from mlx_audio_tpu.models.lm.llama import LlamaConfig
+
+    torch.manual_seed(0)
+    eos = 2
+    hf = HFLlamaForCausalLM(
+        HFLlamaConfig(
+            vocab_size=100, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, max_position_embeddings=256,
+            rope_theta=10000.0, rms_norm_eps=1e-5, attention_bias=False,
+            mlp_bias=False, tie_word_embeddings=False,
+            bos_token_id=1, eos_token_id=eos, pad_token_id=0,
+        )
+    ).eval()
+    ours = LlamaForCausalLM(
+        LlamaConfig(
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, hidden_size=32, intermediate_size=64,
+            rms_norm_eps=1e-5, vocab_size=100, max_position_embeddings=256,
+            rope_theta=10000.0, tie_word_embeddings=False,
+        )
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()
+          if "rotary_emb" not in k}
+    sd = {k.replace("model.", "model.", 1): v for k, v in sd.items()}
+    ours = update_arrays(ours, sd, strict=False)
+
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(3, 100, size=n) for n in (5, 9, 3)]
+    max_new = 20
+
+    ref = []
+    with torch.no_grad():
+        for p in prompts:
+            out = hf.generate(
+                torch.from_numpy(p[None]), do_sample=False,
+                max_new_tokens=max_new, eos_token_id=eos, pad_token_id=0,
+            )[0, len(p):].tolist()
+            if eos in out:
+                out = out[: out.index(eos)]
+            ref.append(out)
+
+    got = generate_tokens_batch(
+        ours, prompts, max_tokens=max_new, temperature=0.0,
+        stop_tokens=(eos,), chunk=8,
+    )
+    got = [list(map(int, g)) for g in got]
+    assert got == ref
