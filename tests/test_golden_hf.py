@@ -1274,3 +1274,104 @@ def test_causal_lm_greedy_loop_matches_hf_generate():
     )
     got = [list(map(int, g)) for g in got]
     assert got == ref
+
+
+def test_whisper_timestamp_filter_matches_hf_processor():
+    """Our in-graph timestamp-rules logit filter vs HF transformers'
+    WhisperTimeStampLogitsProcessor on rule-consistent token histories:
+    identical masked-out sets and identical surviving logits (validates the
+    pair rule, the non-decreasing floor incl. the repeat-allowed second
+    timestamp, the initial-timestamp window, and the
+    timestamp-probability-forcing rule)."""
+    from transformers.generation.logits_process import (
+        WhisperTimeStampLogitsProcessor,
+    )
+
+    from mlx_audio_tpu.models.stt.whisper.decoding import (
+        FilterConfig,
+        apply_filters,
+    )
+
+    V, ts_begin, eot, no_ts = 60, 40, 38, 39
+    begin = 3
+
+    class _GC:  # minimal generate-config shim
+        eos_token_id = eot
+        no_timestamps_token_id = no_ts
+        max_initial_timestamp_index = 10
+        is_multilingual = False
+
+    proc = WhisperTimeStampLogitsProcessor(
+        _GC(), begin_index=begin, _detect_timestamp_from_logprob=True
+    )
+
+    cfg = FilterConfig(eot=eot, timestamp_begin=ts_begin, no_timestamps=no_ts,
+                       max_initial_timestamp_index=10,
+                       apply_timestamp_rules=True)
+    zeros = jnp.zeros((V,), jnp.float32)
+
+    rng = np.random.default_rng(30)
+    # rule-consistent histories after a 3-token prompt: pairs of timestamps
+    # around text runs, non-decreasing
+    histories = [
+        [],                              # at sample start
+        [41],                            # single (open) timestamp
+        [41, 41],                        # closed pair (repeat allowed)
+        [41, 5, 7],                      # text after a pair boundary
+        [41, 5, 7, 44],                  # open timestamp later
+        [41, 5, 44, 44, 9, 12],          # two closed segments + text
+    ]
+    prompt = [50, 51, 52]
+    for seq in histories:
+        ids = np.asarray([prompt + seq], dtype=np.int64)
+        logits = rng.standard_normal((1, V)).astype(np.float32) * 2.0
+
+        with torch.no_grad():
+            want = proc(torch.from_numpy(ids),
+                        torch.from_numpy(logits.copy())).numpy()[0]
+
+        t = ids.shape[1]
+        buf = np.full((1, t + 8), eot, dtype=np.int32)
+        buf[0, :t] = ids[0]
+        got = np.asarray(apply_filters(
+            jnp.asarray(logits), jnp.asarray(buf),
+            jnp.asarray(t, jnp.int32), jnp.asarray(begin, jnp.int32),
+            cfg, zeros, zeros,
+        ))[0]
+
+        inf_w = ~np.isfinite(want)
+        inf_g = ~np.isfinite(got)
+        assert (inf_w == inf_g).all(), (seq, np.nonzero(inf_w ^ inf_g))
+        np.testing.assert_allclose(got[~inf_g], want[~inf_w], atol=1e-5)
+
+
+def test_wav2vec2_feature_extractor_matches_hf():
+    """Our Wav2Vec2FeatureExtractor vs HF transformers' on ragged batches
+    across padding modes: identical input_values and attention_mask
+    (zero-mean/unit-var normalization over the unpadded region, padding
+    value placement, max_length truncation, pad_to_multiple_of)."""
+    from transformers import Wav2Vec2FeatureExtractor as HFExtractor
+
+    from mlx_audio_tpu.models.stt.wav2vec import Wav2Vec2FeatureExtractor
+
+    rng = np.random.default_rng(31)
+    speech = [rng.standard_normal(n).astype(np.float32) * 0.3
+              for n in (1600, 2400, 800)]
+
+    for kwargs in (
+        dict(padding="longest"),
+        dict(padding="max_length", max_length=3000),
+        dict(padding="longest", pad_to_multiple_of=512),
+        dict(padding="max_length", max_length=1000, truncation=True),
+    ):
+        hf = HFExtractor(do_normalize=True, return_attention_mask=True)
+        ours = Wav2Vec2FeatureExtractor(do_normalize=True,
+                                        return_attention_mask=True)
+        want = hf(speech, sampling_rate=16000, return_tensors="np", **kwargs)
+        got = ours(speech, sampling_rate=16000, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(got["input_values"]), want["input_values"],
+            atol=1e-5, rtol=1e-5,
+        )
+        assert (np.asarray(got["attention_mask"])
+                == want["attention_mask"]).all()
