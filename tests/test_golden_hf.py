@@ -1375,3 +1375,22 @@ def test_wav2vec2_feature_extractor_matches_hf():
         )
         assert (np.asarray(got["attention_mask"])
                 == want["attention_mask"]).all()
+
+
+def test_whisper_dtw_matches_hf():
+    """Our pure-numpy DTW (word-timestamp alignment) vs HF transformers'
+    _dynamic_time_warping on random cost matrices: identical alignment
+    paths."""
+    from transformers.models.whisper.generation_whisper import (
+        _dynamic_time_warping,
+    )
+
+    from mlx_audio_tpu.models.stt.whisper.timing import dtw
+
+    rng = np.random.default_rng(32)
+    for shape in ((7, 13), (20, 20), (3, 40)):
+        m = rng.standard_normal(shape).astype(np.float32)
+        want_text, want_time = _dynamic_time_warping(m.astype(np.float64))
+        got_text, got_time = dtw(m)
+        assert np.asarray(got_text).tolist() == np.asarray(want_text).tolist()
+        assert np.asarray(got_time).tolist() == np.asarray(want_time).tolist()
