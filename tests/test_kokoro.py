@@ -259,3 +259,48 @@ def test_bf16_forward_finite_and_close():
     denom = np.sqrt(np.mean(a32 ** 2)) + 1e-9
     rel = np.sqrt(np.mean((a32 - a16) ** 2)) / denom
     assert rel < 0.6, rel
+
+
+def test_voice_pack_formats_roundtrip(tmp_path):
+    """load_voice_tensor reads every supported voice-pack container (.pt
+    zipped-torch, .npz, .npy, .safetensors) to the same [510, 1, 256]
+    float32 array; load_voice averages multi-voice specs (reference
+    voice.py:8-83, pipeline.py:153-161)."""
+    import pytest
+
+    from mlx_audio_tpu.models.tts.kokoro.pipeline import (
+        KokoroPipeline,
+        load_voice_tensor,
+    )
+
+    rng = np.random.default_rng(0)
+    ref = (rng.standard_normal((510, 1, 256)) * 0.1).astype(np.float32)
+
+    paths = {}
+    np.save(tmp_path / "v.npy", ref)
+    paths["npy"] = tmp_path / "v.npy"
+    np.savez(tmp_path / "v.npz", pack=ref)
+    paths["npz"] = tmp_path / "v.npz"
+    torch = pytest.importorskip("torch")
+    torch.save(torch.from_numpy(ref), tmp_path / "v.pt")
+    paths["pt"] = tmp_path / "v.pt"
+    try:
+        from safetensors.numpy import save_file
+
+        save_file({"pack": ref}, str(tmp_path / "v.safetensors"))
+        paths["safetensors"] = tmp_path / "v.safetensors"
+    except ImportError:
+        pass
+
+    for kind, p in paths.items():
+        got = load_voice_tensor(str(p))
+        assert got.dtype == np.float32, kind
+        np.testing.assert_allclose(got, ref, atol=1e-6, err_msg=kind)
+
+    # multi-voice averaging through the pipeline cache
+    other = (rng.standard_normal((510, 1, 256)) * 0.1).astype(np.float32)
+    np.save(tmp_path / "w.npy", other)
+    pipe = KokoroPipeline.__new__(KokoroPipeline)
+    pipe.voices = {}
+    avg = pipe.load_voice(f"{tmp_path}/v.npy,{tmp_path}/w.npy")
+    np.testing.assert_allclose(avg, (ref + other) / 2, atol=1e-6)
