@@ -223,6 +223,36 @@ def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array,
 _DN_CONV1D = ("NWC", "WIO", "NWC")
 
 
+def _dilated_conv1d_decomposed(x: jax.Array, weight: jax.Array,
+                               dilation: int) -> jax.Array:
+    """'Same'-padded dilated conv as a DENSE conv over residue streams.
+
+    t = q*d + r: neighbors at distance d are consecutive within stream r, so
+    folding the d residue streams into the batch turns rhs_dilation=d into a
+    dense k-tap conv (exact, including the zero-padding at both ends).
+    Opt-in via MLX_AUDIO_TPU_DECOMP_CONV=1 (perf A/B; docs/PERF.md)."""
+    b, l, c = x.shape
+    k = weight.shape[0]
+    d = dilation
+    lp = -(-l // d) * d
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    xs = xp.reshape(b, lp // d, d, c).transpose(0, 2, 1, 3)
+    xs = xs.reshape(b * d, lp // d, c)
+    pad = (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        xs, weight, window_strides=(1,), padding=((pad, pad),),
+        dimension_numbers=_DN_CONV1D,
+    )
+    y = y.reshape(b, d, lp // d, -1).transpose(0, 2, 1, 3).reshape(b, lp, -1)
+    return y[:, :l]
+
+
+def use_decomp_conv() -> bool:
+    import os
+
+    return os.environ.get("MLX_AUDIO_TPU_DECOMP_CONV", "0") == "1"
+
+
 def conv1d(
     x: jax.Array,
     weight: jax.Array,
@@ -237,6 +267,10 @@ def conv1d(
     x, weight = promote_conv_operands(x, weight)
     k = weight.shape[0]
     span = (k - 1) * dilation
+    if (stride == 1 and groups == 1 and k > 1 and k % 2 == 1
+            and dilation > 1 and padding == (span // 2, span // 2)
+            and x.ndim == 3 and use_decomp_conv()):
+        return _dilated_conv1d_decomposed(x, weight, dilation)
     if (stride == 1 and groups == 1 and k > 1 and k % 2 == 1
             and padding == (span // 2, span // 2)
             and x.ndim == 3 and x.shape[1] >= 2048

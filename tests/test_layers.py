@@ -301,3 +301,24 @@ def test_apply_rope_batched_positions():
         ref = apply_rope(x[bidx:bidx + 1], cos, sin, pos[bidx])
         np.testing.assert_allclose(np.asarray(out[bidx:bidx + 1]),
                                    np.asarray(ref), atol=1e-6)
+
+
+def test_dilated_conv_decomposition_exact():
+    """The residue-stream dilation decomposition (opt-in fast path for long
+    'same'-padded dilated convs) must be bit-exact vs the direct dilated
+    conv, including both zero-padded boundaries and lengths not divisible
+    by the dilation."""
+    import numpy as np
+
+    from mlx_audio_tpu.nn.layers import _dilated_conv1d_decomposed, conv1d
+
+    rng = np.random.default_rng(0)
+    for (l, c, k, d) in [(301, 8, 3, 3), (1024, 16, 7, 5), (77, 4, 11, 3),
+                         (50, 4, 3, 5)]:
+        x = jnp.asarray(rng.standard_normal((2, l, c)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, c, c)) * 0.1, jnp.float32)
+        pad = (k - 1) * d // 2
+        ref = conv1d(x, w, padding=pad, dilation=d)
+        got = _dilated_conv1d_decomposed(x, w, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
