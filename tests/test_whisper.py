@@ -231,3 +231,76 @@ def test_writers(tmp_path):
         path = w(result, "audio.wav")
         content = open(path).read()
         assert check in content, (fmt, content)
+
+
+def test_seek_and_segmentation_logic(model, tokenizer, monkeypatch):
+    """Window-seek arithmetic and timestamp segmentation driven by scripted
+    decode results (reference whisper.py:583-849 semantics): consecutive
+    timestamp pairs advance seek to the last pair boundary; a
+    single-timestamp ending consumes the whole window; silent windows are
+    skipped; temperature fallback retries on bad compression ratio."""
+    from mlx_audio_tpu.models.stt.whisper import transcribe as T
+    from mlx_audio_tpu.models.stt.whisper.decoding import DecodingResult
+
+    m = T.Model(tiny_dims(tokenizer))
+    monkeypatch.setattr(
+        T.Model, "_tokenizer", lambda self, language=None, task=None: tokenizer
+    )
+
+    ts = tokenizer.timestamp_begin
+    txt = tokenizer.encode("hi")
+    calls = []
+
+    def scripted(model_, segment, options, tokenizer=None):
+        calls.append(options.temperature)
+        i = len([c for c in calls if True]) - 1
+        if len(calls) == 1:
+            # consecutive pair at <|1.00|> (pos 50), ending in text: seek
+            # must advance to pos 50 * 2 frames, NOT the full window
+            return DecodingResult(
+                audio_features=None, language="en",
+                tokens=[ts + 0] + txt + [ts + 50, ts + 50] + txt,
+                avg_logprob=-0.1, no_speech_prob=0.0, temperature=0.0,
+                compression_ratio=1.0,
+            )
+        if len(calls) == 2:
+            # silent window: skipped, advances a full window
+            return DecodingResult(
+                audio_features=None, language="en", tokens=txt,
+                avg_logprob=-5.0, no_speech_prob=0.99, temperature=0.0,
+                compression_ratio=1.0,
+            )
+        if len(calls) == 3:
+            # repetitive output at t=0 -> fallback retries at t=0.5
+            return DecodingResult(
+                audio_features=None, language="en", tokens=txt,
+                avg_logprob=-0.1, no_speech_prob=0.0, temperature=0.0,
+                compression_ratio=99.0,
+            )
+        # fallback succeeds: single-timestamp ending consumes the window
+        return DecodingResult(
+            audio_features=None, language="en",
+            tokens=[ts + 0] + txt + [ts + 80],
+            avg_logprob=-0.1, no_speech_prob=0.0, temperature=0.5,
+            compression_ratio=1.0,
+        )
+
+    monkeypatch.setattr(T.api, "decode", scripted)
+
+    # 5 s of audio = 500 content frames; windows of 200 frames (2 s)
+    audio = np.zeros(5 * 16000, dtype=np.float32)
+    out = m.generate(audio, temperature=(0.0, 0.5), language="en",
+                     condition_on_previous_text=False)
+
+    # window 1 at seek=0 produced one segment [0.00s, 1.00s] then seek=100;
+    # window 2 (silent) advanced to 300; window 3 fell back then consumed
+    # the rest
+    assert [round(c, 2) for c in calls] == [0.0, 0.0, 0.0, 0.5]
+    segs = out.segments
+    assert len(segs) == 2
+    assert segs[0]["start"] == 0.0 and abs(segs[0]["end"] - 1.0) < 1e-6
+    assert segs[0]["seek"] == 0
+    # third window starts after seek=100 (pair boundary) + 200 (skipped)
+    assert segs[1]["seek"] == 300
+    assert abs(segs[1]["start"] - 3.0) < 1e-6
+    assert segs[1]["temperature"] == 0.5
