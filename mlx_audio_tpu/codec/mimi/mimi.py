@@ -70,6 +70,53 @@ def mimi_202407(num_codebooks: int) -> MimiConfig:
     )
 
 
+def mimi_from_hf_config(d: dict) -> MimiConfig:
+    """MimiConfig from an HF-transformers `MimiConfig` dict (the layout
+    embedded as `codec_config` in sesame/csm-1b checkpoints and shipped by
+    kyutai/mimi).  Field mapping mirrors the golden-parity pair in
+    tests/test_golden_hf.py::build_mimi_pair."""
+    seanet = SeanetConfig(
+        dimension=d.get("hidden_size", 512),
+        channels=d.get("audio_channels", 1),
+        causal=d.get("use_causal_conv", True),
+        nfilters=d.get("num_filters", 64),
+        nresidual_layers=d.get("num_residual_layers", 1),
+        ratios=list(d.get("upsampling_ratios", [8, 6, 5, 4])),
+        ksize=d.get("kernel_size", 7),
+        residual_ksize=d.get("residual_kernel_size", 3),
+        last_ksize=d.get("last_kernel_size", 3),
+        dilation_base=d.get("dilation_growth_rate", 2),
+        pad_mode="constant",
+        true_skip=True,
+        compress=d.get("compress", 2),
+    )
+    transformer = TransformerConfig(
+        d_model=seanet.dimension,
+        num_heads=d.get("num_attention_heads", 8),
+        num_layers=d.get("num_hidden_layers", 8),
+        causal=True, norm_first=True, bias_ff=False, bias_attn=False,
+        layer_scale=d.get("layer_scale_initial_scale", 0.01),
+        positional_embedding="rope",
+        use_conv_bias=True, gating=False, norm="layer_norm",
+        context=d.get("sliding_window", 250),
+        max_period=int(d.get("rope_theta", 10000)),
+        max_seq_len=8192, kv_repeat=1,
+        dim_feedforward=d.get("intermediate_size", 2048),
+        conv_layout=True,
+    )
+    return MimiConfig(
+        channels=d.get("audio_channels", 1),
+        sample_rate=d.get("sampling_rate", 24000),
+        frame_rate=d.get("frame_rate", 12.5),
+        renormalize=d.get("normalize", False),
+        seanet=seanet,
+        transformer=transformer,
+        quantizer_nq=d.get("num_quantizers", 32),
+        quantizer_bins=d.get("codebook_size", 2048),
+        quantizer_dim=d.get("vector_quantization_hidden_dimension", 256),
+    )
+
+
 class MimiState(NamedTuple):
     """Streaming carry: conv states + transformer rotating caches."""
 

@@ -60,8 +60,50 @@ class STTOutput:
     language: Optional[str] = None
 
 
+def _load_weight_files(model_path: Path) -> dict:
+    """Collect weights from any supported container in ``model_path``:
+    weights.safetensors / weights.npz (MLX-community layout) or
+    model.safetensors, optionally sharded via
+    model.safetensors.index.json (HF transformers layout)."""
+    for name in ("weights.safetensors", "model.safetensors"):
+        f = model_path / name
+        if f.exists():
+            from safetensors.numpy import load_file
+
+            return load_file(str(f))
+    idx = model_path / "model.safetensors.index.json"
+    if idx.exists():
+        from safetensors.numpy import load_file
+
+        with open(idx) as fh:
+            shard_files = sorted(set(json.load(fh)["weight_map"].values()))
+        weights = {}
+        for shard in shard_files:
+            weights.update(load_file(str(model_path / shard)))
+        return weights
+    f = model_path / "weights.npz"
+    if f.exists():
+        return dict(np.load(f))
+    raise FileNotFoundError(f"no weight files found in {model_path}")
+
+
 class Model(WhisperModel):
     """Whisper with the user-facing transcription API."""
+
+    # HF transformers WhisperConfig field names -> ModelDimensions
+    # (so raw openai/whisper-* checkpoints load directly — the reference
+    # requires pre-converted mlx-community repos)
+    _HF_DIM_MAP = {
+        "num_mel_bins": "n_mels",
+        "max_source_positions": "n_audio_ctx",
+        "d_model": "n_audio_state",
+        "encoder_attention_heads": "n_audio_head",
+        "encoder_layers": "n_audio_layer",
+        "vocab_size": "n_vocab",
+        "max_target_positions": "n_text_ctx",
+        "decoder_attention_heads": "n_text_head",
+        "decoder_layers": "n_text_layer",
+    }
 
     @classmethod
     def from_pretrained(cls, path_or_hf_repo: str) -> "Model":
@@ -72,20 +114,16 @@ class Model(WhisperModel):
             model_path = Path(snapshot_download(repo_id=path_or_hf_repo))
         with open(model_path / "config.json") as f:
             config = json.load(f)
-            config.pop("model_type", None)
             config.pop("quantization", None)
+        if "d_model" in config:  # HF transformers layout
+            for hf_k, our_k in cls._HF_DIM_MAP.items():
+                if hf_k in config:
+                    config[our_k] = config[hf_k]
+            config["n_text_state"] = config["d_model"]
         dims = ModelDimensions(**{k: v for k, v in config.items()
                                   if k in ModelDimensions.__annotations__})
         model = cls(dims)
-        wf = model_path / "weights.safetensors"
-        if not wf.exists():
-            wf = model_path / "weights.npz"
-        if wf.suffix == ".npz":
-            weights = dict(np.load(wf))
-        else:
-            from safetensors.numpy import load_file
-
-            weights = load_file(str(wf))
+        weights = _load_weight_files(model_path)
         model._asset_dir = str(model_path)
         return update_arrays(model, model.sanitize(weights), strict=False)
 

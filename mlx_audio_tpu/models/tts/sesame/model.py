@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlx_audio_tpu.codec.mimi import Mimi, mimi_202407
+from mlx_audio_tpu.codec.mimi.mimi import mimi_from_hf_config
 from mlx_audio_tpu.models.base import GenerationResult, make_generation_result
 from mlx_audio_tpu.models.lm.llama import LLAMA_FLAVORS, LlamaConfig, LlamaModel
 from mlx_audio_tpu.models.sampling import sample_top_k
@@ -66,8 +67,14 @@ class SesameModel(Module):
     sesame.py:276-415)."""
 
     def __init__(self, config: dict):
-        self.audio_num_codebooks = config["audio_num_codebooks"]
-        self.audio_vocab_size = config["audio_vocab_size"]
+        # accept both the reference config field names and HF transformers
+        # CsmConfig names (num_codebooks / vocab_size, as sesame/csm-1b ships)
+        self.audio_num_codebooks = config.get(
+            "audio_num_codebooks", config.get("num_codebooks")
+        )
+        self.audio_vocab_size = config.get(
+            "audio_vocab_size", config.get("vocab_size")
+        )
         if "num_hidden_layers" in config:
             backbone_cfg = _llama_cfg_from_dict(
                 config, vocab_override=int(config["text_vocab_size"])
@@ -174,10 +181,15 @@ class Model(Module):
                  text_tokenizer=None):
         self.config = config
         self.model = SesameModel(config)
-        self.audio_num_codebooks = config["audio_num_codebooks"]
-        self._mimi = mimi if mimi is not None else Mimi(
-            mimi_202407(config["audio_num_codebooks"])
-        )
+        self.audio_num_codebooks = self.model.audio_num_codebooks
+        if mimi is not None:
+            self._mimi = mimi
+        elif isinstance(config.get("codec_config"), dict):
+            # HF CsmConfig embeds the Mimi architecture; its weights arrive
+            # as codec_model.* through sanitize_hf_csm
+            self._mimi = Mimi(mimi_from_hf_config(config["codec_config"]))
+        else:
+            self._mimi = Mimi(mimi_202407(self.model.audio_num_codebooks))
         self._text_tokenizer = text_tokenizer
         self._sample_rate = int(self._mimi.sample_rate)
         # Imperceptible AI-audio watermark on every output (reference
@@ -586,14 +598,34 @@ def _frame_chunk(model, caches, pad_len, last_frame, key, temp, top_k, n_arr):
 
 def sanitize_hf_csm(weights: dict) -> dict:
     """Map HF-transformers `CsmForConditionalGeneration` checkpoint keys
-    (the sesame/csm-1b hub format) to our paths.  `codec_model.*` keys are
-    dropped (Mimi loads separately via sanitize_hf_mimi); the depth
-    decoder's duplicated audio-embedding table is dropped in favor of the
-    shared backbone table (the original shares one, sesame.py:397-415).
-    Golden logits parity in tests/test_golden_hf.py."""
+    (the sesame/csm-1b hub format) to our paths.  Embedded `codec_model.*`
+    (Mimi) keys are routed through sanitize_hf_mimi onto the wrapper's
+    `_mimi`; the depth decoder's duplicated audio-embedding table is
+    dropped in favor of the shared backbone table (the original shares
+    one, sesame.py:397-415).  Golden logits parity in
+    tests/test_golden_hf.py."""
+    codec = {k[len("codec_model."):]: v for k, v in weights.items()
+             if k.startswith("codec_model.")}
     out = {}
+    if codec:
+        from mlx_audio_tpu.codec.mimi.mimi import sanitize_hf_mimi
+
+        out.update({f"_mimi.{k}": v
+                    for k, v in sanitize_hf_mimi(codec).items()})
+    # HF ties the backbone and depth audio-embedding tables
+    # (tie_codebooks_embeddings); save_pretrained dedupes the pair and may
+    # keep EITHER key, so accept the depth copy when the backbone one is
+    # absent
+    has_backbone_audio = (
+        "backbone_model.embed_tokens.embed_audio_tokens.weight" in weights
+    )
     for k, v in weights.items():
-        if k.startswith("codec_model.") or k == "depth_decoder.model.embed_tokens.weight":
+        if k.startswith("codec_model."):
+            continue
+        if k == "depth_decoder.model.embed_tokens.weight":
+            if has_backbone_audio:
+                continue
+            out["model.audio_embeddings.weight"] = np.asarray(v)
             continue
         v = np.asarray(v)
         if k == "embed_text_tokens.weight":

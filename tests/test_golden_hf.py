@@ -1394,3 +1394,82 @@ def test_whisper_dtw_matches_hf():
         got_text, got_time = dtw(m)
         assert np.asarray(got_text).tolist() == np.asarray(want_text).tolist()
         assert np.asarray(got_time).tolist() == np.asarray(want_time).tolist()
+
+
+def test_whisper_loads_hf_checkpoint_directory(tmp_path):
+    """A raw HF-transformers Whisper checkpoint directory (config.json with
+    HF field names + model.safetensors, as `openai/whisper-*` ships) loads
+    directly through our Model.from_pretrained and reproduces HF encoder
+    features — the reference requires pre-converted mlx-community repos."""
+    hf, _ = _tiny_whisper_pair()
+    ckpt = tmp_path / "whisper-hf"
+    hf.save_pretrained(str(ckpt), safe_serialization=True)
+
+    from mlx_audio_tpu.models.stt.whisper.transcribe import Model
+
+    ours = Model.from_pretrained(str(ckpt))
+    assert ours.dims.n_audio_state == 16 and ours.dims.n_text_layer == 2
+
+    rng = np.random.default_rng(6)
+    mel = (rng.standard_normal((1, 8, 32)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        enc_hf = hf.model.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+    enc_ours = np.asarray(ours.encoder(jnp.asarray(mel.transpose(0, 2, 1))))
+    np.testing.assert_allclose(enc_ours, enc_hf, atol=1e-4, rtol=1e-4)
+
+
+def test_csm_loads_hf_checkpoint_directory(tmp_path):
+    """A raw HF-transformers CSM checkpoint directory (CsmConfig field
+    names, deduped tied audio-embedding table, embedded codec_model Mimi
+    weights) loads through the generic load_model() and reproduces HF
+    greedy frames exactly; the embedded Mimi decodes allclose to HF's
+    codec_model."""
+    from transformers.generation import GenerationConfig
+
+    from mlx_audio_tpu.models.tts.sesame.model import (
+        _frame_chunk,
+        _prefill_and_first_frame,
+    )
+    from mlx_audio_tpu.utils.loader import load_model
+
+    hf, _, nc, v = _csm_pair()
+    ckpt = tmp_path / "csm-hf"
+    hf.save_pretrained(str(ckpt), safe_serialization=True)
+    m = load_model(str(ckpt), domain="tts")
+
+    ids = np.array([[1, 5, 9, 12, 3]], dtype=np.int64)
+    gc = GenerationConfig(do_sample=False, max_new_tokens=3, min_new_tokens=3,
+                          pad_token_id=2, bos_token_id=1)
+    with torch.no_grad():
+        frames_hf = hf.generate(input_ids=torch.from_numpy(ids),
+                                generation_config=gc,
+                                output_audio=False).numpy()
+
+    b, t = ids.shape
+    tokens = np.zeros((b, t, nc + 1), dtype=np.int32)
+    mask = np.zeros((b, t, nc + 1), dtype=bool)
+    tokens[:, :, -1] = ids
+    mask[:, :, -1] = True
+    pad_len = jnp.zeros((b,), jnp.int32)
+    caches = m.model.backbone.init_cache(b, max_len=t + 8)
+    key = jax.random.PRNGKey(0)
+    frame, caches = _prefill_and_first_frame(
+        m.model, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
+        key, 0.0, 50,
+    )
+    frames = [np.asarray(frame)]
+    out, _ = _frame_chunk(m.model, caches, pad_len, jnp.asarray(frames[0]),
+                          key, 0.0, 50, jnp.zeros((2,), jnp.int32))
+    frames.extend(list(np.asarray(out)))
+    assert (np.stack(frames, axis=1) == frames_hf).all()
+
+    codes = np.random.default_rng(0).integers(0, 16, size=(1, nc, 13))
+    with torch.no_grad():
+        wav_hf = hf.codec_model.decode(
+            torch.from_numpy(codes)
+        ).audio_values.numpy()
+    wav_ours = np.asarray(m._mimi.decode(jnp.asarray(codes)))
+    n = min(wav_ours.shape[-1], wav_hf.shape[-1])
+    np.testing.assert_allclose(
+        wav_ours.reshape(-1)[:n], wav_hf.reshape(-1)[:n], atol=1e-4
+    )
