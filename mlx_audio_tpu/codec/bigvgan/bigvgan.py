@@ -286,6 +286,22 @@ class BigVGAN(Module):
             out[k] = v
         return out
 
+    @classmethod
+    def from_pretrained(cls, path_or_repo: str) -> "BigVGAN":
+        """Load from a checkpoint directory or repo (nvidia/bigvgan_*
+        config.json field names match BigVGANConfig)."""
+        from mlx_audio_tpu.codec.loading import (
+            fetch_from_hub,
+            load_config,
+            load_safetensors,
+        )
+        from mlx_audio_tpu.nn.module import update_arrays
+
+        path = fetch_from_hub(path_or_repo)
+        model = cls(BigVGANConfig.from_dict(load_config(path)))
+        weights = load_safetensors(path)
+        return update_arrays(model, model.sanitize(weights), strict=False)
+
 
 # jitted entry point (model as pytree argument; see docs/PERF.md)
 

@@ -282,6 +282,37 @@ class DAC(Module):
             out[k] = v
         return out
 
+    # HF-transformers DacConfig field names -> DACConfig
+    _HF_CFG_MAP = {
+        "encoder_hidden_size": "encoder_dim",
+        "downsampling_ratios": "encoder_rates",
+        "decoder_hidden_size": "decoder_dim",
+        "upsampling_ratios": "decoder_rates",
+        "hidden_size": "latent_dim",
+        "sampling_rate": "sample_rate",
+    }
+
+    @classmethod
+    def from_pretrained(cls, path_or_repo: str) -> "DAC":
+        """Load from a checkpoint directory or repo: HF-transformers
+        descript/dac_* layout or mlx-community conversions (reference
+        dac.py:252-285)."""
+        from mlx_audio_tpu.codec.loading import (
+            fetch_from_hub,
+            load_config,
+            load_safetensors,
+        )
+        from mlx_audio_tpu.nn.module import update_arrays
+
+        path = fetch_from_hub(path_or_repo)
+        config = load_config(path)
+        for hf_k, our_k in cls._HF_CFG_MAP.items():
+            if hf_k in config and our_k not in config:
+                config[our_k] = config[hf_k]
+        model = cls(DACConfig.from_dict(config))
+        weights = load_safetensors(path)
+        return update_arrays(model, model.sanitize(weights), strict=False)
+
 
 def _wn_split_conv(w: np.ndarray):
     """Folded torch conv weight [O, I, K] -> (weight_v [K, I, O],

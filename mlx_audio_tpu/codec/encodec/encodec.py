@@ -454,6 +454,34 @@ class Encodec(Module):
             out[k] = v
         return out
 
+    @classmethod
+    def from_pretrained(cls, path_or_repo: str):
+        """Load model + audio preprocessor from a checkpoint directory or
+        repo — both the HF-transformers facebook/encodec_* layout and
+        mlx-community conversions (reference encodec.py:711-738).  Returns
+        (model, processor) like the reference."""
+        import functools
+
+        from mlx_audio_tpu.codec.loading import (
+            fetch_from_hub,
+            load_config,
+            load_safetensors,
+        )
+        from mlx_audio_tpu.nn.module import update_arrays
+
+        path = fetch_from_hub(path_or_repo)
+        config = EncodecConfig.from_dict(load_config(path))
+        model = cls(config)
+        weights = load_safetensors(path)
+        model = update_arrays(model, model.sanitize(weights), strict=False)
+        processor = functools.partial(
+            preprocess_audio,
+            sampling_rate=config.sampling_rate,
+            chunk_length=model.chunk_length,
+            chunk_stride=model.chunk_stride,
+        )
+        return model, processor
+
 
 def sanitize_hf_encodec(weights: dict) -> dict:
     """Map HF-transformers `EncodecModel` checkpoints to our paths.  Layer

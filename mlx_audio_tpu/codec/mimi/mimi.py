@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from pathlib import Path
 from typing import NamedTuple, Optional
 
 import jax
@@ -267,6 +268,31 @@ class Mimi(Module):
         from safetensors.numpy import load_file
 
         return update_arrays(self, sanitize_mimi(load_file(path)), strict=False)
+
+    @classmethod
+    def from_pretrained(cls, path_or_repo: str = "kyutai/mimi",
+                        filename: Optional[str] = None) -> "Mimi":
+        """Load from an HF-transformers MimiModel directory (kyutai/mimi:
+        config.json + model.safetensors) or a single Kyutai moshi-style
+        safetensors file (reference mimi.py:252-261)."""
+        from mlx_audio_tpu.codec.loading import (
+            fetch_from_hub,
+            load_config,
+            load_safetensors,
+        )
+
+        p = Path(path_or_repo)
+        if p.is_file() and p.suffix == ".safetensors":
+            return cls(mimi_202407(32)).load_pytorch_weights(str(p))
+        path = fetch_from_hub(path_or_repo)
+        if filename is not None:
+            return cls(mimi_202407(32)).load_pytorch_weights(
+                str(path / filename)
+            )
+        cfg = mimi_from_hf_config(load_config(path))
+        model = cls(cfg)
+        weights = load_safetensors(path)
+        return update_arrays(model, model.sanitize(weights), strict=False)
 
 
 def sanitize_mimi(weights: dict) -> dict:

@@ -276,6 +276,44 @@ class S3TokenizerV2(Module):
         return self.quantizer.encode(hidden), code_len
 
 
+def _s3_sanitize(weights: dict) -> dict:
+    """MLX-community S3 safetensors -> our paths: MLX conv weights are
+    [O, K, I]-major; ours are [K, I, O]."""
+    out = {}
+    for k, v in weights.items():
+        v = np.asarray(v)
+        if k.endswith(".weight") and v.ndim == 3:
+            v = v.transpose(1, 2, 0)
+        out[k] = v
+    return out
+
+
+def _s3_from_pretrained(cls, name: str, repo_id: str):
+    from mlx_audio_tpu.codec.loading import fetch_from_hub, load_safetensors
+    from mlx_audio_tpu.nn.module import update_arrays
+
+    path = fetch_from_hub(repo_id)
+    model = cls(name)
+    f = path / f"{name}.safetensors"
+    weights = (load_safetensors(path, f.name) if f.exists()
+               else load_safetensors(path))
+    return update_arrays(model, _s3_sanitize(weights), strict=False)
+
+
+def _s3tok_from_pretrained(cls_name):
+    def from_pretrained(cls, name: str = cls_name,
+                        repo_id: str = "mlx-community/CosyVoice2-0.5B-S3Tokenizer"):
+        """Load named S3 tokenizer weights from a directory or repo
+        (reference s3/model_v2.py:355-370)."""
+        return _s3_from_pretrained(cls, name, repo_id)
+
+    return classmethod(from_pretrained)
+
+
+S3Tokenizer.from_pretrained = _s3tok_from_pretrained("speech_tokenizer_v1")
+S3TokenizerV2.from_pretrained = _s3tok_from_pretrained("speech_tokenizer_v2_25hz")
+
+
 @jax.jit
 def _s3_quantize_jit(tokenizer, mel, mel_len):
     """Jitted tokenization (tokenizer as pytree arg; docs/PERF.md)."""

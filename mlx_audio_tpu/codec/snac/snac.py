@@ -355,6 +355,22 @@ class SNAC(Module):
             out[k] = v
         return out
 
+    @classmethod
+    def from_pretrained(cls, path_or_repo: str) -> "SNAC":
+        """Load from a checkpoint directory or repo (hubertsiuzdak/snac_*
+        config format; reference snac.py:127-155)."""
+        from mlx_audio_tpu.codec.loading import (
+            fetch_from_hub,
+            load_config,
+            load_safetensors,
+        )
+        from mlx_audio_tpu.nn.module import update_arrays
+
+        path = fetch_from_hub(path_or_repo)
+        model = cls(SNACConfig.from_dict(load_config(path)))
+        weights = load_safetensors(path)
+        return update_arrays(model, model.sanitize(weights), strict=False)
+
 
 # jitted entry points: the codec rides along as a pytree argument, so its
 # weights are traced inputs (eager calls re-trace with weights baked as

@@ -113,3 +113,46 @@ def test_dac_call_returns_original_length():
     audio = jnp.zeros((1, 1, 12_345))
     out = model(audio)
     assert out["audio"].shape == (1, 1, 12_345)
+
+
+def test_snac_from_pretrained_roundtrip(tmp_path):
+    """SNAC.from_pretrained loads a checkpoint directory in the published
+    external layout (torch/MLX [O, K, I]-major weight-norm tensors) and
+    reproduces the source model's codes."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from mlx_audio_tpu.codec.snac import SNAC, SNACConfig
+    from mlx_audio_tpu.nn.module import named_arrays
+
+    cfg = dict(sampling_rate=24000, encoder_dim=4, encoder_rates=[2, 2],
+               decoder_dim=8, decoder_rates=[2, 2], attn_window_size=None,
+               codebook_size=16, codebook_dim=4, vq_strides=[2, 1],
+               noise=False, depthwise=False)
+    model = SNAC(SNACConfig.from_dict(cfg))
+    # write weights in the external layout sanitize expects (inverse of the
+    # [K, I, O] <- (1, 2, 0) mapping; snake alphas back to [1, C, 1])
+    weights = {}
+    for k, v in named_arrays(model):
+        v = np.asarray(v)
+        if k.endswith("alpha") and v.ndim == 1:
+            v = v.reshape(1, -1, 1)
+        elif (k.endswith("weight_v") or k.endswith("weight_g")) and v.ndim == 3:
+            v = v.transpose(2, 0, 1)
+        weights[k] = np.ascontiguousarray(v)
+    ckpt = tmp_path / "snac"
+    ckpt.mkdir()
+    save_file(weights, str(ckpt / "model.safetensors"))
+    with open(ckpt / "config.json", "w") as f:
+        json.dump(cfg, f)
+
+    loaded = SNAC.from_pretrained(str(ckpt))
+    audio = (np.random.default_rng(0).standard_normal((1, 256, 1)) * 0.1
+             ).astype(np.float32)
+    import jax.numpy as jnp
+
+    ref = [np.asarray(c) for c in model.encode(jnp.asarray(audio))]
+    got = [np.asarray(c) for c in loaded.encode(jnp.asarray(audio))]
+    for r, g in zip(ref, got):
+        assert (r == g).all()

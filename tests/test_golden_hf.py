@@ -1473,3 +1473,63 @@ def test_csm_loads_hf_checkpoint_directory(tmp_path):
     np.testing.assert_allclose(
         wav_ours.reshape(-1)[:n], wav_hf.reshape(-1)[:n], atol=1e-4
     )
+
+
+def test_codec_from_pretrained_hf_directories(tmp_path):
+    """Mimi / EnCodec / DAC `from_pretrained` on raw HF-transformers
+    checkpoint directories (kyutai/mimi, facebook/encodec_*, descript/dac_*
+    layouts): identical codes vs the HF models (reference exposes
+    from_pretrained per codec, e.g. dac.py:252, encodec.py:711,
+    mimi.py:252)."""
+    from transformers import (
+        DacConfig as HFDacConfig,
+        DacModel,
+        EncodecConfig as HFEncodecConfig,
+        EncodecModel,
+    )
+
+    from mlx_audio_tpu.codec.dac import DAC
+    from mlx_audio_tpu.codec.encodec import Encodec
+    from mlx_audio_tpu.codec.mimi import Mimi
+
+    rng = np.random.default_rng(0)
+
+    hf, _ = build_mimi_pair()
+    hf.save_pretrained(str(tmp_path / "mimi"), safe_serialization=True)
+    m = Mimi.from_pretrained(str(tmp_path / "mimi"))
+    audio = (rng.standard_normal((1, 1, 1920 * 4)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        codes_hf = hf.encode(torch.from_numpy(audio)).audio_codes.numpy()
+    assert (np.asarray(m.encode(jnp.asarray(audio))) == codes_hf).all()
+
+    torch.manual_seed(0)
+    ehf = EncodecModel(HFEncodecConfig(
+        target_bandwidths=[1.5, 3.0], sampling_rate=24000, audio_channels=1,
+        num_filters=4, num_residual_layers=1, upsampling_ratios=[8, 5, 4, 2],
+        codebook_size=1024, codebook_dim=8, hidden_size=8, num_lstm_layers=2,
+        use_causal_conv=True, normalize=False,
+    )).eval()
+    ehf.save_pretrained(str(tmp_path / "encodec"), safe_serialization=True)
+    enc, proc = Encodec.from_pretrained(str(tmp_path / "encodec"))
+    wav = (rng.standard_normal(9600) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        ec_hf = ehf.encode(torch.from_numpy(wav)[None, None],
+                           bandwidth=3.0).audio_codes.numpy()
+    a, mask = proc(wav)
+    ec, _ = enc.encode(a, mask, bandwidth=3.0)
+    assert (np.asarray(ec) == ec_hf).all()
+
+    torch.manual_seed(0)
+    dhf = DacModel(HFDacConfig(
+        encoder_hidden_size=16, downsampling_ratios=[2, 4, 5, 8],
+        decoder_hidden_size=128, upsampling_ratios=[8, 5, 4, 2],
+        n_codebooks=4, codebook_size=64, codebook_dim=8, sampling_rate=16000,
+    )).eval()
+    dhf.save_pretrained(str(tmp_path / "dac"), safe_serialization=True)
+    d = DAC.from_pretrained(str(tmp_path / "dac"))
+    wav = (rng.standard_normal((1, 3200, 1)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        dc_hf = dhf.encode(
+            torch.from_numpy(wav.transpose(0, 2, 1))
+        ).audio_codes.numpy()
+    assert (np.asarray(d.encode(jnp.asarray(wav))[1]) == dc_hf).all()

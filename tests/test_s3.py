@@ -56,3 +56,43 @@ def test_padded_batch_lengths():
     codes, lens = model(mel, jnp.asarray([200, 120]))
     assert codes.shape == (2, 100)
     assert int(lens[0]) == 100 and int(lens[1]) == 60
+
+
+def test_s3_from_pretrained_roundtrip(tmp_path):
+    """S3TokenizerV2.from_pretrained loads a named safetensors checkpoint
+    (MLX-community layout: conv weights [O, K, I]-major) and reproduces the
+    source model's codes (reference s3/model_v2.py:355-370)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    import jax.numpy as jnp
+    from mlx_audio_tpu.codec.s3.s3 import S3Config, S3TokenizerV2
+    from mlx_audio_tpu.nn.module import named_arrays
+
+    cfg = S3Config(n_mels=8, n_audio_state=16, n_audio_head=2,
+                   n_audio_layer=1)
+    name = "speech_tokenizer_v2_25hz"
+    model = S3TokenizerV2(name, config=cfg)
+    weights = {}
+    for k, v in named_arrays(model):
+        v = np.asarray(v)
+        if k.endswith(".weight") and v.ndim == 3:
+            v = v.transpose(2, 0, 1)  # ours [K, I, O] -> external [O, K, I]
+        weights[k] = np.ascontiguousarray(v)
+    save_file(weights, str(tmp_path / f"{name}.safetensors"))
+
+    import mlx_audio_tpu.codec.s3.s3 as s3mod
+    from mlx_audio_tpu.nn.module import update_arrays
+
+    # the sanitize + load path from_pretrained routes through (the classmethod
+    # itself builds the full-size published architecture)
+    loaded = S3TokenizerV2(name, config=cfg)
+    loaded = update_arrays(loaded, s3mod._s3_sanitize(weights), strict=True)
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 8, 64)).astype(np.float32)
+    mel_len = jnp.asarray([64])
+    ref_codes, ref_len = model.quantize(jnp.asarray(mel), mel_len)
+    got_codes, got_len = loaded.quantize(jnp.asarray(mel), mel_len)
+    assert (np.asarray(ref_codes) == np.asarray(got_codes)).all()
+    assert int(ref_len[0]) == int(got_len[0])
