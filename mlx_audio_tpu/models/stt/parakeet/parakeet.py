@@ -242,6 +242,10 @@ class BaseParakeet(Module):
 
     @classmethod
     def from_config(cls, config: dict):
+        if config.get("model_type") == "parakeet_ctc" or (
+            "encoder_config" in config and "preprocessor" not in config
+        ):
+            return cls._from_hf_config(config)
         target = config.get("target", "")
         has_tdt = config.get("model_defaults", {}).get("tdt_durations") is not None
         pre = PreprocessArgs.from_dict(config["preprocessor"])
@@ -265,6 +269,45 @@ class BaseParakeet(Module):
             return ParakeetCTC(pre, enc,
                                _sub(ConvASRDecoderArgs, config["decoder"]))
         raise ValueError("Model is not supported yet!")
+
+    @classmethod
+    def _from_hf_config(cls, config: dict) -> "ParakeetCTC":
+        """Build from an HF-transformers ParakeetCTCConfig dict (the layout
+        nvidia/parakeet-* HF checkpoints ship in); weights route through
+        sanitize_hf_parakeet via `sanitize`."""
+        enc = config.get("encoder_config", {}) or {}
+        pre = PreprocessArgs(
+            sample_rate=16000, normalize="per_feature",
+            window_size=0.025, window_stride=0.01, window="hann",
+            features=enc.get("num_mel_bins", 80), n_fft=512,
+        )
+        conf = ConformerArgs(
+            feat_in=enc.get("num_mel_bins", 80),
+            n_layers=enc.get("num_hidden_layers", 24),
+            d_model=enc.get("hidden_size", 1024),
+            n_heads=enc.get("num_attention_heads", 8),
+            ff_expansion_factor=(enc.get("intermediate_size", 4096)
+                                 // enc.get("hidden_size", 1024)),
+            subsampling_factor=enc.get("subsampling_factor", 8),
+            self_attention_model="rel_pos", subsampling="dw_striding",
+            conv_kernel_size=enc.get("conv_kernel_size", 9),
+            subsampling_conv_channels=enc.get("subsampling_conv_channels", 256),
+            pos_emb_max_len=enc.get("max_position_embeddings", 5000),
+        )
+        # vocabulary comes from the checkpoint's tokenizer when available;
+        # fall back to index placeholders (ids still decode correctly)
+        vocab = config.get("vocabulary") or [
+            str(i) for i in range(config.get("vocab_size", 1025) - 1)
+        ]
+        dec = ConvASRDecoderArgs(feat_in=conf.d_model, num_classes=-1,
+                                 vocabulary=vocab)
+        return ParakeetCTC(pre, conf, dec)
+
+    def sanitize(self, weights: dict) -> dict:
+        if any(k.startswith("encoder.subsampling.") or k.startswith("ctc_head.")
+               for k in weights):
+            return sanitize_hf_parakeet(weights)
+        return weights
 
 
 class ParakeetTDT(BaseParakeet):

@@ -18,7 +18,8 @@ from typing import List, Optional, Union
 import numpy as np
 
 MODEL_REMAPPING = {"outetts": "outetts", "spark": "spark", "csm": "sesame",
-                   "styletts2": "kokoro"}
+                   "styletts2": "kokoro", "wav2vec2": "wav2vec",
+                   "parakeet_ctc": "parakeet"}
 
 
 def get_model_path(path_or_hf_repo: str, revision: Optional[str] = None) -> Path:

@@ -1533,3 +1533,60 @@ def test_codec_from_pretrained_hf_directories(tmp_path):
             torch.from_numpy(wav.transpose(0, 2, 1))
         ).audio_codes.numpy()
     assert (np.asarray(d.encode(jnp.asarray(wav))[1]) == dc_hf).all()
+
+
+def test_stt_families_load_hf_checkpoint_directories(tmp_path):
+    """Parakeet and Wav2Vec2 raw HF-transformers checkpoint directories
+    load through the generic load_model() (model-type remapping + HF
+    config translation + sanitize) and reproduce HF outputs.  (Voxtral and
+    Bark dir loading is exercised by their own goldens + the loader
+    remapping tests.)"""
+    from mlx_audio_tpu.utils.loader import load_model
+
+    rng = np.random.default_rng(40)
+
+    # --- Parakeet CTC
+    from transformers.models.parakeet import (
+        ParakeetCTCConfig,
+        ParakeetEncoderConfig,
+    )
+    from transformers.models.parakeet.modeling_parakeet import ParakeetForCTC
+
+    enc = ParakeetEncoderConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_kernel_size=9, num_mel_bins=16,
+        subsampling_factor=8, subsampling_conv_channels=8, dropout=0.0,
+        attention_dropout=0.0, dropout_positions=0.0, scale_input=False,
+    )
+    torch.manual_seed(0)
+    phf = ParakeetForCTC(
+        ParakeetCTCConfig(encoder_config=enc.to_dict(), vocab_size=33)
+    ).eval()
+    phf.save_pretrained(str(tmp_path / "parakeet"), safe_serialization=True)
+    pk = load_model(str(tmp_path / "parakeet"), domain="stt")
+    mel = rng.standard_normal((1, 64, 16)).astype(np.float32)
+    with torch.no_grad():
+        logp_hf = torch.log_softmax(
+            phf(input_features=torch.from_numpy(mel)).logits, dim=-1
+        ).numpy()
+    feats, _ = pk.encoder(jnp.asarray(mel))
+    logp = np.asarray(pk.decoder(feats))
+    np.testing.assert_allclose(logp, logp_hf, atol=1e-4, rtol=1e-4)
+
+    # --- Wav2Vec2
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    torch.manual_seed(0)
+    whf = Wav2Vec2Model(Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_stride=[5, 2],
+        conv_kernel=[10, 3], num_feat_extract_layers=2,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
+    )).eval()
+    whf.save_pretrained(str(tmp_path / "w2v"), safe_serialization=True)
+    w2v = load_model(str(tmp_path / "w2v"), domain="stt")
+    wav = (rng.standard_normal((1, 800)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        h_hf = whf(torch.from_numpy(wav)).last_hidden_state.numpy()
+    h = np.asarray(w2v(jnp.asarray(wav))[0])
+    np.testing.assert_allclose(h, h_hf, atol=1e-4, rtol=1e-4)
