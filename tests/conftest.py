@@ -16,3 +16,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import numpy as _np
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _deterministic_layer_init():
+    """Model construction draws from a module-global RNG
+    (nn.layers._INIT_RNG), so weights depend on how many models earlier
+    tests built.  Reseed per test: every test sees the same weights whether
+    run solo or mid-suite (two weight-sensitive tests flaked on suite
+    order before this)."""
+    import mlx_audio_tpu.nn.layers as _layers
+
+    _layers._INIT_RNG = _np.random.default_rng(0)
+    yield
