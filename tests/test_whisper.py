@@ -304,3 +304,66 @@ def test_seek_and_segmentation_logic(model, tokenizer, monkeypatch):
     assert segs[1]["seek"] == 300
     assert abs(segs[1]["start"] - 3.0) < 1e-6
     assert segs[1]["temperature"] == 0.5
+
+
+def test_hallucination_silence_skipping(model, tokenizer, monkeypatch):
+    """With word_timestamps + hallucination_silence_threshold, an anomalous
+    segment surrounded by silence is dropped and seek jumps forward
+    (reference whisper.py:737-802 semantics), driven by scripted decode
+    results and scripted word timings."""
+    from mlx_audio_tpu.models.stt.whisper import transcribe as T
+    from mlx_audio_tpu.models.stt.whisper.decoding import DecodingResult
+
+    m = T.Model(tiny_dims(tokenizer))
+    monkeypatch.setattr(
+        T.Model, "_tokenizer", lambda self, language=None, task=None: tokenizer
+    )
+
+    ts = tokenizer.timestamp_begin
+    txt = tokenizer.encode("hi")
+
+    def scripted(model_, segment, options, tokenizer=None):
+        # one window: a pair-sliced segment ending in text (no single-ts
+        # ending), so the hallucination path runs
+        return DecodingResult(
+            audio_features=None, language="en",
+            tokens=[ts + 10] + txt + [ts + 40, ts + 40] + txt,
+            avg_logprob=-0.1, no_speech_prob=0.0, temperature=0.0,
+            compression_ratio=1.0,
+        )
+
+    def scripted_words(segments, **kwargs):
+        # first sliced segment gets anomalous words (very low probability,
+        # tiny duration -> anomaly score >= 3), isolated by silence
+        for i, seg in enumerate(segments):
+            if i == 0:
+                seg["words"] = [
+                    {"word": "hi", "start": seg["start"],
+                     "end": seg["start"] + 0.01, "probability": 0.01},
+                    {"word": "hi", "start": seg["start"] + 0.01,
+                     "end": seg["start"] + 0.02, "probability": 0.01},
+                    {"word": "hi", "start": seg["start"] + 0.02,
+                     "end": seg["start"] + 0.03, "probability": 0.01},
+                ]
+            else:
+                seg["words"] = [
+                    {"word": "ok", "start": seg["start"],
+                     "end": seg["end"], "probability": 0.9},
+                ]
+
+    monkeypatch.setattr(T.api, "decode", scripted)
+    monkeypatch.setattr(T, "add_word_timestamps", scripted_words)
+
+    audio = np.zeros(2 * 16000, dtype=np.float32)  # single 2 s window
+    out_plain = m.generate(audio, temperature=0.0, language="en",
+                           word_timestamps=True,
+                           condition_on_previous_text=False)
+    n_plain = len(out_plain.segments)
+
+    out = m.generate(audio, temperature=0.0, language="en",
+                     word_timestamps=True,
+                     hallucination_silence_threshold=0.05,
+                     condition_on_previous_text=False)
+    # the anomalous first segment must have been dropped by the
+    # hallucination pass relative to the plain word-timestamps run
+    assert len(out.segments) < n_plain
