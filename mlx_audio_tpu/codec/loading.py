@@ -10,7 +10,6 @@ for non-local names.
 
 from __future__ import annotations
 
-import glob
 import json
 from pathlib import Path
 from typing import Optional
@@ -34,15 +33,11 @@ def load_config(path: Path) -> dict:
 
 def load_safetensors(path: Path, filename: Optional[str] = None) -> dict:
     """Collect numpy weights from `filename`, or every *.safetensors in the
-    directory (handles HF shard layouts)."""
+    directory (handles HF shard layouts) via the shared loader helper."""
     from safetensors.numpy import load_file
 
     if filename is not None:
         return load_file(str(path / filename))
-    files = sorted(glob.glob(str(path / "*.safetensors")))
-    if not files:
-        raise FileNotFoundError(f"no safetensors found in {path}")
-    weights: dict = {}
-    for f in files:
-        weights.update(load_file(f))
-    return weights
+    from mlx_audio_tpu.utils.loader import load_weights_files
+
+    return load_weights_files(Path(path))

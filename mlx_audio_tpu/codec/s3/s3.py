@@ -288,12 +288,13 @@ def _s3_sanitize(weights: dict) -> dict:
     return out
 
 
-def _s3_from_pretrained(cls, name: str, repo_id: str):
+def _s3_from_pretrained(cls, name: str, repo_id: str,
+                        config: Optional[S3Config] = None):
     from mlx_audio_tpu.codec.loading import fetch_from_hub, load_safetensors
     from mlx_audio_tpu.nn.module import update_arrays
 
     path = fetch_from_hub(repo_id)
-    model = cls(name)
+    model = cls(name, config=config)
     f = path / f"{name}.safetensors"
     weights = (load_safetensors(path, f.name) if f.exists()
                else load_safetensors(path))
@@ -302,10 +303,11 @@ def _s3_from_pretrained(cls, name: str, repo_id: str):
 
 def _s3tok_from_pretrained(cls_name):
     def from_pretrained(cls, name: str = cls_name,
-                        repo_id: str = "mlx-community/CosyVoice2-0.5B-S3Tokenizer"):
+                        repo_id: str = "mlx-community/CosyVoice2-0.5B-S3Tokenizer",
+                        config: Optional[S3Config] = None):
         """Load named S3 tokenizer weights from a directory or repo
         (reference s3/model_v2.py:355-370)."""
-        return _s3_from_pretrained(cls, name, repo_id)
+        return _s3_from_pretrained(cls, name, repo_id, config=config)
 
     return classmethod(from_pretrained)
 

@@ -294,11 +294,21 @@ class BaseParakeet(Module):
             subsampling_conv_channels=enc.get("subsampling_conv_channels", 256),
             pos_emb_max_len=enc.get("max_position_embeddings", 5000),
         )
-        # vocabulary comes from the checkpoint's tokenizer when available;
-        # fall back to index placeholders (ids still decode correctly)
-        vocab = config.get("vocabulary") or [
-            str(i) for i in range(config.get("vocab_size", 1025) - 1)
-        ]
+        # vocabulary comes from the checkpoint's tokenizer.json/vocab.json
+        # when available; fall back to index placeholders (ids still decode,
+        # text is then token indices)
+        vocab = (config.get("vocabulary")
+                 or _vocab_from_checkpoint_dir(config.get("tokenizer_name")))
+        if vocab:
+            # CTC classes = vocab + blank; trim any trailing blank/pad entry
+            # the tokenizer file may carry
+            vocab = list(vocab)[: config.get("vocab_size", len(vocab) + 1) - 1]
+        else:
+            import warnings
+
+            warnings.warn("no tokenizer.json/vocab.json found next to the "
+                          "checkpoint; transcripts will be token indices")
+            vocab = [str(i) for i in range(config.get("vocab_size", 1025) - 1)]
         dec = ConvASRDecoderArgs(feat_in=conf.d_model, num_classes=-1,
                                  vocabulary=vocab)
         return ParakeetCTC(pre, conf, dec)
@@ -463,6 +473,33 @@ def sanitize_hf_parakeet(weights: dict) -> dict:
             v = v.transpose(2, 1, 0)  # torch [O, I/g, K] -> [K, I/g, O]
         out[k] = v
     return out
+
+
+def _vocab_from_checkpoint_dir(d) -> Optional[list]:
+    """id -> token list from an HF tokenizer.json (BPE/WordLevel dict or
+    Unigram [token, score] list) or a vocab.json next to the checkpoint."""
+    if not d:
+        return None
+    tj = Path(d) / "tokenizer.json"
+    if tj.exists():
+        with open(tj) as f:
+            vocab = json.load(f).get("model", {}).get("vocab")
+        if isinstance(vocab, dict):
+            inv = [""] * (max(vocab.values()) + 1)
+            for t, i in vocab.items():
+                inv[i] = t
+            return inv
+        if isinstance(vocab, list):
+            return [t for t, _score in vocab]
+    vj = Path(d) / "vocab.json"
+    if vj.exists():
+        with open(vj) as f:
+            v = json.load(f)
+        inv = [""] * (max(v.values()) + 1)
+        for t, i in v.items():
+            inv[i] = t
+        return inv
+    return None
 
 
 class Model:

@@ -241,6 +241,33 @@ class Model(Module):
 
         from mlx_audio_tpu.models.stt.whisper.transcribe import STTOutput
 
+        if mel is None and input_ids is None and audio is not None:
+            # long audio: transcribe per encoder window and concatenate
+            # (HF's processor likewise chunks into 30 s windows)
+            from mlx_audio_tpu.models.stt.whisper.audio import (
+                log_mel_spectrogram,
+            )
+
+            full_mel = log_mel_spectrogram(
+                np.asarray(audio), n_mels=self.audio_cfg.num_mel_bins
+            )
+            window = 2 * self.audio_cfg.max_source_positions
+            if full_mel.shape[0] > window:
+                texts, tokens, segs = [], [], []
+                for start in range(0, int(full_mel.shape[0]), window):
+                    out = self.generate(
+                        None, mel=self._pad_window(full_mel[start:start + window]),
+                        input_ids=self._ids_for_window(),
+                        max_tokens=max_tokens, temperature=temperature,
+                        top_p=top_p, top_k=top_k,
+                        eos_token_ids=eos_token_ids, seed=seed, **kwargs,
+                    )
+                    texts.append(out.text)
+                    segs.extend(out.segments or [])
+                return STTOutput(text=" ".join(t for t in texts if t),
+                                 segments=segs,
+                                 language=kwargs.get("language", "en"))
+
         if mel is None or input_ids is None:
             mel, input_ids = self._prepare_inputs(audio, **kwargs)
 
@@ -287,6 +314,18 @@ class Model(Module):
                 if self._tokenizer is not None else "")
         return STTOutput(text=text, segments=[{"tokens": generated}],
                          language=kwargs.get("language", "en"))
+
+    def _pad_window(self, mel):
+        window = 2 * self.audio_cfg.max_source_positions
+        if mel.shape[0] < window:
+            mel = jnp.pad(jnp.asarray(mel), ((0, window - mel.shape[0]), (0, 0)))
+        return mel
+
+    def _ids_for_window(self):
+        group = self.audio_cfg.intermediate_size // self.audio_cfg.d_model
+        n_audio_tokens = self.audio_cfg.max_source_positions // group
+        return np.asarray([1] + [self.audio_token_id] * n_audio_tokens,
+                          dtype=np.int32)
 
     def _prepare_inputs(self, audio, language="en", **kwargs):
         from mlx_audio_tpu.models.stt.whisper.audio import log_mel_spectrogram

@@ -5,7 +5,8 @@ conv+transformer audio encoder with sinusoidal positions, text decoder with
 learned absolute positions and cross-attention.  Decode state is a list of
 functional KV caches; prompts are RIGHT-padded to length buckets (learned
 absolute positions forbid left-padding) with the cache write index rewound
-to the true length after prefill.
+to the LAST valid slot after prefill (the decode loops re-feed the final
+prompt token, overwriting that slot in place).
 """
 
 from __future__ import annotations
@@ -196,7 +197,10 @@ class TextDecoder(Module):
                 cross_kv: list):
         """RIGHT-padded prompt [B, Lb]; valid length n_valid [B] (scalar per
         row).  Returns hidden [B, Lb, D] and caches with idx rewound to the
-        max valid length so decode continues at the right slot."""
+        LAST valid slot (n_valid - 1): the decode loops re-feed tokens[t-1]
+        on their first step, which must overwrite that slot in place —
+        appending instead shifts every generated position by one (the
+        off-by-one the beam-search golden caught)."""
         b, lb = tokens.shape
         x = self.token_embedding(tokens) + self.positional_embedding[:lb]
         max_len = caches[0].k.shape[-2]

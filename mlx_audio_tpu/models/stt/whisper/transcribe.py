@@ -62,29 +62,17 @@ class STTOutput:
 
 def _load_weight_files(model_path: Path) -> dict:
     """Collect weights from any supported container in ``model_path``:
-    weights.safetensors / weights.npz (MLX-community layout) or
-    model.safetensors, optionally sharded via
-    model.safetensors.index.json (HF transformers layout)."""
-    for name in ("weights.safetensors", "model.safetensors"):
-        f = model_path / name
+    *.safetensors (MLX-community weights.safetensors or HF model.safetensors
+    incl. shards, via the shared loader helper) or weights.npz."""
+    try:
+        from mlx_audio_tpu.utils.loader import load_weights_files
+
+        return load_weights_files(model_path)
+    except FileNotFoundError:
+        f = model_path / "weights.npz"
         if f.exists():
-            from safetensors.numpy import load_file
-
-            return load_file(str(f))
-    idx = model_path / "model.safetensors.index.json"
-    if idx.exists():
-        from safetensors.numpy import load_file
-
-        with open(idx) as fh:
-            shard_files = sorted(set(json.load(fh)["weight_map"].values()))
-        weights = {}
-        for shard in shard_files:
-            weights.update(load_file(str(model_path / shard)))
-        return weights
-    f = model_path / "weights.npz"
-    if f.exists():
-        return dict(np.load(f))
-    raise FileNotFoundError(f"no weight files found in {model_path}")
+            return dict(np.load(f))
+        raise
 
 
 class Model(WhisperModel):

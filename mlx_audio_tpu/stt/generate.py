@@ -20,7 +20,10 @@ def parse_args(argv=None):
     parser.add_argument("--output-path", "--output", dest="output_path",
                         type=str, default=".")
     parser.add_argument("--max_tokens", type=int, default=None,
-                        help="Maximum number of new tokens to generate")
+                        help="Maximum number of new tokens to generate "
+                             "(LLM-based STT like Voxtral; Whisper/Parakeet "
+                             "bound output by their own decode budgets, as "
+                             "in the reference)")
     parser.add_argument("--format", type=str, default="txt",
                         choices=["txt", "srt", "vtt", "json", "tsv", "all"])
     parser.add_argument("--language", type=str, default=None)

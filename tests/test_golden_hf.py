@@ -1563,7 +1563,15 @@ def test_stt_families_load_hf_checkpoint_directories(tmp_path):
         ParakeetCTCConfig(encoder_config=enc.to_dict(), vocab_size=33)
     ).eval()
     phf.save_pretrained(str(tmp_path / "parakeet"), safe_serialization=True)
+    # checkpoint tokenizer -> vocabulary (Unigram-style tokenizer.json)
+    import json as _json
+
+    vocab33 = [[("▁tok%d" % i), -float(i)] for i in range(33)]
+    with open(tmp_path / "parakeet" / "tokenizer.json", "w") as f:
+        _json.dump({"model": {"type": "Unigram", "vocab": vocab33}}, f)
     pk = load_model(str(tmp_path / "parakeet"), domain="stt")
+    assert pk.vocabulary[:2] == ["▁tok0", "▁tok1"]
+    assert len(pk.vocabulary) == 32  # vocab_size - 1 (blank excluded)
     mel = rng.standard_normal((1, 64, 16)).astype(np.float32)
     with torch.no_grad():
         logp_hf = torch.log_softmax(

@@ -81,13 +81,8 @@ def test_s3_from_pretrained_roundtrip(tmp_path):
         weights[k] = np.ascontiguousarray(v)
     save_file(weights, str(tmp_path / f"{name}.safetensors"))
 
-    import mlx_audio_tpu.codec.s3.s3 as s3mod
-    from mlx_audio_tpu.nn.module import update_arrays
-
-    # the sanitize + load path from_pretrained routes through (the classmethod
-    # itself builds the full-size published architecture)
-    loaded = S3TokenizerV2(name, config=cfg)
-    loaded = update_arrays(loaded, s3mod._s3_sanitize(weights), strict=True)
+    loaded = S3TokenizerV2.from_pretrained(name=name, repo_id=str(tmp_path),
+                                           config=cfg)
 
     rng = np.random.default_rng(0)
     mel = rng.standard_normal((1, 8, 64)).astype(np.float32)

@@ -138,3 +138,26 @@ def test_feature_extractor_2d_batch_and_overflow():
     out2 = fe([long, np.zeros(100, dtype=np.float32)],
               padding="max_length", max_length=320)
     assert out2.input_values.shape == (2, 500)
+
+
+def test_voxtral_long_audio_windows():
+    """Audio longer than one encoder window is transcribed per window and
+    concatenated (not silently truncated to the first 30 s equivalent)."""
+    cfg = VoxConfig(
+        audio_config=dict(num_mel_bins=80, d_model=32, encoder_layers=2,
+                          encoder_attention_heads=4, encoder_ffn_dim=64,
+                          intermediate_size=128, max_source_positions=64),
+        text_config=dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=8,
+                         max_position_embeddings=1024,
+                         tie_word_embeddings=True),
+        audio_token_id=24,
+    )
+    model = Voxtral(cfg, tokenizer=FakeTok())
+    # window = 2*64 mel frames = 1.28 s; 4 s of audio => 4 windows
+    audio = np.random.default_rng(2).standard_normal(4 * 16000).astype(np.float32) * 0.1
+    out = model.generate(audio, max_tokens=6, temperature=0.0,
+                         eos_token_ids=(2,))
+    assert len(out.segments) >= 3
+    assert isinstance(out.text, str)
