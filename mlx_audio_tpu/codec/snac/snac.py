@@ -333,7 +333,18 @@ class SNAC(Module):
 
     def _decode_impl(self, codes: List[jax.Array], key=None) -> jax.Array:
         z_q = self.quantizer.from_codes(codes)
+        t0 = z_q.shape[1]
+        w = self.config.attn_window_size
+        if w and t0 % w:
+            # decoder-side LocalMHA windows need T % window == 0; only the
+            # encode path guarantees that via preprocess padding, so pad
+            # externally produced (e.g. LM-generated) codes and trim the
+            # synthesized tail back off
+            z_q = jnp.pad(z_q, ((0, 0), (0, w - t0 % w), (0, 0)))
         audio = self.decoder(z_q, key)
+        if w and t0 % w:
+            factor = audio.shape[1] // z_q.shape[1]
+            audio = audio[:, : t0 * factor]
         return jnp.swapaxes(audio, 1, 2)  # [B, 1, T] NCL contract
 
     def __call__(self, audio: jax.Array, key=None):

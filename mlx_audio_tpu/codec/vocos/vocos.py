@@ -42,8 +42,12 @@ def log_mel_spectrogram(
 class MelSpectrogramFeatures(Module):
     def __init__(self, sample_rate=24_000, n_fft=1024, hop_length=256,
                  n_mels=100, padding="center"):
-        if padding not in ["center", "same"]:
-            raise ValueError("Padding must be 'center' or 'same'.")
+        if padding != "center":
+            # 'same' exists upstream but is unimplemented here — failing
+            # loudly beats silently time-shifted audio
+            raise NotImplementedError(
+                "MelSpectrogramFeatures supports padding='center' only"
+            )
         self.sample_rate = sample_rate
         self.n_fft = n_fft
         self.hop_length = hop_length
@@ -100,8 +104,15 @@ class AdaLayerNorm(Module):
         self.shift = Linear(num_embeddings, embedding_dim)
 
     def __call__(self, x: jax.Array, cond_embedding: jax.Array) -> jax.Array:
-        scale = self.scale(cond_embedding)
-        shift = self.shift(cond_embedding)
+        cond = jnp.asarray(cond_embedding)
+        if jnp.issubdtype(cond.dtype, jnp.integer):
+            # EnCodec-mode API passes the integer bandwidth id (reference
+            # vocos.py:242-252); a one-hot through the Linear is exactly the
+            # original torch Embedding lookup
+            n_emb = self.scale.weight.shape[1]
+            cond = jax.nn.one_hot(cond.reshape(-1), n_emb, dtype=x.dtype)
+        scale = self.scale(cond)
+        shift = self.shift(cond)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         x = (x - mean) * jax.lax.rsqrt(var + self.eps)
@@ -174,6 +185,10 @@ class VocosBackbone(Module):
 class ISTFTHead(Module):
     def __init__(self, dim: int, n_fft: int, hop_length: int,
                  padding: str = "center"):
+        if padding != "center":
+            raise NotImplementedError(
+                "ISTFTHead supports padding='center' only"
+            )
         self.n_fft = n_fft
         self.hop_length = hop_length
         self.out = Linear(dim, n_fft + 2)
@@ -242,6 +257,12 @@ class Vocos(Module):
                 continue
             if k.endswith(".weight") and v.ndim == 3:
                 out[k] = v.transpose(1, 2, 0)
+            elif (v.ndim == 2 and v.shape[0] < v.shape[1]
+                    and (k.endswith("norm.scale.weight")
+                         or k.endswith("norm.shift.weight"))):
+                # upstream torch AdaLayerNorm stores these as Embedding
+                # tables [num_embeddings, dim]; our Linear is [dim, num_emb]
+                out[k] = v.T
             else:
                 out[k] = v
         return out

@@ -426,7 +426,9 @@ class Generator(Module):
             if cur_len is not None:
                 cur_len = cur_len * self.upsample_rates[i]
             if i == self.num_upsamples - 1:
-                x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))  # reference reflection_pad (:787)
+                x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))  # reference "reflection_pad"
+                # is actually zero padding (istftnet.py:682-689 pads with
+                # mx.pad constant 0), so constant matches it exactly
                 if cur_len is not None:
                     cur_len = cur_len + 1
             x = apply_mask(x, length_mask(x.shape[1], cur_len) if cur_len is not None else None)

@@ -297,14 +297,21 @@ class KokoroPipeline:
         for graphemes in text:
             if not graphemes.strip():
                 continue
-            result = self.g2p(graphemes)
-            # misaki en.G2P returns (ps, tokens); espeak G2P returns (ps, _)
-            if isinstance(result, tuple) and len(result) == 2 and isinstance(result[1], list):
-                _, tokens = result
-                iterator = self.en_tokenize(tokens)
+            # route by language like the reference (pipeline.py:378,405):
+            # English gets misaki token chunking (and per-token timestamps);
+            # other languages get ~400-char sentence-boundary chunking with
+            # per-chunk G2P — NOT the American-English token rules, and
+            # never a single-segment truncation of long text
+            if self.lang_code in "ab":
+                result = self.g2p(graphemes)
+                if (isinstance(result, tuple) and len(result) == 2
+                        and isinstance(result[1], list)):
+                    iterator = self.en_tokenize(result[1])
+                else:
+                    ps = result[0] if isinstance(result, tuple) else result
+                    iterator = [(graphemes, (ps or "")[:PHONEME_BUDGET], None)]
             else:
-                ps = result[0] if isinstance(result, tuple) else result
-                iterator = [(graphemes, ps[:PHONEME_BUDGET], None)]
+                iterator = self._non_english_segments(graphemes)
             for gs, ps, tks in iterator:
                 if not ps:
                     continue
@@ -312,6 +319,35 @@ class KokoroPipeline:
                     logging.warning(f"Truncating len(ps) == {len(ps)} > {PHONEME_BUDGET}")
                     ps = ps[:PHONEME_BUDGET]
                 yield gs, ps, tks
+
+    def _non_english_segments(self, graphemes: str):
+        """Non-English chunking (reference pipeline.py:405-460): split on
+        sentence boundaries into ~400-char chunks (character fallback),
+        G2P each chunk."""
+        chunk_size = 400
+        sentences = re.split(r"([.!?]+)", graphemes)
+        chunks, cur = [], ""
+        for i in range(0, len(sentences), 2):
+            sent = sentences[i]
+            if i + 1 < len(sentences):
+                sent += sentences[i + 1]
+            if len(cur) + len(sent) <= chunk_size:
+                cur += sent
+            else:
+                if cur:
+                    chunks.append(cur.strip())
+                cur = sent
+        if cur:
+            chunks.append(cur.strip())
+        if not chunks:
+            chunks = [graphemes[i: i + chunk_size]
+                      for i in range(0, len(graphemes), chunk_size)]
+        for chunk in chunks:
+            if not chunk.strip():
+                continue
+            result = self.g2p(chunk)
+            ps = result[0] if isinstance(result, tuple) else result
+            yield chunk, (ps or "")[:PHONEME_BUDGET], None
 
     def __call__(
         self,

@@ -113,8 +113,12 @@ class PromptProcessor:
         text = self.text_normalizations(text)
         if speaker is not None:
             text, separator = self.merge_speaker_text(text, speaker["text"])
-            speaker["words"][-1]["word"] += separator
-            codes = self.create_codes(speaker["words"])
+            # do not mutate the caller's speaker dict: generate() calls this
+            # per chunk (and generate_batch shares one speaker across rows),
+            # so in-place `+= separator` would accumulate punctuation
+            words = [dict(w) for w in speaker["words"]]
+            words[-1]["word"] = words[-1]["word"] + separator
+            codes = self.create_codes(words)
         prompt = self._init_prompt(text)
         if speaker is not None:
             prompt += codes + "\n" + self.special_tokens.word_start

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -285,6 +287,13 @@ class BiCodec(Module):
             # de_conv_upsampler.1.* / conv_downsampler.1.* -> drop the index
             k = k.replace("de_conv_upsampler.1.", "de_conv_upsampler.")
             k = k.replace("conv_downsampler.1.", "conv_downsampler.")
+            # perceiver FeedForward is a torch Sequential
+            # [Linear, GEGLU, Linear] (perceiver_encoder.py:176-198); ours
+            # is GEGLUFeedForward(w_in, w_out)
+            k = re.sub(r"(perceiver_sampler\.layers\.\d+\.1)\.0\.",
+                       r"\1.w_in.", k)
+            k = re.sub(r"(perceiver_sampler\.layers\.\d+\.1)\.2\.",
+                       r"\1.w_out.", k)
             is_t = self._is_conv_transpose_key(k)
             if k.endswith("weight_g") and v.ndim == 3:
                 v = v.transpose((1, 0, 2)) if is_t else v.transpose((1, 2, 0))

@@ -25,7 +25,6 @@ from mlx_audio_tpu.nn import (
     WNConvTranspose1d,
     leaky_relu,
 )
-from mlx_audio_tpu.nn.layers import _uniform
 
 
 # ---------------------------------------------------------------------------

@@ -111,8 +111,14 @@ class Model(Module):
 
     # -- prompts (reference spark.py:107-206) ------------------------------
 
-    def process_prompt(self, text: str, ref_audio, ref_text: Optional[str]):
-        global_tokens, semantic_tokens = self._audio_tokenizer.tokenize(ref_audio)
+    def process_prompt(self, text: str, ref_audio, ref_text: Optional[str],
+                       ref_tokens=None):
+        """Build the voice-clone prompt.  ``ref_tokens`` (a prior
+        tokenize(ref_audio) result) avoids re-running the wav2vec2 +
+        BiCodec reference pass per text segment."""
+        if ref_tokens is None:
+            ref_tokens = self._audio_tokenizer.tokenize(ref_audio)
+        global_tokens, semantic_tokens = ref_tokens
         prompt = build_clone_prompt(
             text, ref_text,
             np.asarray(global_tokens).reshape(-1),
@@ -138,6 +144,9 @@ class Model(Module):
         if ref_audio is not None:  # voice cloning overrides control attrs
             gender = None
 
+        # tokenize the reference ONCE; every segment reuses the tokens
+        ref_tokens = (self._audio_tokenizer.tokenize(ref_audio)
+                      if ref_audio is not None and gender is None else None)
         for segment_idx, text_split in enumerate(text.split(split_pattern)):
             if not text_split.strip():
                 continue
@@ -148,7 +157,7 @@ class Model(Module):
                 global_token_ids = None
             else:
                 prompt, global_token_ids = self.process_prompt(
-                    text_split, ref_audio, ref_text
+                    text_split, ref_audio, ref_text, ref_tokens=ref_tokens
                 )
             input_ids = self.tokenizer(prompt, return_tensors="np").input_ids[0]
 

@@ -285,3 +285,35 @@ def test_spark_generate_batch_control():
         assert r.sample_rate == 16000
         assert r.audio.ndim == 1 and r.audio.size > 0
         assert np.isfinite(r.audio).all()
+
+
+def test_bicodec_sanitize_maps_perceiver_feedforward_keys():
+    """Torch BiCodec checkpoints store the perceiver FF as a Sequential
+    [Linear, GEGLU, Linear] (reference perceiver_encoder.py:176-198);
+    sanitize must rename .1.0/.1.2 onto our GEGLUFeedForward w_in/w_out —
+    update_arrays(strict=False) would otherwise silently drop them."""
+    import numpy as np
+
+    from mlx_audio_tpu.models.tts.spark.bicodec import BiCodec
+
+    b = BiCodec.__new__(BiCodec)
+    w = {
+        "speaker_encoder.perceiver_sampler.layers.0.1.0.weight": np.zeros((6, 4)),
+        "speaker_encoder.perceiver_sampler.layers.0.1.0.bias": np.zeros((6,)),
+        "speaker_encoder.perceiver_sampler.layers.0.1.2.weight": np.zeros((4, 3)),
+        "speaker_encoder.perceiver_sampler.layers.0.1.2.bias": np.zeros((4,)),
+        "speaker_encoder.perceiver_sampler.layers.0.0.to_q.weight": np.zeros((8, 4)),
+    }
+    out = b.sanitize(w)
+    assert "speaker_encoder.perceiver_sampler.layers.0.1.w_in.weight" in out
+    assert "speaker_encoder.perceiver_sampler.layers.0.1.w_in.bias" in out
+    assert "speaker_encoder.perceiver_sampler.layers.0.1.w_out.weight" in out
+    assert "speaker_encoder.perceiver_sampler.layers.0.1.w_out.bias" in out
+    # these names exist in the module pytree
+    from mlx_audio_tpu.models.tts.spark.modules import PerceiverResampler
+    from mlx_audio_tpu.nn.module import named_arrays
+
+    m = PerceiverResampler(dim=8, depth=1, dim_context=8, num_latents=2,
+                           dim_head=4, heads=2, ff_mult=2)
+    paths = {k for k, _ in named_arrays(m)}
+    assert "layers.0.1.w_in.weight" in paths and "layers.0.1.w_out.weight" in paths
