@@ -294,7 +294,11 @@ class Model(Module):
                 seg_ps.append(ps)
                 owner.append(ti)
         if not seg_ps:
-            return []
+            return [make_generation_result(
+                audio=np.zeros((0,), dtype=np.float32),
+                sample_rate=self.config.sample_rate, segment_idx=ti,
+                token_count=0, segment_time=0.0,
+            ) for ti in range(len(texts))]
         refs = np.stack([pack[len(ps) - 1].reshape(-1) for ps in seg_ps])
         outs = self.synthesize_batch(seg_ps, refs, speeds=speed)
 
@@ -302,9 +306,10 @@ class Model(Module):
         results = []
         for ti in range(len(texts)):
             segs = [outs[i] for i in range(len(outs)) if owner[i] == ti]
-            if not segs:
-                continue
-            audio = np.concatenate([a for a, _ in segs])
+            # one result per text even when G2P yielded nothing: batched
+            # servers match results to requests by index
+            audio = (np.concatenate([a for a, _ in segs])
+                     if segs else np.zeros((0,), dtype=np.float32))
             n_tok = sum(len(p) for i, p in enumerate(seg_ps) if owner[i] == ti)
             results.append(make_generation_result(
                 audio=audio, sample_rate=self.config.sample_rate,

@@ -228,9 +228,11 @@ class Model(Module):
         for i, (prompt_ids, gen) in enumerate(zip(rows, outs)):
             tokens = np.concatenate([np.asarray(prompt_ids), gen])
             code_list = self.parse_output(tokens[None, :])[0]
-            if not code_list:
-                continue
-            audio = decode_audio_from_codes(code_list, self._snac)[0]
+            # keep the one-result-per-text contract: rows that produced no
+            # audio codes yield an EMPTY result (batched servers match
+            # results to requests by index)
+            audio = (decode_audio_from_codes(code_list, self._snac)[0]
+                     if code_list else np.zeros((0,), dtype=np.float32))
             results.append(make_generation_result(
                 audio, self.config.sample_rate, i, len(tokens),
                 elapsed / len(texts),

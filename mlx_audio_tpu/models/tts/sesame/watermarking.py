@@ -136,7 +136,8 @@ def check_audio_from_file(audio_path: str, sample_rate: int = 24000) -> bool:
     """CLI helper (reference cli_check_audio, :14-19)."""
     from mlx_audio_tpu.utils.audio_io import load_audio
 
-    audio = load_audio(audio_path)
+    audio = load_audio(audio_path, sample_rate)  # resample to the claimed
+    # rate: verify() interprets samples at `sample_rate`
     wm = load_watermarker()
     is_marked = verify(wm, audio, sample_rate, CSM_1B_GH_WATERMARK)
     print("Watermarked" if is_marked else "Not watermarked")

@@ -49,6 +49,9 @@ class ServerState:
         self.player = None
         self.batcher = None  # set to a DynamicBatcher to enable micro-batching
         self.sts_options: dict = {}  # set via POST /speech_to_speech_input
+        import threading
+
+        self._model_lock = threading.Lock()  # hot-swap check-then-set
         try:
             os.makedirs(output_folder, exist_ok=True)
             self.output_folder = output_folder
@@ -57,22 +60,26 @@ class ServerState:
             os.makedirs(self.output_folder, exist_ok=True)
 
     def get_tts(self, repo: str):
-        if self.tts_model is None or self.tts_repo != repo:
-            from mlx_audio_tpu.utils.loader import load_model
+        # locked: concurrent executor threads hot-swapping different repos
+        # could otherwise interleave model/repo assignment (and double-load)
+        with self._model_lock:
+            if self.tts_model is None or self.tts_repo != repo:
+                from mlx_audio_tpu.utils.loader import load_model
 
-            logger.info(f"Loading TTS model {repo}")
-            self.tts_model = load_model(repo, domain="tts")
-            self.tts_repo = repo
-        return self.tts_model
+                logger.info(f"Loading TTS model {repo}")
+                self.tts_model = load_model(repo, domain="tts")
+                self.tts_repo = repo
+            return self.tts_model
 
     def get_stt(self, repo: str):
-        if self.stt_model is None or self.stt_repo != repo:
-            from mlx_audio_tpu.utils.loader import load_model
+        with self._model_lock:
+            if self.stt_model is None or self.stt_repo != repo:
+                from mlx_audio_tpu.utils.loader import load_model
 
-            logger.info(f"Loading STT model {repo}")
-            self.stt_model = load_model(repo, domain="stt")
-            self.stt_repo = repo
-        return self.stt_model
+                logger.info(f"Loading STT model {repo}")
+                self.stt_model = load_model(repo, domain="stt")
+                self.stt_repo = repo
+            return self.stt_model
 
 
 def _parse_speed(model: str, speed: str):
@@ -96,7 +103,8 @@ def _parse_speed(model: str, speed: str):
 
 def build_gen_params(model: str, text: str, voice: Optional[str], speed,
                      language: str, pitch: Optional[str],
-                     gender: Optional[str], ref_audio_path: Optional[str]):
+                     gender: Optional[str], ref_audio_path: Optional[str],
+                     ref_text: Optional[str] = None):
     """Assemble per-model generation kwargs (reference server.py:219-266)."""
     params = {"text": text, "speed": speed, "verbose": False,
               "max_tokens": 8000}
@@ -112,6 +120,8 @@ def build_gen_params(model: str, text: str, voice: Optional[str], speed,
         )
     if ref_audio_path and ("csm" in lname or "sesame" in lname):
         params["ref_audio"] = ref_audio_path
+        if ref_text:
+            params["ref_text"] = ref_text
     return params
 
 
@@ -119,7 +129,8 @@ def synthesize_to_file(state: ServerState, model_repo: str, text: str,
                        voice: Optional[str] = None, speed: str = "1.0",
                        language: str = "a", pitch: Optional[str] = None,
                        gender: Optional[str] = None,
-                       ref_audio_path: Optional[str] = None) -> dict:
+                       ref_audio_path: Optional[str] = None,
+                       ref_text: Optional[str] = None) -> dict:
     """Core /tts behavior, transport-independent (so tests can drive it
     without sockets)."""
     if not text.strip():
@@ -133,16 +144,41 @@ def synthesize_to_file(state: ServerState, model_repo: str, text: str,
         return {"error": f"Failed to load model: {e}", "status": 500}
 
     gen_params = build_gen_params(model_repo, text, voice, speed_value,
-                                  language, pitch, gender, ref_audio_path)
+                                  language, pitch, gender, ref_audio_path,
+                                  ref_text)
     if ref_audio_path is not None and "ref_audio" in gen_params:
         from mlx_audio_tpu.utils.audio_io import load_audio
 
         gen_params["ref_audio"] = load_audio(
             ref_audio_path, getattr(model, "sample_rate", 24000)
         )
+        if "ref_text" not in gen_params and (
+            "csm" in model_repo.lower() or "sesame" in model_repo.lower()
+        ):
+            # CSM needs the reference transcript; auto-transcribe like the
+            # CLI (tts/generate.py) instead of failing the request
+            try:
+                from mlx_audio_tpu.models.stt.whisper import (
+                    Model as WhisperModel,
+                )
+                from mlx_audio_tpu.utils.audio_io import resample_audio
 
-    segments = [np.asarray(r.audio).reshape(-1)
-                for r in model.generate(**gen_params)]
+                stt = state.get_stt("mlx-community/whisper-large-v3-turbo")
+                gen_params["ref_text"] = stt.generate(
+                    resample_audio(
+                        gen_params["ref_audio"],
+                        getattr(model, "sample_rate", 24000), 16000,
+                    )
+                ).text.strip()
+            except Exception as e:
+                return {"error": "ref_text missing and auto-transcription "
+                                 f"failed: {e}", "status": 400}
+
+    try:
+        segments = [np.asarray(r.audio).reshape(-1)
+                    for r in model.generate(**gen_params)]
+    except Exception as e:
+        return {"error": f"Generation failed: {e}", "status": 500}
     if not segments:
         return {"error": "No audio generated", "status": 500}
     audio = np.concatenate(segments)
@@ -275,9 +311,12 @@ class DynamicBatcher:
                 )
             if results is not None and len(results) == len(texts):
                 for fut, r in zip(futs, results):
-                    fut.set_result(
-                        _write_wav(self.state, np.asarray(r.audio).reshape(-1), sr)
-                    )
+                    audio = np.asarray(r.audio).reshape(-1)
+                    if audio.size == 0:
+                        fut.set_result({"error": "No audio generated",
+                                        "status": 500})
+                    else:
+                        fut.set_result(_write_wav(self.state, audio, sr))
                 return
             # sequential fallback (no compatible batch path)
             for fut, text in zip(futs, texts):
@@ -364,6 +403,7 @@ def create_app(state: Optional[ServerState] = None):
                         form.get("pitch"),
                         form.get("gender"),
                         ref_audio_path,
+                        form.get("ref_text"),
                     ),
                 )
         finally:
@@ -409,9 +449,10 @@ def create_app(state: Optional[ServerState] = None):
         from mlx_audio_tpu.tts.audio_player import AudioPlayer
         from mlx_audio_tpu.utils.audio_io import load_audio
 
-        audio_data = load_audio(path)
         if state.player is None:
             state.player = AudioPlayer()
+        # resample to the player's rate — Spark writes 16 kHz, Dia 44.1 kHz
+        audio_data = load_audio(path, state.player.sample_rate)
         state.player.queue_audio(audio_data)
         return web.json_response({"status": "playing", "filename": filename})
 

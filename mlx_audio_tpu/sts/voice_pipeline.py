@@ -150,8 +150,16 @@ class VoicePipeline:
             self._silence_frames = 0
             self._in_speech = False
         frame_len = int(self.config.sample_rate * self.config.frame_duration_ms / 1000)
+        # carry the trailing partial frame into the next call instead of
+        # dropping it (utterance-final samples otherwise vanish)
+        if getattr(self, "_frame_remainder", None) is not None and len(
+            self._frame_remainder
+        ):
+            frames = np.concatenate([self._frame_remainder, frames])
+        n_full = (len(frames) // frame_len) * frame_len
+        self._frame_remainder = frames[n_full:]
         out = None
-        for start in range(0, len(frames) - frame_len + 1, frame_len):
+        for start in range(0, n_full, frame_len):
             frame = frames[start:start + frame_len]
             speech = self.vad.is_speech(frame)
             if speech:
@@ -243,6 +251,15 @@ class VoicePipeline:
             text = await self.response_queue.get()
             response = await loop.run_in_executor(None, self.respond, text)
             logger.info(f"Assistant: {response}")
+            # retire the previous utterance BEFORE clearing the cancel flag:
+            # clearing first lets a still-running speak() miss the barge-in
+            # and interleave its chunks with the new response
+            if self._speak_task is not None and not self._speak_task.done():
+                self._speak_task.cancel()
+                try:
+                    await self._speak_task
+                except asyncio.CancelledError:
+                    pass
             self.cancel_event.clear()
             self._speak_task = asyncio.create_task(self._speak(response))
 

@@ -49,10 +49,19 @@ def generate(model_path: str, audio_path: str, output_path: str = ".",
     print(f"Transcription: {output.text}")
     print(f"Processing time: {wall:.2f}s; peak memory: {peak_memory_gb():.2f}GB")
 
+    if hasattr(output, "sentences"):  # Parakeet AlignedResult
+        segments = [
+            {"start": sent.start, "end": sent.end, "text": sent.text}
+            for sent in output.sentences
+        ]
+        language = "en"
+    else:
+        segments = output.segments or []
+        language = output.language
     result = {
         "text": output.text,
-        "segments": output.segments or [],
-        "language": output.language,
+        "segments": segments,
+        "language": language,
     }
     writer = get_writer(output_format, output_path)
     written = writer(result, audio_path)

@@ -107,6 +107,15 @@ class AudioPlayer:
                 self.drain_event.set()
 
     def wait_for_drain(self, timeout: float = 60.0) -> bool:
+        # the producer is done: start playback even if the buffered audio
+        # never reached the 1.5 s start gate (a single short segment would
+        # otherwise sit unplayed until the timeout and then be discarded)
+        if not self.playing and self._buffered_seconds() > 0:
+            self.playing = True
+            self._ensure_stream()
+        if not _HAS_AUDIO:
+            # headless: nothing will ever consume the buffer
+            self.drain_event.set()
         return self.drain_event.wait(timeout)
 
     def flush(self):

@@ -126,3 +126,38 @@ def test_audio_player_headless():
     assert p.wait_for_drain(timeout=5)
     p.flush()
     p.stop()
+
+
+def test_stt_cli_writers_accept_parakeet_result(tmp_path, monkeypatch):
+    """The STT CLI must handle Parakeet's AlignedResult (text + sentences,
+    no .segments/.language) — it previously crashed after transcription."""
+    import numpy as np
+
+    from mlx_audio_tpu.models.stt.parakeet.alignment import (
+        AlignedResult,
+        AlignedSentence,
+        AlignedToken,
+    )
+    from mlx_audio_tpu.stt import generate as G
+
+    tok = AlignedToken(0, text="hi", start=0.0, duration=0.5)
+    res = AlignedResult(text="hi", sentences=[
+        AlignedSentence(text="hi", tokens=[tok])
+    ])
+
+    class FakeModel:
+        def generate(self, path, **kw):
+            return res
+
+    monkeypatch.setattr(
+        "mlx_audio_tpu.utils.loader.load_model",
+        lambda *a, **k: FakeModel(),
+    )
+    from mlx_audio_tpu.utils.audio_io import save_audio
+
+    wav = tmp_path / "a.wav"
+    save_audio(str(wav), np.zeros(1600, dtype=np.float32), 16000)
+    out = G.generate("any", str(wav), str(tmp_path), "srt")
+    assert out.text == "hi"
+    srt = next(tmp_path.glob("*.srt"))
+    assert "hi" in srt.read_text()
