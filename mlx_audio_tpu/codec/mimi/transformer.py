@@ -143,25 +143,37 @@ class Attention(Module):
             k = rope_traditional(k, positions, self.max_period)
         w = self.context
         slots_new = positions % w
+        total = cache.offset + t
+
+        # Attend over the PRE-write ring buffer plus this step's keys:
+        # scattering all t tokens before attending would let token j+1's
+        # write evict a slot still inside token j's window (a full ring +
+        # multi-token step silently shrank early queries' windows by one —
+        # batch/streaming equivalence broke past `w` streamed positions).
+        s = jnp.arange(w)
+        # slot s holds the largest position p <= offset-1 with p ≡ s (mod w)
+        p_old = (cache.offset - 1) - ((cache.offset - 1 - s) % w)
+        qp = positions[:, None]  # [t, 1]
+        valid_old = (p_old[None, :] >= 0) & (p_old[None, :] <= qp) \
+            & (p_old[None, :] > qp - w)
+        # in-step keys: causal (i <= j); always within the window since t<=w
+        i = jnp.arange(t)[None, :]
+        valid_new = i <= jnp.arange(t)[:, None]
+        valid = jnp.concatenate([valid_old, valid_new], axis=1)  # [t, w+t]
+
+        k_all = jnp.concatenate([cache.k, k], axis=2)
+        v_all = jnp.concatenate([cache.v, v], axis=2)
+        scale = self.head_dim ** -0.5
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_all).astype(jnp.float32) * scale
+        scores = jnp.where(valid[None, None], scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, -1)
+
         # ring-buffer scatter write of the t new tokens
         k_buf = cache.k.at[:, :, slots_new, :].set(k)
         v_buf = cache.v.at[:, :, slots_new, :].set(v)
-        total = cache.offset + t
         new_cache = RotCacheState(k=k_buf, v=v_buf, offset=total)
-
-        # After the writes, slot s holds the largest position p <= total-1
-        # with p ≡ s (mod w); negative p means never written.
-        s = jnp.arange(w)
-        p = (total - 1) - ((total - 1 - s) % w)
-        qp = positions[:, None]  # [t, 1]
-        valid = (p[None, :] >= 0) & (p[None, :] <= qp) & (p[None, :] > qp - w)
-
-        scale = self.head_dim ** -0.5
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_buf).astype(jnp.float32) * scale
-        scores = jnp.where(valid[None, None], scores, -1e9)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_buf)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, -1)
         return self.out_proj(out), new_cache
 
 

@@ -166,6 +166,14 @@ class Model(Module):
                                 {"input_vocab_size": 1056, "output_vocab_size": 1056})
         )
         self._codec = codec
+        if codec is None and isinstance(self.config.codec_config, dict):
+            # HF suno/bark checkpoints embed the EnCodec (codec_model.*);
+            # construct it so sanitize can route those weights in
+            from mlx_audio_tpu.codec.encodec import Encodec, EncodecConfig
+
+            self._codec = Encodec(
+                EncodecConfig.from_dict(self.config.codec_config)
+            )
         self._tokenizer = tokenizer
 
     @property
@@ -184,10 +192,11 @@ class Model(Module):
     def _get_codec(self):
         if self._codec is None:
             from mlx_audio_tpu.codec.encodec import Encodec
-            from mlx_audio_tpu.utils.loader import get_model_path, load_config
 
-            path = get_model_path(self.config.codec_path)
-            self._codec = Encodec(load_config(path))
+            # from_pretrained loads the WEIGHTS too (reference
+            # pipeline.py:120); constructing from config alone would decode
+            # through random parameters
+            self._codec, _ = Encodec.from_pretrained(self.config.codec_path)
         return self._codec
 
     # -- stage drivers -----------------------------------------------------
@@ -373,15 +382,24 @@ class Model(Module):
 
     def sanitize(self, weights: dict) -> dict:
         out = {}
+        codec_weights = {}
         for k, v in weights.items():
             k = k.replace("_orig_mod.transformer.", "").replace("_orig_mod.", "")
             # GPT2-style h.N. -> layers.N.
             import re
 
             k = re.sub(r"(^|\.)h\.(\d+)\.", r"\1layers.\2.", k)
+            if k.startswith("codec_model."):
+                codec_weights[k[len("codec_model."):]] = np.asarray(v)
+                continue
             if "codec" in k:
                 continue
             if k.endswith(".attn.bias"):
                 continue  # registered causal-mask buffer, not a parameter
             out[k] = np.asarray(v)
+        if codec_weights and self._codec is not None:
+            from mlx_audio_tpu.codec.encodec import sanitize_hf_encodec
+
+            out.update({f"_codec.{k}": v for k, v in
+                        sanitize_hf_encodec(codec_weights).items()})
         return out

@@ -97,9 +97,14 @@ class Model(Module):
 
     def _get_dac(self):
         if self._dac is None:
-            from mlx_audio_tpu.codec.dac import DAC, DACConfig
+            from mlx_audio_tpu.codec.dac import DAC
 
-            self._dac = DAC(DACConfig(sample_rate=44100))
+            # from_pretrained loads the WEIGHTS (reference dia.py:45);
+            # constructing from config alone would decode through random
+            # parameters
+            self._dac = DAC.from_pretrained(
+                "mlx-community/descript-audio-codec-44khz"
+            )
         return self._dac
 
     # -- text prep (dia.py:171-203) ---------------------------------------
@@ -166,18 +171,24 @@ class Model(Module):
         # decode-step cross mask: query (generated, non-pad) attends non-pad keys
         ca_mask = pad2[:, None, None, :]  # [2,1,1,S]
 
-        cache_len = max_tokens + 64
-        sa_caches = self.model.decoder.init_cache(2, cache_len)
-
         generated = [np.full((c,), bos, dtype=np.int32)]  # BOS frame
         current_step = 0
 
+        prompt_np = None
         if ref_audio is not None:
             prompt_codes = audio_to_codebook(
                 self._get_dac(), jnp.asarray(ref_audio, jnp.float32)[None, None],
                 data,
             )  # [1, T, C]
             prompt_np = np.asarray(prompt_codes)[0]
+        # cache must hold BOS + prompt frames + generated frames (a
+        # max_tokens-only cache silently clamps writes once the prompt is
+        # longer than the slack)
+        n_prompt = 0 if prompt_np is None else prompt_np.shape[0]
+        cache_len = max_tokens + n_prompt + 64
+        sa_caches = self.model.decoder.init_cache(2, cache_len)
+
+        if ref_audio is not None:
             frames = np.concatenate([generated[0][None], prompt_np], axis=0)
             tgt = jnp.asarray(np.stack([frames, frames]))  # [2, T, C]
             t = tgt.shape[1]
@@ -234,6 +245,11 @@ class Model(Module):
                         row[i] = 0
                 out_frames.append(row)
 
+        # voice cloning: exclude the reference-prompt frames from the
+        # output (reference dia.py:581 slices them off); keep the BOS
+        # column codebook_to_audio drops
+        if n_prompt:
+            out_frames = [out_frames[0]] + out_frames[1 + n_prompt:]
         codes = np.stack(out_frames, axis=1)  # [C, T]
         audio = codebook_to_audio(codes, self._get_dac(), delay, c=c)
         return audio, len(out_frames)

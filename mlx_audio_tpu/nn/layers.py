@@ -248,9 +248,9 @@ def _dilated_conv1d_decomposed(x: jax.Array, weight: jax.Array,
 
 
 def use_decomp_conv() -> bool:
-    import os
+    from mlx_audio_tpu.nn.pallas_ops import _env_on
 
-    return os.environ.get("MLX_AUDIO_TPU_DECOMP_CONV", "0") == "1"
+    return _env_on("MLX_AUDIO_TPU_DECOMP_CONV")
 
 
 def conv1d(

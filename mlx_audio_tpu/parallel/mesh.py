@@ -120,6 +120,13 @@ def pmap_batches(mesh: Mesh, fn: Callable, model, *arrays, axis: str = "data"):
     arrays = tuple(shard_batch(mesh, a, axis) for a in arrays)
     out_sharding = NamedSharding(mesh, P(axis))
 
-    jitted = jax.jit(fn, out_shardings=out_sharding)
+    jitted = _pmap_jit(fn, out_sharding)
     with mesh:
         return jitted(model, *arrays)
+
+
+@lru_cache(maxsize=64)
+def _pmap_jit(fn: Callable, out_sharding):
+    """Cache the jit wrapper per (fn, sharding): a fresh jax.jit(fn) each
+    call would retrace + recompile on every pmap_batches invocation."""
+    return jax.jit(fn, out_shardings=out_sharding)

@@ -1598,3 +1598,49 @@ def test_stt_families_load_hf_checkpoint_directories(tmp_path):
         h_hf = whf(torch.from_numpy(wav)).last_hidden_state.numpy()
     h = np.asarray(w2v(jnp.asarray(wav))[0])
     np.testing.assert_allclose(h, h_hf, atol=1e-4, rtol=1e-4)
+
+
+def test_bark_hf_checkpoint_embedded_codec_loads(tmp_path):
+    """A full HF BarkModel checkpoint dir (suno/bark layout, EnCodec
+    embedded as codec_model.*) loads through load_model with the codec
+    weights routed in: decode parity vs the HF codec."""
+    from transformers import BarkConfig, BarkModel
+    from transformers.models.bark import (
+        BarkCoarseConfig,
+        BarkFineConfig,
+        BarkSemanticConfig,
+    )
+
+    from mlx_audio_tpu.utils.loader import load_model
+
+    stage = dict(block_size=64, input_vocab_size=200, output_vocab_size=200,
+                 num_layers=2, num_heads=2, hidden_size=32, dropout=0.0,
+                 bias=True)
+    codec = dict(model_type="encodec", target_bandwidths=[1.5],
+                 sampling_rate=24000, audio_channels=1, num_filters=4,
+                 num_residual_layers=1, upsampling_ratios=[8, 5, 4, 2],
+                 codebook_size=256, codebook_dim=8, hidden_size=8,
+                 num_lstm_layers=2)
+    torch.manual_seed(0)
+    hf = BarkModel(BarkConfig(
+        semantic_config=BarkSemanticConfig(**stage).to_dict(),
+        coarse_acoustics_config=BarkCoarseConfig(**stage).to_dict(),
+        fine_acoustics_config=BarkFineConfig(
+            **stage, n_codes_total=8, n_codes_given=1
+        ).to_dict(),
+        codec_config=codec,
+    )).eval()
+    hf.save_pretrained(str(tmp_path / "bark"), safe_serialization=True)
+    m = load_model(str(tmp_path / "bark"), domain="tts")
+
+    nq = len(m._codec.quantizer.layers)
+    codes = np.random.default_rng(0).integers(0, 256, size=(1, 1, nq, 25))
+    with torch.no_grad():
+        wav_hf = hf.codec_model.decode(
+            torch.from_numpy(codes), [None]
+        ).audio_values.numpy()
+    wav_ours = np.asarray(m.codec_decode(codes[0, 0]))
+    n = min(wav_ours.reshape(-1).shape[0], wav_hf.reshape(-1).shape[0])
+    np.testing.assert_allclose(
+        wav_ours.reshape(-1)[:n], wav_hf.reshape(-1)[:n], atol=1e-4
+    )

@@ -143,3 +143,48 @@ def test_sanitize_key_mapping():
     assert out["upsample.weight"].shape == (4, 64, 1)
     assert out["quantizer.rvq_first.input_proj.weight"].shape == (32, 64)
     assert "encoder_transformer.layers.0.self_attn.in_proj.weight" in out
+
+
+def test_streaming_decode_matches_batch_past_window(mimi):
+    """Streams longer than the transformer's rotating window must still
+    match the batch path exactly — a full ring + 2-token steps previously
+    evicted a still-valid key for the step's first query."""
+    rng = np.random.default_rng(7)
+    ctx = mimi.cfg.transformer.context
+    n = ctx * 2 + 7  # decode well past the ring capacity
+    codes = jnp.asarray(rng.integers(0, 64, size=(1, 4, n)), dtype=jnp.int32)
+    batch_audio = np.asarray(mimi.decode(codes))
+    stream_audio = np.asarray(mimi.decode_frames(codes))
+    assert stream_audio.shape == batch_audio.shape
+    np.testing.assert_allclose(stream_audio, batch_audio, atol=2e-4)
+
+
+def test_rotating_attention_step_equals_batch_tiny_window():
+    """Streaming multi-token steps over a FULL ring must equal the batch
+    windowed attention exactly (pre-fix, the step's second write evicted a
+    key still inside the first query's window — a 1/context attention-mass
+    error invisible at waveform tolerances)."""
+    from mlx_audio_tpu.codec.mimi.transformer import (
+        Attention,
+        TransformerConfig,
+    )
+
+    cfg = TransformerConfig(
+        d_model=16, num_heads=2, num_layers=1, causal=True, norm_first=True,
+        bias_ff=False, bias_attn=False, layer_scale=None,
+        positional_embedding="rope", use_conv_bias=True, gating=False,
+        norm="layer_norm", context=4, max_period=10000, max_seq_len=8192,
+        kv_repeat=1, dim_feedforward=32, conv_layout=True,
+    )
+    attn = Attention(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 12, 16)) * 0.5, jnp.float32)
+
+    batch = np.asarray(attn(x))
+    cache = attn.init_cache(1)
+    outs = []
+    for i in range(0, 12, 2):  # 2-token steps, ring fills after 2 steps
+        o, cache = attn.step(cache, x[:, i:i + 2])
+        outs.append(np.asarray(o))
+    stream = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(stream, batch, atol=1e-5, rtol=1e-5)
