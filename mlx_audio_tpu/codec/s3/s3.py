@@ -258,7 +258,9 @@ class S3TokenizerV2(Module):
 
     def __init__(self, name: str = "speech_tokenizer_v2_25hz",
                  config: Optional[S3Config] = None):
-        config = config or S3Config()
+        import dataclasses
+
+        config = dataclasses.replace(config) if config else S3Config()
         if "v1" not in name:
             config.n_codebook_size = 3 ** 8
         self.config = config

@@ -32,7 +32,8 @@ def log_mel_spectrogram(
         audio = audio[None]
     if padding > 0:
         audio = jnp.pad(audio, ((0, 0), (0, padding)))
-    re, im = dsp.stft_realimag(audio, n_fft, hop_length, n_fft, "hann", center=True)
+    re, im = dsp.stft_realimag(audio, n_fft, hop_length, n_fft,
+                               "hann_periodic", center=True)  # torchaudio
     mag = jnp.sqrt(re * re + im * im)[..., :-1, :]
     fb = dsp.mel_filters(sample_rate, n_fft, n_mels, norm=None, mel_scale="htk")
     mel = mag @ fb.T
@@ -202,8 +203,8 @@ class ISTFTHead(Module):
         im = mag * jnp.sin(p)
         spec = jax.lax.complex(re, im)
         return dsp.istft(
-            jnp.swapaxes(spec, -1, -2), self.hop_length, self.n_fft, "hann",
-            center=True,
+            jnp.swapaxes(spec, -1, -2), self.hop_length, self.n_fft,
+            "hann_periodic", center=True,  # torch.istft-trained
         )
 
 

@@ -53,6 +53,13 @@ __all__ = [
 def _window_np(name: str, size: int) -> np.ndarray:
     if size == 1:
         return np.ones(1)
+    # "<name>_periodic" = DFT-even windows (torch.hann_window and
+    # torchaudio defaults: denominator N instead of N-1).  Real checkpoints
+    # (openai-whisper, NeMo, torchaudio-mel GANs) are trained with these;
+    # the plain names keep the reference's symmetric semantics
+    # (utils.py:10-47) for the generic DSP API.
+    if name.endswith("_periodic"):
+        return _window_np(name[: -len("_periodic")], size + 1)[:-1]
     n = np.arange(size, dtype=np.float64)
     if name in ("hann", "hanning"):
         w = 0.5 * (1 - np.cos(2 * np.pi * n / (size - 1)))
@@ -407,25 +414,3 @@ def mel_filters(
     return jnp.asarray(fb, dtype=dtype)
 
 
-def log_mel_spectrogram(
-    audio: jax.Array,
-    n_mels: int = 80,
-    n_fft: int = 400,
-    hop_length: int = 160,
-    sample_rate: int = 16000,
-    padding: int = 0,
-) -> jax.Array:
-    """Whisper-style log-mel frontend (cf. stt/models/whisper/audio.py:41-76).
-
-    [..., T] -> [..., frames, n_mels]; power spectrum -> mel -> log10 with
-    dynamic-range compression (max - 8 floor, /4 + 1 scaling).
-    """
-    if padding > 0:
-        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, padding)])
-    real, imag = stft_realimag(audio, n_fft, hop_length, window="hann", center=True)
-    mag2 = (real * real + imag * imag)[..., :-1, :]  # drop last frame (whisper)
-    fb = mel_filters(sample_rate, n_fft, n_mels)
-    mel = mag2 @ fb.T
-    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
-    log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(-2, -1), keepdims=True) - 8.0)
-    return (log_spec + 4.0) / 4.0

@@ -42,6 +42,9 @@ def log_mel_spectrogram(x: jax.Array, args: PreprocessArgs) -> jax.Array:
     if args.pad_to > 0 and x.shape[-1] < args.pad_to:
         x = jnp.pad(x, (0, args.pad_to - x.shape[-1]),
                     constant_values=args.pad_value)
+    # NeMo's FilterbankFeatures builds its window with periodic=False
+    # (symmetric) — unlike Whisper/torchaudio frontends, the plain
+    # symmetric "hann" is the checkpoint-faithful choice here
     re, im = dsp.stft_realimag(
         x, args.n_fft, args.hop_length, args.win_length, args.window,
         center=True,

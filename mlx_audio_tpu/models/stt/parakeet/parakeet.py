@@ -186,6 +186,11 @@ class BaseParakeet(Module):
         if len(audio_data) / sr <= chunk_duration:
             return self.decode_chunk(audio_data, verbose)
 
+        if chunk_duration <= overlap_duration:
+            raise ValueError(
+                f"chunk_duration ({chunk_duration}s) must exceed "
+                f"overlap_duration ({overlap_duration}s)"
+            )
         chunk_samples = int(chunk_duration * sr)
         overlap_samples = int(overlap_duration * sr)
 
@@ -354,12 +359,15 @@ class ParakeetTDT(BaseParakeet):
                 tdt=self.is_tdt,
             )
             n = int(count)
+            toks_np = np.asarray(toks)   # one transfer each, not 3 per token
+            times_np = np.asarray(times)
+            durs_np = np.asarray(durs)
             hypothesis = [
                 al.AlignedToken(
-                    int(toks[i]),
-                    start=float(times[i]) * scale,
-                    duration=float(durs[i]) * scale,
-                    text=al.decode_tokens([int(toks[i])], self.vocabulary),
+                    int(toks_np[i]),
+                    start=float(times_np[i]) * scale,
+                    duration=float(durs_np[i]) * scale,
+                    text=al.decode_tokens([int(toks_np[i])], self.vocabulary),
                 )
                 for i in range(n)
             ]
@@ -393,32 +401,28 @@ class ParakeetCTC(BaseParakeet):
         for b in range(logits_np.shape[0]):
             n = int(lengths[b])
             best = logits_np[b, :n].argmax(axis=-1)
-            hypothesis = []
-            prev = -1
-            boundaries = []
+            # NeMo CTC collapse: emit on label change vs the PREVIOUS
+            # FRAME (blank included), so a token repeated across a blank
+            # frame is emitted twice.  (The reference never resets prev on
+            # blank and silently drops such repeats.)
+            emitted = []  # (token, start_frame)
+            prev_frame = blank
             for t, tok in enumerate(best):
                 tok = int(tok)
-                if tok == blank or tok == prev:
-                    continue
-                if prev != -1:
-                    start = boundaries[-1] * scale
-                    hypothesis.append(al.AlignedToken(
-                        prev, start=start, duration=t * scale - start,
-                        text=al.decode_tokens([prev], self.vocabulary),
-                    ))
-                boundaries.append(t)
-                prev = tok
-            if prev != -1:
-                last_non_blank = boundaries[-1]
-                for t in range(n - 1, boundaries[-1], -1):
-                    if int(best[t]) != blank:
-                        last_non_blank = t
-                        break
-                start = boundaries[-1] * scale
+                if tok != blank and tok != prev_frame:
+                    emitted.append((tok, t))
+                prev_frame = tok
+            last_non_blank = next(
+                (t for t in range(n - 1, -1, -1) if int(best[t]) != blank),
+                n - 1,
+            )
+            hypothesis = []
+            for i, (tok, t0) in enumerate(emitted):
+                end = (emitted[i + 1][1] if i + 1 < len(emitted)
+                       else last_non_blank + 1)
                 hypothesis.append(al.AlignedToken(
-                    prev, start=start,
-                    duration=(last_non_blank + 1) * scale - start,
-                    text=al.decode_tokens([prev], self.vocabulary),
+                    tok, start=t0 * scale, duration=(end - t0) * scale,
+                    text=al.decode_tokens([tok], self.vocabulary),
                 ))
             results.append(al.sentences_to_result(al.tokens_to_sentences(hypothesis)))
         return results

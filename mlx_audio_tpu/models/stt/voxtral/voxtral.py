@@ -241,6 +241,10 @@ class Model(Module):
 
         from mlx_audio_tpu.models.stt.whisper.transcribe import STTOutput
 
+        if isinstance(audio, str):
+            from mlx_audio_tpu.utils.audio_io import load_audio
+
+            audio = load_audio(audio, 16000)
         if mel is None and input_ids is None and audio is not None:
             # long audio: transcribe per encoder window and concatenate
             # (HF's processor likewise chunks into 30 s windows)

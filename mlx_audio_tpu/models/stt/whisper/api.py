@@ -239,6 +239,7 @@ def decode(
         fin_tokens, fin_len, fin_scores = beam_search_loop(
             model, caches_b, cross_b, tokens_b, t0, sb, suppress_mask,
             blank_mask, sample_len=sample_len, beam_size=k, params=cfg,
+            patience=float(options.patience or 1.0),
         )
         group_tokens = np.asarray(fin_tokens)       # [A, K, L]
         group_len = np.asarray(fin_len)

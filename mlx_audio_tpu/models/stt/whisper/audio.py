@@ -48,7 +48,7 @@ def log_mel_spectrogram(
     audio = jnp.asarray(audio, dtype=jnp.float32)
     if padding > 0:
         audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, padding)])
-    re, im = dsp.stft_realimag(audio, N_FFT, HOP_LENGTH, window="hann", center=True)
+    re, im = dsp.stft_realimag(audio, N_FFT, HOP_LENGTH, window="hann_periodic", center=True)
     mag2 = (re * re + im * im)[..., :-1, :]  # drop last frame (ref :74)
     # librosa-style slaney scale + slaney norm (reference passes
     # mel_scale=None which routes to the slaney branch, audio.py:76)

@@ -208,18 +208,23 @@ def greedy_decode_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("sample_len", "beam_size", "params"))
+@partial(jax.jit, static_argnames=("sample_len", "beam_size", "params",
+                                   "patience"))
 def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
                      suppress_mask, blank_mask, sample_len: int,
-                     beam_size: int, params: FilterConfig):
+                     beam_size: int, params: FilterConfig,
+                     patience: float = 1.0):
     """Batched beam search over [n_audio * beam] rows.
 
     tokens_buf/caches/cross_kv are already tiled to n_audio*beam rows with
-    identical prompts per audio.  Returns (finished_tokens [A, K, L],
-    finished_lengths [A, K], finished_scores [A, K]).
+    identical prompts per audio.  ``patience`` keeps searching until
+    round(beam * patience) candidates finish (original Whisper
+    BeamSearchDecoder semantics).  Returns (finished_tokens [A, Kc, L],
+    finished_lengths [A, Kc], finished_scores [A, Kc]).
     """
     ab, l = tokens_buf.shape
     k_beam = beam_size
+    n_cand = max(k_beam, int(round(k_beam * (patience or 1.0))))
     a = ab // k_beam
     eot = params.eot
     neg = jnp.float32(-1e30)
@@ -230,9 +235,9 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         jnp.concatenate([jnp.zeros((1,)), jnp.full((k_beam - 1,), neg)])[None, :],
         (a, 1),
     )
-    fin_tokens0 = jnp.zeros((a, k_beam, l), dtype=tokens_buf.dtype)
-    fin_len0 = jnp.zeros((a, k_beam), dtype=jnp.int32)
-    fin_scores0 = jnp.full((a, k_beam), neg)
+    fin_tokens0 = jnp.zeros((a, n_cand, l), dtype=tokens_buf.dtype)
+    fin_len0 = jnp.zeros((a, n_cand), dtype=jnp.int32)
+    fin_scores0 = jnp.full((a, n_cand), neg)
 
     def gather_caches(caches_s, src):
         """src: [A, K] source beam per new beam; reindex row dim A*K."""
@@ -245,7 +250,7 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
 
     def cond(state):
         t, _, _, _, _, _, fin_scores, n_done = state
-        return (t < t0 + sample_len) & (t < l) & ~jnp.all(n_done >= k_beam)
+        return (t < t0 + sample_len) & (t < l) & ~jnp.all(n_done >= n_cand)
 
     def body(state):
         (t, tokens, caches_s, alive_scores, fin_tokens, fin_len, fin_scores,
@@ -270,8 +275,8 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         # --- finished harvest: merge EOT candidates into the finished set
         eot_scores = jnp.where(is_eot, top_scores, neg)  # [A, 2K]
         # candidate finished sequences: tokens of src beam + eot at t
-        merged_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)  # [A, K+2K]
-        keep_scores, keep_idx = jax.lax.top_k(merged_scores, k_beam)
+        merged_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)  # [A, Kc+2K]
+        keep_scores, keep_idx = jax.lax.top_k(merged_scores, n_cand)
         # build the merged token/length pools
         src_tokens = jnp.take_along_axis(
             tokens.reshape(a, k_beam, l), src_beam[..., None], axis=1

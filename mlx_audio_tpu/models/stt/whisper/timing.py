@@ -116,7 +116,10 @@ def find_alignment(model, tokenizer, text_tokens: List[int], mel, num_frames: in
     qk = (qk - mean) / std
     qk = median_filter(qk, medfilt_width)
     matrix = qk.mean(axis=0)
-    matrix = matrix[sample_begin - 1: sample_begin - 1 + len(text_tokens)]
+    # rows [no_timestamps, text_0 .. text_{n-1}] — len(text)+1 rows like
+    # the reference (timing.py:156 matrix[len(sot_sequence):-1]); dropping
+    # the last row loses the final word's end time and regresses seek
+    matrix = matrix[sample_begin - 1: sample_begin + len(text_tokens)]
     text_indices, time_indices = dtw(-matrix)
 
     words, word_tokens = tokenizer.split_to_word_tokens(

@@ -35,7 +35,8 @@ def log_mel_spectrogram(audio: jax.Array, sample_rate: int = 24_000,
     htk mels, no norm, log floor 1e-5)."""
     audio = jnp.atleast_2d(audio)
     re, im = dsp.stft_realimag(audio, n_fft=n_fft, hop_length=hop_length,
-                               win_length=n_fft, window="hann", center=True)
+                               win_length=n_fft, window="hann_periodic",
+                               center=True)  # torch.hann_window-trained
     mag = jnp.sqrt(re * re + im * im + 1e-12)  # [B, frames, bins]
     filters = dsp.mel_filters(sample_rate, n_fft, n_mels, norm=None,
                               mel_scale="htk")

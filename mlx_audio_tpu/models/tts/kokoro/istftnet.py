@@ -149,7 +149,9 @@ class TorchSTFT(Module):
     """
 
     def __init__(self, filter_length=800, hop_length=200, win_length=800,
-                 window="hann"):
+                 window="hann_periodic"):
+        # StyleTTS2's TorchSTFT windows with scipy get_window(fftbins=True)
+        # — the PERIODIC hann — for both analysis and synthesis
         self.filter_length = filter_length
         self.hop_length = hop_length
         self.win_length = win_length

@@ -41,7 +41,7 @@ def mel_spectrogram(audio: jax.Array, sample_rate: int = 16_000,
     audio = jnp.atleast_2d(audio)
     re, im = dsp.stft_realimag(
         audio, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
-        window="hann", center=True,
+        window="hann_periodic", center=True,  # torchaudio-trained
     )
     mag = jnp.sqrt(re * re + im * im + 1e-12)  # [B, frames, bins]
     filters = dsp.mel_filters(

@@ -241,8 +241,6 @@ def quantize_model(model, group_size: int = 64, bits: int = 4,
         if not isinstance(mod, (Linear, Embedding)):
             return None
         in_dim = mod.weight.shape[1]
-        if in_dim % group_size != 0:
-            return None
         if not model_pred(path, mod, None):
             return None
         params = {"group_size": group_size, "bits": bits}
@@ -252,8 +250,11 @@ def quantize_model(model, group_size: int = 64, bits: int = 4,
                 return None
             if isinstance(verdict, dict):
                 params.update(verdict)
-            if in_dim % params["group_size"] != 0:
-                return None
+        # divisibility is checked against the FINAL group size so a
+        # predicate's per-layer override can rescue layers the default
+        # group size would skip
+        if in_dim % params["group_size"] != 0:
+            return None
         if isinstance(mod, Linear):
             return QuantizedLinear.from_linear(mod, **params)
         return QuantizedEmbedding.from_embedding(mod, **params)

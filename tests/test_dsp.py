@@ -136,8 +136,10 @@ def test_mel_filters_against_librosa_style_reference():
 
 
 def test_log_mel_spectrogram_shape():
+    from mlx_audio_tpu.models.stt.whisper.audio import log_mel_spectrogram
+
     x = np.zeros(16000, dtype=np.float32)
-    mel = np.asarray(dsp.log_mel_spectrogram(x, n_mels=80))
+    mel = np.asarray(log_mel_spectrogram(x, n_mels=80))
     assert mel.shape == (100, 80)
     assert np.isfinite(mel).all()
 

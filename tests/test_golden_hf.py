@@ -1644,3 +1644,23 @@ def test_bark_hf_checkpoint_embedded_codec_loads(tmp_path):
     np.testing.assert_allclose(
         wav_ours.reshape(-1)[:n], wav_hf.reshape(-1)[:n], atol=1e-4
     )
+
+
+def test_whisper_mel_frontend_matches_hf_feature_extractor():
+    """Our Whisper log-mel frontend vs HF's WhisperFeatureExtractor on raw
+    audio: allclose (pins the PERIODIC hann window — the symmetric variant
+    the reference uses deviates by up to 3.4e-2 in normalized log-mels,
+    a systematic input distortion for every real Whisper checkpoint)."""
+    from transformers import WhisperFeatureExtractor
+
+    from mlx_audio_tpu.models.stt.whisper.audio import log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    fe = WhisperFeatureExtractor(feature_size=80)
+    want = fe(audio, sampling_rate=16000, return_tensors="np",
+              padding="max_length").input_features[0]  # [80, 3000]
+    got = np.asarray(
+        log_mel_spectrogram(audio, n_mels=80, padding=480000)
+    )[:3000].T
+    np.testing.assert_allclose(got, want, atol=1e-4)

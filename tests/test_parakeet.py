@@ -224,3 +224,29 @@ def test_transducer_while_loop_matches_eager_oracle(tdt):
     want = _eager_transducer_oracle(model, features, max_len, tdt)
     assert got == want
     assert len(want) > 0  # random weights must emit something non-trivial
+
+
+def test_ctc_collapse_keeps_repeats_across_blank():
+    """NeMo CTC collapse semantics: [A, blank, A] must emit A twice (the
+    reference's prev-token tracking silently dropped the second A)."""
+    import jax.numpy as jnp
+    from mlx_audio_tpu.models.stt.parakeet.parakeet import ParakeetCTC
+
+    model = BaseParakeet.from_config(ctc_config())
+    blank = len(VOCAB)
+    frames = [0, blank, 0, 1, 1, blank, blank, 2]
+    logits = np.full((1, len(frames), blank + 1), -10.0, dtype=np.float32)
+    for t, tok in enumerate(frames):
+        logits[0, t, tok] = 0.0
+
+    import mlx_audio_tpu.models.stt.parakeet.parakeet as pk
+
+    orig = pk._ctc_logits_jit
+    pk._ctc_logits_jit = lambda m, mel: (jnp.asarray(logits),
+                                         jnp.asarray([len(frames)]))
+    try:
+        res = model.decode(np.zeros((1, 10, 80), dtype=np.float32))[0]
+    finally:
+        pk._ctc_logits_jit = orig
+    ids = [t.id for s in res.sentences for t in s.tokens]
+    assert ids == [0, 0, 1, 2]
