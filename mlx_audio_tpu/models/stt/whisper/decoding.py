@@ -320,6 +320,13 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
     alive_tokens = jnp.where(
         jnp.arange(l)[None, None, :] == t_end, eot, alive_tokens
     )
+    # with patience > 1 the finished pool is wider than the beam: pad the
+    # alive side with neg-score fillers so unfilled extra slots stay inert
+    pad_n = n_cand - k_beam
+    alive_tokens = jnp.pad(alive_tokens, ((0, 0), (0, pad_n), (0, 0)),
+                           constant_values=eot)
+    alive_scores = jnp.pad(alive_scores, ((0, 0), (0, pad_n)),
+                           constant_values=neg)
     fin_tokens = jnp.where(need[..., None], alive_tokens, fin_tokens)
     fin_len = jnp.where(need, t_end + 1, fin_len)
     fin_scores = jnp.where(need, alive_scores, fin_scores)

@@ -161,3 +161,28 @@ def test_voxtral_long_audio_windows():
                          eos_token_ids=(2,))
     assert len(out.segments) >= 3
     assert isinstance(out.text, str)
+
+
+def test_voxtral_generate_accepts_file_path(tmp_path):
+    """The STT CLI/server pass audio file PATHS; Voxtral must load them
+    like Whisper/Parakeet do."""
+    from mlx_audio_tpu.utils.audio_io import save_audio
+
+    cfg = VoxConfig(
+        audio_config=dict(num_mel_bins=80, d_model=32, encoder_layers=1,
+                          encoder_attention_heads=4, encoder_ffn_dim=64,
+                          intermediate_size=128, max_source_positions=64),
+        text_config=dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=8,
+                         max_position_embeddings=1024,
+                         tie_word_embeddings=True),
+        audio_token_id=24,
+    )
+    model = Voxtral(cfg, tokenizer=FakeTok())
+    wav = tmp_path / "x.wav"
+    save_audio(str(wav),
+               np.random.default_rng(0).standard_normal(16000).astype(
+                   np.float32) * 0.1, 16000)
+    out = model.generate(str(wav), max_tokens=4, temperature=0.0)
+    assert isinstance(out.text, str)

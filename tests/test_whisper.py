@@ -367,3 +367,20 @@ def test_hallucination_silence_skipping(model, tokenizer, monkeypatch):
     # the anomalous first segment must have been dropped by the
     # hallucination pass relative to the plain word-timestamps run
     assert len(out.segments) < n_plain
+
+
+def test_beam_search_patience(model, tokenizer):
+    """patience > 1 keeps searching for round(beam*patience) finished
+    candidates (previously silently ignored); result stays a valid decode."""
+    mel = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 200, 80)) * 0.1,
+        dtype=jnp.float32,
+    )
+    res = api.decode(
+        model, mel[0],
+        DecodingOptions(language="en", sample_len=10, beam_size=2,
+                        patience=2.0),
+        tokenizer=tokenizer,
+    )
+    assert isinstance(res.tokens, list)
+    assert np.isfinite(res.avg_logprob)
