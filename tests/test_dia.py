@@ -89,3 +89,23 @@ def test_text_input_special_tokens():
     s = np.asarray(src)[0]
     assert s[0] == 1  # [S1] -> 0x01
     assert pad_mask.shape == (1, 64)
+
+
+def test_dia_voice_clone_long_prompt():
+    """Voice cloning with a reference longer than max_tokens frames: the
+    decoder cache must fit BOS + prompt + generation (it was sized
+    max_tokens+64 and silently clamp-overwrote), and the re-synthesized
+    prompt frames must be excluded from the output (reference dia.py:581)."""
+    model = tiny_dia()
+    sr = model.config.model.sample_rate
+    rng = np.random.default_rng(0)
+    # ~1.6 s of reference audio -> 80 frames at 320x downsampling;
+    # max_tokens=10 << prompt frames, so the old cache overflowed
+    ref = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    results = list(model.generate("[S1] hi", max_tokens=10, temperature=1.0,
+                                  ref_audio=ref, ref_text="[S1] ref", seed=0))
+    assert len(results) == 1
+    audio = np.asarray(results[0].audio).reshape(-1)
+    # output excludes the ~1 s reference reconstruction: at 10 generated
+    # frames the waveform must be well under the reference length
+    assert audio.shape[0] < sr // 2
