@@ -386,14 +386,22 @@ class Encodec(Module):
             padding_mask = jnp.ones(input_values.shape[:2], dtype=bool)
         frames, scales = [], []
         step = chunk_length - stride
-        if (input_length % stride) != step:
-            raise ValueError("input not padded for batched chunked encoding")
-        for offset in range(0, input_length - step, stride):
+        # HF EncodecModel.encode chunks the raw (unpadded) waveform and
+        # lets the LAST chunk be short; reference-style stride-padded
+        # inputs land on the same offsets with a full tail chunk — both
+        # conventions are supported
+        for offset in range(0, max(input_length - step, 1), stride):
             mask = padding_mask[:, offset: offset + chunk_length]
             frame = input_values[:, offset: offset + chunk_length]
             codes, scale = self._encode_frame(frame, bandwidth, mask)
             frames.append(codes)
             scales.append(scale)
+        if len(frames) > 1 and frames[-1].shape[-1] < frames[0].shape[-1]:
+            # pad the short tail's CODES so the frames stack (HF
+            # last_frame_pad_length semantics; decode recomputes the trim
+            # from the padding mask)
+            pad = frames[0].shape[-1] - frames[-1].shape[-1]
+            frames[-1] = jnp.pad(frames[-1], ((0, 0), (0, 0), (0, pad)))
         return jnp.stack(frames), scales
 
     @staticmethod
@@ -430,8 +438,22 @@ class Encodec(Module):
                 raise ValueError(f"Expected one frame, got {audio_codes.shape[0]}")
             audio_values = self._decode_frame(audio_codes[0], audio_scales[0])
         else:
+            frames = list(audio_codes)
+            if padding_mask is not None and len(frames) > 1:
+                # trim the tail frame's stacking padding (HF
+                # last_frame_pad_length): the input's final chunk may have
+                # been shorter than chunk_length
+                import math as _math
+
+                stride = self.chunk_stride or 1
+                hop = int(np.prod(self.config.upsampling_ratios))
+                last_samples = (padding_mask.shape[1]
+                                - (len(frames) - 1) * stride)
+                real_codes = max(1, _math.ceil(last_samples / hop))
+                if real_codes < frames[-1].shape[-1]:
+                    frames[-1] = frames[-1][..., :real_codes]
             decoded = [self._decode_frame(f, s)
-                       for f, s in zip(audio_codes, audio_scales)]
+                       for f, s in zip(frames, audio_scales)]
             audio_values = self._linear_overlap_add(decoded, self.chunk_stride or 1)
         if padding_mask is not None and padding_mask.shape[1] < audio_values.shape[1]:
             audio_values = audio_values[:, : padding_mask.shape[1]]

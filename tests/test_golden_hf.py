@@ -1664,3 +1664,52 @@ def test_whisper_mel_frontend_matches_hf_feature_extractor():
         log_mel_spectrogram(audio, n_mels=80, padding=480000)
     )[:3000].T
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_encodec_48khz_stereo_chunked_matches_hf():
+    """The facebook/encodec_48khz configuration — stereo, normalize=True,
+    time_group_norm, non-causal convs, chunked encode with a SHORT tail
+    chunk (HF last_frame_pad_length semantics) and linear overlap-add
+    decode: codes and scales identical, waveform allclose."""
+    from transformers import EncodecConfig as HFEncodecConfig, EncodecModel
+
+    from mlx_audio_tpu.codec.encodec import Encodec, EncodecConfig
+
+    torch.manual_seed(0)
+    common = dict(
+        target_bandwidths=[3.0, 6.0], sampling_rate=48000, audio_channels=2,
+        num_filters=4, num_residual_layers=1, upsampling_ratios=[8, 5, 4, 2],
+        codebook_size=1024, codebook_dim=8, hidden_size=8, num_lstm_layers=2,
+        use_causal_conv=False, normalize=True, chunk_length_s=0.1,
+        overlap=0.01, norm_type="time_group_norm",
+    )
+    hf = EncodecModel(HFEncodecConfig(**common)).eval()
+    ours = Encodec(EncodecConfig.from_dict(
+        {**common, "pad_mode": "reflect", "trim_right_ratio": 1.0,
+         "compress": 2}
+    ))
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    ours = update_arrays(ours, ours.sanitize(sd), strict=True)
+
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal((2, 9600)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        enc = hf.encode(torch.from_numpy(wav)[None], bandwidth=6.0)
+        wav_hf = hf.decode(
+            enc.audio_codes, enc.audio_scales,
+            padding_mask=torch.ones(1, 2, 9600, dtype=torch.bool),
+            last_frame_pad_length=enc.last_frame_pad_length,
+        ).audio_values.numpy()
+
+    audio = jnp.asarray(wav.T[None])  # unpadded [B, T, C], HF-style
+    mask = jnp.ones(audio.shape[:2], dtype=bool)
+    codes, scales = ours.encode(audio, mask, bandwidth=6.0)
+    assert (np.asarray(codes) == enc.audio_codes.numpy()).all()
+    for s_ours, s_hf in zip(scales, enc.audio_scales):
+        np.testing.assert_allclose(np.asarray(s_ours).reshape(-1),
+                                   s_hf.numpy().reshape(-1), atol=1e-6)
+
+    wav_ours = np.asarray(ours.decode(jnp.asarray(np.asarray(codes)),
+                                      scales, mask)).transpose(0, 2, 1)
+    n = min(wav_ours.shape[-1], wav_hf.shape[-1])
+    np.testing.assert_allclose(wav_ours[..., :n], wav_hf[..., :n], atol=1e-4)
