@@ -206,7 +206,10 @@ class Model(Module):
                 ))
                 owner.append(ti)
         if not rows:
-            return []
+            return [make_generation_result(
+                np.zeros((0,), dtype=np.float32), self.config.sample_rate,
+                ti, 0, 0.0,
+            ) for ti in range(len(texts))]
         outs = generate_tokens_batch(
             self.lm, rows, max_tokens=max_tokens, temperature=temperature,
             top_p=top_p, repetition_penalty=repetition_penalty,
@@ -227,10 +230,12 @@ class Model(Module):
                         np.asarray(codes)[None]
                     ))[0, 0])
                     n_tok += len(gen)
-            if not segs:
-                continue
+            # one result per text even on empty rows (batched servers
+            # match results to requests by index)
+            audio = (np.concatenate(segs) if segs
+                     else np.zeros((0,), dtype=np.float32))
             results.append(make_generation_result(
-                np.concatenate(segs), self.config.sample_rate, ti, n_tok,
+                audio, self.config.sample_rate, ti, n_tok,
                 elapsed / len(texts),
             ))
         return results

@@ -223,14 +223,17 @@ class Model(Module):
             predicts = self.tokenizer.decode(generated.tolist(),
                                              skip_special_tokens=False)
             semantic_ids, global_ids = parse_generated_tokens(predicts)
+            # one result per text even on empty rows (batched servers match
+            # results to requests by index)
             if len(semantic_ids) == 0:
-                continue
-            audio = self._audio_tokenizer.detokenize(
-                np.asarray(global_ids, dtype=np.int32)[None],
-                np.asarray(semantic_ids, dtype=np.int32)[None],
-            )
+                audio = np.zeros((0,), dtype=np.float32)
+            else:
+                audio = np.asarray(self._audio_tokenizer.detokenize(
+                    np.asarray(global_ids, dtype=np.int32)[None],
+                    np.asarray(semantic_ids, dtype=np.int32)[None],
+                )).reshape(-1)
             results.append(make_generation_result(
-                np.asarray(audio).reshape(-1), self.config.sample_rate,
+                audio, self.config.sample_rate,
                 i, len(semantic_ids), elapsed / max(len(texts), 1),
             ))
         return results
