@@ -52,10 +52,17 @@ def main():
     key = jax.random.PRNGKey(0)
     num_frames = jnp.zeros((f_bucket,), dtype=jnp.int32)
 
+    # Cap synthetic durations at alternating 2/3 frames per phoneme: the
+    # realistic ~2.5 frames/phoneme rate (510 phonemes -> ~1300 frames,
+    # docs/PERF.md) while keeping the total deterministically inside the
+    # frame bucket (512 * 2.5 = 1280 <= 1300).  A flat cap of 2 under-credits
+    # the run: synthesis compute covers the full 1300-frame bucket either way,
+    # but only actually-generated frames count toward audio-seconds.
+    dur_caps = 2 + (jnp.arange(n_bucket, dtype=jnp.int32) % 2)[None, :]
+
     def run_once(key):
         d, pred_dur = _duration_stage(model, input_ids, lengths, ref_s[:, 128:], speed)
-        # cap durations so total fits the bench frame bucket deterministically
-        pred_dur = jnp.minimum(pred_dur, 2)
+        pred_dur = jnp.minimum(pred_dur, dur_caps)
         audio, total = _synthesis_stage(
             model, input_ids, lengths, d, pred_dur, ref_s, key, num_frames
         )

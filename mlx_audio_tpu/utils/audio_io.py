@@ -38,10 +38,32 @@ def _to_float(data: np.ndarray) -> np.ndarray:
     return data.astype(np.float32)
 
 
+def _read_via_soundfile(path: str):
+    """Non-wav container read, gated on the optional soundfile package
+    (the reference hard-depends on it, stt/utils.py:19-51)."""
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise RuntimeError(
+            f"reading {Path(path).suffix or 'this'} audio needs the optional "
+            "'soundfile' package; wav is supported natively"
+        ) from e
+    data, sr = sf.read(path, dtype="float32", always_2d=False)
+    return sr, np.asarray(data)
+
+
 def load_audio(path: Union[str, Path], sample_rate: Optional[int] = None,
                mono: bool = True) -> np.ndarray:
-    """Read a wav file -> float32 waveform [-1, 1], optionally resampled."""
-    sr, data = wavfile.read(str(path))
+    """Read an audio file -> float32 waveform [-1, 1], optionally resampled.
+
+    wav reads natively (scipy); other containers (flac/ogg/...) go through
+    the optional soundfile package with a clear error when it is absent.
+    """
+    path = str(path)
+    if Path(path).suffix.lower() in ("", ".wav", ".wave"):
+        sr, data = wavfile.read(path)
+    else:
+        sr, data = _read_via_soundfile(path)
     audio = _to_float(np.asarray(data))
     if mono and audio.ndim > 1:
         audio = audio.mean(axis=1)
@@ -51,10 +73,25 @@ def load_audio(path: Union[str, Path], sample_rate: Optional[int] = None,
 
 
 def save_audio(path: Union[str, Path], audio: np.ndarray, sample_rate: int):
-    """Write float32 waveform to a 16-bit PCM wav."""
+    """Write a float32 waveform: 16-bit PCM wav natively; other extensions
+    (.flac/.ogg/...) through the optional soundfile package rather than
+    silently writing wav bytes under a mislabeled extension."""
+    path = str(path)
     audio = np.asarray(audio)
     if audio.ndim > 1:
         audio = audio.squeeze()
     clipped = np.clip(audio, -1.0, 1.0)
-    wavfile.write(str(path), int(sample_rate), (clipped * 32767).astype(np.int16))
-    return str(path)
+    suffix = Path(path).suffix.lower()
+    if suffix in ("", ".wav", ".wave"):
+        wavfile.write(path, int(sample_rate),
+                      (clipped * 32767).astype(np.int16))
+        return path
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise RuntimeError(
+            f"writing {suffix} audio needs the optional 'soundfile' package; "
+            "use --audio_format wav (supported natively)"
+        ) from e
+    sf.write(path, clipped.astype(np.float32), int(sample_rate))
+    return path

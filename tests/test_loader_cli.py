@@ -118,6 +118,39 @@ def test_audio_io_roundtrip(tmp_path):
     assert abs(r.shape[0] - 8000) < 10
 
 
+def test_codec_package_exports():
+    """Reference parity: codec/models/__init__.py:1-5 exports DAC, Encodec,
+    Mimi, SNAC, Vocos (we add BigVGAN + S3) — lazily, so the package import
+    stays cheap."""
+    import mlx_audio_tpu.codec as codec
+
+    for name in ("DAC", "Encodec", "Mimi", "SNAC", "Vocos", "BigVGAN",
+                 "S3Tokenizer", "S3TokenizerV2"):
+        assert callable(getattr(codec, name)), name
+    assert "Mimi" in dir(codec)
+
+
+def test_audio_io_non_wav_formats_gated(tmp_path):
+    """Non-wav containers route through optional soundfile with a clear
+    error when absent — never silently write wav bytes under .flac."""
+    import pytest
+
+    from mlx_audio_tpu.utils.audio_io import load_audio, save_audio
+
+    x = np.zeros(1000, dtype=np.float32)
+    try:
+        import soundfile  # noqa: F401
+
+        p = save_audio(tmp_path / "t.flac", x, 24000)
+        assert load_audio(p).shape[0] == 1000
+    except ImportError:
+        with pytest.raises(RuntimeError, match="soundfile"):
+            save_audio(tmp_path / "t.flac", x, 24000)
+        (tmp_path / "t.flac").write_bytes(b"fLaC....")
+        with pytest.raises(RuntimeError, match="soundfile"):
+            load_audio(tmp_path / "t.flac")
+
+
 def test_audio_player_headless():
     from mlx_audio_tpu.tts.audio_player import AudioPlayer
 
