@@ -1,10 +1,13 @@
 """Whisper tokenizer: tiktoken BPE + the Whisper special-token layout.
 
 Capability parity with /root/reference/mlx_audio/stt/models/whisper/
-tokenizer.py:131-398.  Vocabulary files are data, not code; they are looked
-up at runtime from (in order) $MLX_AUDIO_TPU_ASSETS, the model checkpoint
-directory, and ~/.cache/mlx_audio_tpu/assets — whisper checkpoints ship
-them as `gpt2.tiktoken` / `multilingual.tiktoken`.
+tokenizer.py:131-398.  Vocabulary files are data, not code; the two
+standard vocabularies (`gpt2.tiktoken` / `multilingual.tiktoken`) are
+bundled as package data under `assets/` exactly like the reference
+(stt/models/whisper/assets/), so a stock checkpoint works with no env
+vars.  The lookup order still allows overrides: an explicit asset dir
+(checkpoint directory), $MLX_AUDIO_TPU_ASSETS, the bundled assets, then
+~/.cache/mlx_audio_tpu/assets.
 """
 
 from __future__ import annotations

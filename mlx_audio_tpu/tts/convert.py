@@ -5,8 +5,9 @@ tts/utils.py:326-421: cast dtype, (de)quantize with group size / bits /
 mixed recipes, and write a native checkpoint (pytree-path safetensors +
 config.json) that utils.loader.load_model reads back without sanitize.
 
-Upload (--upload-repo) is accepted for CLI parity but requires network
-access; it raises a clear error in air-gapped environments.
+Upload (--upload-repo) pushes the written folder to the Hugging Face hub
+with a generated model card (reference tts/utils.py:279-323); it needs
+network access and huggingface_hub, and raises a clear error without them.
 """
 
 from __future__ import annotations
@@ -51,11 +52,60 @@ def convert(hf_path: str, out_path: str = "tpu_model", quantize: bool = False,
 
     out = save_checkpoint(model, out_path, config)
     if upload_repo:
-        raise RuntimeError(
-            "--upload-repo needs network access (huggingface_hub upload); "
-            "push the written folder manually: " + str(out)
-        )
+        upload_to_hub(str(out), upload_repo, hf_path)
     return out
+
+
+def upload_to_hub(path: str, upload_repo: str, hf_path: str) -> None:
+    """Push a converted checkpoint folder to the HF hub with a generated
+    model card (reference tts/utils.py:279-323).  Gated on huggingface_hub
+    being importable and the network being reachable; failures surface as a
+    RuntimeError naming the folder so the user can push manually."""
+    try:
+        from huggingface_hub import HfApi, ModelCard
+    except ImportError as exc:
+        raise RuntimeError(
+            "--upload-repo requires huggingface_hub; push the written "
+            f"folder manually: {path}"
+        ) from exc
+
+    import os
+    from textwrap import dedent
+
+    try:
+        card = ModelCard.load(hf_path)
+    except Exception:  # offline or local-only source: start a fresh card
+        card = ModelCard("")
+    tags = list(getattr(card.data, "tags", None) or [])
+    card.data.tags = tags + ["tpu", "jax", "mlx-audio-tpu"]
+    card.text = dedent(
+        f"""
+        # {upload_repo}
+        This model was converted to mlx-audio-tpu native format from
+        [`{hf_path}`](https://huggingface.co/{hf_path}).
+        Refer to the original model card for details on the model.
+
+        ## Use with mlx-audio-tpu
+
+        ```bash
+        pip install -U mlx-audio-tpu
+        python -m mlx_audio_tpu.tts.generate --model {upload_repo} --text "Hello"
+        ```
+        """
+    )
+    card.save(os.path.join(path, "README.md"))
+
+    try:
+        api = HfApi()
+        api.create_repo(repo_id=upload_repo, exist_ok=True)
+        api.upload_folder(folder_path=path, repo_id=upload_repo,
+                          repo_type="model")
+    except Exception as exc:
+        raise RuntimeError(
+            f"upload to {upload_repo} failed ({exc}); push the written "
+            f"folder manually: {path}"
+        ) from exc
+    print(f"Upload successful: https://huggingface.co/{upload_repo}")
 
 
 def configure_parser() -> argparse.ArgumentParser:

@@ -304,3 +304,42 @@ def test_voice_pack_formats_roundtrip(tmp_path):
     pipe.voices = {}
     avg = pipe.load_voice(f"{tmp_path}/v.npy,{tmp_path}/w.npy")
     np.testing.assert_allclose(avg, (ref + other) / 2, atol=1e-6)
+
+
+class TestFallbackG2P:
+    """Coverage contract of the dependency-free fallback (VERDICT weak #5):
+    exact pass-through for phoneme-alphabet input, loud once-per-process
+    degradation warning for everything else."""
+
+    def test_phoneme_alphabet_input_exact(self):
+        from mlx_audio_tpu.models.tts.kokoro.pipeline import FallbackG2P
+        from mlx_audio_tpu.models.tts.kokoro.presets import kokoro_vocab
+
+        g2p = FallbackG2P(kokoro_vocab())
+        # real Kokoro phoneme strings (IPA + stress marks) survive untouched
+        for ps in ["həlˈoʊ wˈɜɹld", "ðɪs ˈɪz ɐ tˈɛst", "kəkˈoɹoʊ"]:
+            out, tokens = g2p(ps)
+            assert out == ps
+            assert all(t.phonemes for t in tokens)
+
+    def test_non_vocab_chars_filtered_not_passed(self):
+        from mlx_audio_tpu.models.tts.kokoro.pipeline import FallbackG2P
+        from mlx_audio_tpu.models.tts.kokoro.presets import kokoro_vocab
+
+        vocab = kokoro_vocab()
+        g2p = FallbackG2P(vocab)
+        out, _ = g2p("ħello wørld☃")   # chars outside the alphabet
+        assert all(c in vocab or c == " " for c in out)
+
+    def test_warns_loudly_once_per_process(self, monkeypatch):
+        import warnings
+        import mlx_audio_tpu.models.tts.kokoro.pipeline as pl
+
+        monkeypatch.setattr(pl, "_FALLBACK_G2P_WARNED", False)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            pl._warn_fallback_g2p_once()
+            pl._warn_fallback_g2p_once()
+        msgs = [w for w in rec if issubclass(w.category, RuntimeWarning)]
+        assert len(msgs) == 1
+        assert "DEGRADED" in str(msgs[0].message)

@@ -112,3 +112,44 @@ def test_convert_quantize_roundtrip(tmp_path):
     for k in some_scales[::5] + list(orig_w)[::17]:
         np.testing.assert_array_equal(np.asarray(orig_w[k]),
                                       np.asarray(loaded_w[k]))
+
+
+def test_upload_to_hub_mocked(tmp_path, monkeypatch):
+    """upload_to_hub writes a model card and pushes the folder via HfApi
+    (reference tts/utils.py:279-323); network calls are mocked."""
+    import sys
+    import types
+    from unittest import mock
+
+    from mlx_audio_tpu.tts import convert as convert_mod
+
+    calls = {}
+
+    class FakeApi:
+        def create_repo(self, repo_id, exist_ok=False):
+            calls["create"] = (repo_id, exist_ok)
+
+        def upload_folder(self, folder_path, repo_id, repo_type):
+            calls["upload"] = (folder_path, repo_id, repo_type)
+
+    class FakeCard:
+        def __init__(self, text=""):
+            self.text = text
+            self.data = types.SimpleNamespace(tags=["orig"])
+
+        @classmethod
+        def load(cls, hf_path):
+            return cls()
+
+        def save(self, path):
+            calls["card"] = path
+            with open(path, "w") as f:
+                f.write(self.text)
+
+    fake_hub = types.SimpleNamespace(HfApi=FakeApi, ModelCard=FakeCard)
+    with mock.patch.dict(sys.modules, {"huggingface_hub": fake_hub}):
+        convert_mod.upload_to_hub(str(tmp_path), "me/repo", "orig/model")
+
+    assert calls["create"] == ("me/repo", True)
+    assert calls["upload"] == (str(tmp_path), "me/repo", "model")
+    assert (tmp_path / "README.md").exists()

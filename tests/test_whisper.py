@@ -384,3 +384,25 @@ def test_beam_search_patience(model, tokenizer):
     )
     assert isinstance(res.tokens, list)
     assert np.isfinite(res.avg_logprob)
+
+
+def test_bundled_tiktoken_assets_load_out_of_box(monkeypatch):
+    """The real gpt2/multilingual vocabularies ship as package data
+    (reference: stt/models/whisper/assets/ + tokenizer.py:334), so a fresh
+    checkout needs no env vars or checkpoint-local copies."""
+    from mlx_audio_tpu.models.stt.whisper import tokenizer as tok_mod
+
+    monkeypatch.delenv("MLX_AUDIO_TPU_ASSETS", raising=False)
+    tok_mod.get_encoding.cache_clear()
+    tok_mod.get_tokenizer.cache_clear()
+    try:
+        multi = tok_mod.get_tokenizer(True, language="en", task="transcribe")
+        assert multi.sot == 50258
+        assert multi.encoding.n_vocab == 51865
+        assert multi.decode(multi.encode("hello world")) == "hello world"
+        en = tok_mod.get_tokenizer(False)
+        assert en.eot == 50256
+        assert en.decode(en.encode("hello world")) == "hello world"
+    finally:
+        tok_mod.get_encoding.cache_clear()
+        tok_mod.get_tokenizer.cache_clear()
