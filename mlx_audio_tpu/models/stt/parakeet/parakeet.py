@@ -209,7 +209,24 @@ class BaseParakeet(Module):
                 )
                 for s in full
             ], axis=0)  # log_mel returns [1, frames, features]
-            for s, res in zip(full, self.decode(mels)):
+            # chunks are embarrassingly parallel -> shard the chunk batch
+            # over the 'data' mesh axis when a mesh is active (--mesh dp=N)
+            from mlx_audio_tpu.parallel.context import active_mesh
+
+            ctx = active_mesh()
+            if ctx is not None and ctx.dp > 1:
+                n = mels.shape[0]
+                m = ctx.pad_rows(n)
+                if m > n:
+                    mels = jnp.concatenate(
+                        [mels, jnp.repeat(mels[-1:], m - n, axis=0)], axis=0
+                    )
+                model = ctx.place_replicated(self)
+                with ctx.mesh:
+                    results = model.decode(ctx.shard_batch(mels))[:n]
+            else:
+                results = self.decode(mels)
+            for s, res in zip(full, results):
                 batch_results[s] = res
 
         all_tokens = []

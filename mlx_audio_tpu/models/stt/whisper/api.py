@@ -133,7 +133,40 @@ def decode(
     **kwargs,
 ) -> Union[DecodingResult, List[DecodingResult]]:
     """Decode 30 s mel window(s) [A?, 3000, n_mels] (NLC) or precomputed
-    audio features."""
+    audio features.
+
+    Batched windows are embarrassingly parallel (SURVEY.md §2.5(e)): under
+    an active mesh with dp > 1 the window batch is sharded over the 'data'
+    axis (padded to a dp multiple by repeating the last window; padded rows
+    are dropped) and the weights replicate, so XLA partitions the already-
+    jitted encode/decode loops across devices."""
+    from mlx_audio_tpu.parallel.context import active_mesh
+
+    ctx = active_mesh()
+    if ctx is not None and ctx.dp > 1 and getattr(mel, "ndim", 2) == 3 \
+            and mel.shape[0] > 1:
+        n = mel.shape[0]
+        m = ctx.pad_rows(n)
+        mel = jnp.asarray(mel)
+        if m > n:
+            mel = jnp.concatenate(
+                [mel, jnp.repeat(mel[-1:], m - n, axis=0)], axis=0
+            )
+        placed = ctx.place_replicated(model)
+        with ctx.mesh:
+            results = _decode_impl(placed, ctx.shard_batch(mel), options,
+                                   tokenizer, **kwargs)
+        return results[:n]
+    return _decode_impl(model, mel, options, tokenizer, **kwargs)
+
+
+def _decode_impl(
+    model,
+    mel,
+    options: DecodingOptions = DecodingOptions(),
+    tokenizer: Optional[Tokenizer] = None,
+    **kwargs,
+) -> Union[DecodingResult, List[DecodingResult]]:
     if kwargs:
         options = replace(options, **kwargs)
     single = mel.ndim == 2

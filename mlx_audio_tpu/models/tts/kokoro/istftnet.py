@@ -244,6 +244,16 @@ def _upsample_linear_int_last(x: jax.Array, s: int) -> jax.Array:
     return y.reshape(*lead, f * s)
 
 
+def _row_normals(key: jax.Array, b: int, shape: tuple) -> jax.Array:
+    """Per-row noise: row i draws from fold_in(key, i) with a batch-free
+    shape.  Makes every draw independent of the batch size/layout, so (a)
+    padding a batch to a data-parallel multiple leaves real rows bit-exact
+    and (b) draws stay prefix-stable along L across frame buckets for every
+    row (previously only row 0 / batch-1 was)."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+    return jax.vmap(lambda k: jax.random.normal(k, shape))(keys)
+
+
 class SineGen(Module):
     """Harmonic sine source (reference istftnet.py:531-623).
 
@@ -271,7 +281,7 @@ class SineGen(Module):
         # 100k+ samples destroys the phase entirely.
         s = self.upsample_scale
         rad = (fn.astype(jnp.float32) / self.sampling_rate) % 1.0
-        rand_ini = jax.random.normal(key, (fn.shape[0], fn.shape[1]))
+        rand_ini = _row_normals(key, fn.shape[0], (fn.shape[1],))
         rand_ini = rand_ini.at[:, 0].set(0.0)
         rad = rad.at[:, :, 0].add(rand_ini)
         # downsample rad -> frame rate, integrate, upsample phase
@@ -299,12 +309,12 @@ class SineGen(Module):
         uv = self._f02uv(f0)                             # [B, L, 1]
         uv_hl = uv[..., 0][:, None, :]
         noise_amp = uv_hl * self.noise_std + (1 - uv_hl) * self.sine_amp / 3
-        # draw in the historical [B, L, H] layout: keeps the draws identical
-        # to the harmonics-last implementation AND prefix-stable across
-        # frame buckets (bucketing-exactness contract)
+        # draw per row in the historical [L, H] layout: prefix-stable across
+        # frame buckets (bucketing-exactness contract) and batch-layout-
+        # invariant (data-parallel padding contract)
         b, h, l = sine_waves.shape
         noise = noise_amp * jnp.moveaxis(
-            jax.random.normal(k2, (b, l, h)), -1, 1
+            _row_normals(k2, b, (l, h)), -1, 1
         )
         sine_waves = sine_waves * uv_hl + noise
         return sine_waves, uv, noise
@@ -329,7 +339,7 @@ class SourceModuleHnNSF(Module):
         mixed = jnp.einsum("bhl,h->bl", sine_wavs,
                            self.l_linear.weight[0]) + self.l_linear.bias[0]
         sine_merge = jnp.tanh(mixed)[..., None]           # [B, L, 1]
-        noise = jax.random.normal(k2, uv.shape) * self.sine_amp / 3
+        noise = _row_normals(k2, uv.shape[0], uv.shape[1:]) * self.sine_amp / 3
         return sine_merge, noise, uv
 
 

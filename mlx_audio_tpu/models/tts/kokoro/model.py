@@ -236,34 +236,67 @@ class Model(Module):
         single-chip serving-throughput lever: all conv/matmul weight reads
         are shared across the B segments.
         """
+        from mlx_audio_tpu.parallel.context import active_mesh, pad_batch_arrays
+
         b = len(phonemes_list)
         toks = [[0, *self.phonemes_to_ids(p), 0] for p in phonemes_list]
         n_valid = [len(t) for t in toks]
         assert max(n_valid) <= self.context_length
         bucket = pick_phoneme_bucket(max(n_valid))
-        input_ids = np.zeros((b, bucket), dtype=np.int32)
+        input_ids_np = np.zeros((b, bucket), dtype=np.int32)
         for i, t in enumerate(toks):
-            input_ids[i, : len(t)] = t
-        input_ids = jnp.asarray(input_ids)
-        lengths = jnp.asarray(n_valid, dtype=jnp.int32)
-        ref = np.asarray(ref_s, dtype=np.float32).reshape(b, -1)
-        ref = jnp.asarray(ref)
+            input_ids_np[i, : len(t)] = t
+        lengths_np = np.asarray(n_valid, dtype=np.int32)
+        ref_np = np.asarray(ref_s, dtype=np.float32).reshape(b, -1)
         if speeds is None:
             speeds = np.ones((b,), dtype=np.float32)
-        speeds = jnp.asarray(np.broadcast_to(np.asarray(speeds, np.float32), (b,)))
-
-        d, pred_dur = _duration_stage(self, input_ids, lengths,
-                                      ref[:, 128:], speeds)
-        pred_np = np.asarray(pred_dur)
-        totals = pred_np.sum(axis=1)               # padded rows contribute 0
-        f_bucket = pick_frame_bucket(int(totals.max()))
+        speeds_np = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(speeds, np.float32), (b,))
+        )
         if key is None:
             key = jax.random.PRNGKey(0)
-        audio, _ = _synthesis_stage(
-            self, input_ids, lengths, d, pred_dur, ref, key,
-            jnp.zeros((f_bucket,), dtype=jnp.int32),
-        )
-        audio_np = np.asarray(audio)
+
+        ctx = active_mesh()
+        if ctx is not None and ctx.dp > 1:
+            # data-parallel pass: pad the batch to a dp multiple (noise
+            # draws are per-row, so real rows are bit-exact vs unsharded),
+            # shard the batch axis, replicate the weights; XLA partitions
+            # the already-jitted stages over the mesh
+            input_ids_np, lengths_np, ref_np, speeds_np, _ = pad_batch_arrays(
+                ctx, input_ids_np, lengths_np, ref_np, speeds_np
+            )
+            model = ctx.place_replicated(self)
+            with ctx.mesh:
+                input_ids, lengths, ref, speeds_j = ctx.shard_batch(
+                    jnp.asarray(input_ids_np), jnp.asarray(lengths_np),
+                    jnp.asarray(ref_np), jnp.asarray(speeds_np),
+                )
+                key = jax.device_put(key, ctx.replicated_sharding())
+                d, pred_dur = _duration_stage(model, input_ids, lengths,
+                                              ref[:, 128:], speeds_j)
+                pred_np = np.asarray(pred_dur)
+                totals = pred_np.sum(axis=1)
+                f_bucket = pick_frame_bucket(int(totals[:b].max()))
+                audio, _ = _synthesis_stage(
+                    model, input_ids, lengths, d, pred_dur, ref, key,
+                    jnp.zeros((f_bucket,), dtype=jnp.int32),
+                )
+                audio_np = np.asarray(audio)
+        else:
+            input_ids = jnp.asarray(input_ids_np)
+            lengths = jnp.asarray(lengths_np)
+            ref = jnp.asarray(ref_np)
+            speeds_j = jnp.asarray(speeds_np)
+            d, pred_dur = _duration_stage(self, input_ids, lengths,
+                                          ref[:, 128:], speeds_j)
+            pred_np = np.asarray(pred_dur)
+            totals = pred_np.sum(axis=1)           # padded rows contribute 0
+            f_bucket = pick_frame_bucket(int(totals.max()))
+            audio, _ = _synthesis_stage(
+                self, input_ids, lengths, d, pred_dur, ref, key,
+                jnp.zeros((f_bucket,), dtype=jnp.int32),
+            )
+            audio_np = np.asarray(audio)
         return [
             (audio_np[i, : int(totals[i]) * self.SAMPLES_PER_FRAME],
              pred_np[i, : n_valid[i]])
@@ -328,10 +361,36 @@ class Model(Module):
         **kwargs,
     ) -> Iterator[GenerationResult]:
         """Text -> audio segments with the standard metrics record
-        (reference kokoro.py:269-346)."""
+        (reference kokoro.py:269-346).
+
+        Under an active device mesh (parallel.context.activate_mesh) the
+        segments are synthesized in one data-parallel batched pass instead
+        of sequentially — the CLI's `--mesh dp=N` path."""
         from mlx_audio_tpu.models.tts.kokoro.pipeline import KokoroPipeline
+        from mlx_audio_tpu.parallel.context import active_mesh
 
         pipeline = KokoroPipeline(model=self, lang_code=lang_code)
+
+        ctx = active_mesh()
+        if ctx is not None and ctx.dp > 1:
+            pack = pipeline.load_voice(voice or "af_heart")
+            start = time.time()
+            segs = list(pipeline.iter_phoneme_segments(text, split_pattern))
+            if not segs:
+                return
+            refs = np.stack([pack[len(ps) - 1].reshape(-1)
+                             for _, ps, _ in segs])
+            outs = self.synthesize_batch([ps for _, ps, _ in segs], refs,
+                                         speeds=speed)
+            elapsed = time.time() - start
+            for idx, ((gs, ps, _), (audio, _)) in enumerate(zip(segs, outs)):
+                yield make_generation_result(
+                    audio=audio, sample_rate=self.config.sample_rate,
+                    segment_idx=idx, token_count=len(ps) if ps else 0,
+                    segment_time=elapsed / len(segs),
+                )
+            return
+
         start = time.time()
         for idx, (graphemes, phonemes, audio) in enumerate(
             pipeline(text, voice=voice or "af_heart", speed=speed,

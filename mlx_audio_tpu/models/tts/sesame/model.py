@@ -232,6 +232,22 @@ class Model(Module):
     def mimi(self) -> Mimi:
         return self._mimi
 
+    def _decode_placement(self):
+        """(lm, mesh_cm): the LM to decode with and a context manager to run
+        decode steps under.  With an active mesh whose tp > 1 the backbone/
+        depth-decoder weights are sharded by tp_rules_llama (cached) and
+        steps run inside the mesh so XLA inserts the ICI collectives; Mimi
+        and the watermark stay replicated host-side."""
+        import contextlib
+
+        from mlx_audio_tpu.parallel.context import active_mesh
+        from mlx_audio_tpu.parallel.mesh import tp_rules_llama
+
+        ctx = active_mesh()
+        if ctx is not None and ctx.tp > 1:
+            return ctx.place_tp(self.model, tp_rules_llama), ctx.mesh
+        return self.model, contextlib.nullcontext()
+
     def _get_tokenizer(self):
         if self._text_tokenizer is None:
             from mlx_audio_tpu.models.tts.sesame.tokenizer import load_llama3_tokenizer
@@ -440,16 +456,18 @@ class Model(Module):
             mask[i, pad[i]:] = m
         pad_len = jnp.asarray(pad)
 
+        lm, mesh_cm = self._decode_placement()
         wdtype = self.model.lm_dtype()
-        caches = self.model.backbone.init_cache(
+        caches = lm.backbone.init_cache(
             b, max_len=bucket + max_frames, dtype=wdtype
         )
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
-        frame, caches = _prefill_and_first_frame(
-            self.model, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
-            k0, temperature, top_k,
-        )
+        with mesh_cm:
+            frame, caches = _prefill_and_first_frame(
+                lm, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
+                k0, temperature, top_k,
+            )
         first = np.asarray(frame)             # [B, nc]
         all_frames = [first]
         done = (first == 0).all(axis=1)
@@ -459,10 +477,11 @@ class Model(Module):
         while produced < max_frames and not done.all():
             n = min(chunk, max_frames - produced)
             key, kc = jax.random.split(key)
-            out, caches = _frame_chunk(
-                self.model, caches, pad_len, jnp.asarray(last),
-                kc, temperature, top_k, jnp.zeros((n,), dtype=jnp.int32),
-            )
+            with mesh_cm:
+                out, caches = _frame_chunk(
+                    lm, caches, pad_len, jnp.asarray(last),
+                    kc, temperature, top_k, jnp.zeros((n,), dtype=jnp.int32),
+                )
             out_np = np.asarray(out)          # [n, B, nc]
             for f in out_np:
                 eos = (f == 0).all(axis=1)
@@ -503,14 +522,16 @@ class Model(Module):
         # KV cache dtype follows the LM weights: with a bf16-cast model
         # (`model.cast_lm(jnp.bfloat16)`) the whole decode loop — params,
         # activations, cache reads — moves half the HBM bytes per step
+        lm, mesh_cm = self._decode_placement()
         wdtype = self.model.lm_dtype()
-        caches = self.model.backbone.init_cache(1, max_len=cache_len, dtype=wdtype)
+        caches = lm.backbone.init_cache(1, max_len=cache_len, dtype=wdtype)
 
         key, k0 = jax.random.split(key)
-        frame, caches = _prefill_and_first_frame(
-            self.model, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
-            k0, temp, top_k,
-        )
+        with mesh_cm:
+            frame, caches = _prefill_and_first_frame(
+                lm, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
+                k0, temp, top_k,
+            )
         frame_np = np.asarray(frame)[0]
         if (frame_np == 0).all():
             return
@@ -522,10 +543,11 @@ class Model(Module):
         while produced < max_frames and not done:
             n = min(chunk, max_frames - produced)
             key, kc = jax.random.split(key)
-            out_frames, caches = _frame_chunk(
-                self.model, caches, pad_len, jnp.asarray(last_frame)[None],
-                kc, temp, top_k, jnp.zeros((n,), dtype=jnp.int32),
-            )
+            with mesh_cm:
+                out_frames, caches = _frame_chunk(
+                    lm, caches, pad_len, jnp.asarray(last_frame)[None],
+                    kc, temp, top_k, jnp.zeros((n,), dtype=jnp.int32),
+                )
             out_np = np.asarray(out_frames)[:, 0]  # [n, nc]
             for f in out_np:
                 if (f == 0).all():

@@ -94,7 +94,20 @@ class Watermarker:
         return best
 
 
-def load_watermarker() -> Watermarker:
+def load_watermarker(checkpoint_dir: Optional[str] = None):
+    """silentcipher-architecture model when trained weights are available
+    (``checkpoint_dir`` arg or $MLX_AUDIO_TPU_SILENTCIPHER), else the
+    self-contained DSSS fallback (reference load_watermarker wraps the
+    trained silentcipher 44.1k model, watermarking.py:21-25)."""
+    import os
+
+    ckpt = checkpoint_dir or os.environ.get("MLX_AUDIO_TPU_SILENTCIPHER")
+    if ckpt and os.path.isdir(ckpt):
+        from mlx_audio_tpu.models.tts.sesame.silentcipher import (
+            load_silentcipher,
+        )
+
+        return load_silentcipher(ckpt)
     return Watermarker()
 
 
@@ -104,27 +117,41 @@ def _resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_audio(audio, orig_sr, target_sr)
 
 
-def watermark(watermarker: Watermarker, audio_array, sample_rate: int,
+def watermark(watermarker, audio_array, sample_rate: int,
               watermark_key: List[int]) -> np.ndarray:
-    """Embed at 44.1 kHz and resample back (reference :36-55)."""
+    """Embed at 44.1 kHz and resample back (reference :36-55).  Dispatches
+    on the watermarker: silentcipher-architecture models expose the
+    encode_wav/decode_wav server API; the DSSS fallback exposes
+    embed/decode."""
     audio = np.asarray(audio_array, dtype=np.float32)
     if sample_rate != _WM_SR:
         audio_44k = _resample(audio, sample_rate, _WM_SR)
     else:
         audio_44k = audio
-    encoded = watermarker.embed(audio_44k, watermark_key)
+    if hasattr(watermarker, "encode_wav"):
+        encoded, *_ = watermarker.encode_wav(
+            audio_44k, _WM_SR, watermark_key, calc_sdr=False, message_sdr=36
+        )
+        encoded = np.asarray(encoded)
+    else:
+        encoded = watermarker.embed(audio_44k, watermark_key)
     if sample_rate != _WM_SR:
         encoded = _resample(encoded, _WM_SR, sample_rate)
         encoded = encoded[:len(audio)]
     return encoded.astype(np.float32)
 
 
-def verify(watermarker: Watermarker, watermarked_audio, sample_rate: int,
+def verify(watermarker, watermarked_audio, sample_rate: int,
            watermark_key: List[int]) -> bool:
     """True iff the payload decodes to the given key (reference :59-78)."""
     audio = np.asarray(watermarked_audio, dtype=np.float32)
     if sample_rate != _WM_SR:
         audio = _resample(audio, sample_rate, _WM_SR)
+    if hasattr(watermarker, "decode_wav"):
+        result = watermarker.decode_wav(audio, _WM_SR,
+                                        phase_shift_decoding=True)
+        return bool(result["status"]
+                    and result["messages"][0] == list(watermark_key))
     expect = Watermarker._key_bits(watermark_key) > 0
     got = watermarker.decode(audio, len(expect))
     if got is None:

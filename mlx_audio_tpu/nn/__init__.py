@@ -12,6 +12,7 @@ from mlx_audio_tpu.nn.layers import (
     BatchNorm,
     AdaLayerNorm,
     Conv1d,
+    Conv2d,
     ConvTranspose1d,
     Embedding,
     Identity,
@@ -45,7 +46,7 @@ from mlx_audio_tpu.nn.interpolate import interpolate, interpolate1d
 __all__ = [
     "Module", "named_arrays", "update_arrays", "map_arrays",
     "Linear", "Embedding", "LayerNorm", "RMSNorm", "InstanceNorm1d",
-    "AdaIN1d", "AdaLayerNorm", "BatchNorm", "Conv1d", "ConvTranspose1d", "WNConv1d",
+    "AdaIN1d", "AdaLayerNorm", "BatchNorm", "Conv1d", "Conv2d", "ConvTranspose1d", "WNConv1d",
     "WNConvTranspose1d", "Identity", "conv1d", "conv_transpose1d",
     "depthwise_conv_transpose1d", "weight_norm", "get_padding",
     "leaky_relu", "snake", "snake_beta",

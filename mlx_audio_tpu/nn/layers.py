@@ -360,6 +360,49 @@ class Conv1d(Module):
         return y
 
 
+class Conv2d(Module):
+    """2-D conv over NHWC inputs, weight stored [kh, kw, in/groups, out]
+    (torch checkpoints [out, in, kh, kw] transpose with (2, 3, 1, 0))."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size,
+        stride=1,
+        padding=0,
+        dilation=1,
+        groups: int = 1,
+        bias: bool = True,
+    ):
+        kh, kw = ((kernel_size, kernel_size)
+                  if isinstance(kernel_size, int) else kernel_size)
+        self.stride = (stride, stride) if isinstance(stride, int) else tuple(stride)
+        self.padding = ((padding, padding)
+                        if isinstance(padding, int) else tuple(padding))
+        self.dilation = ((dilation, dilation)
+                         if isinstance(dilation, int) else tuple(dilation))
+        self.groups = groups
+        scale = 1.0 / math.sqrt(in_channels * kh * kw / groups)
+        self.weight = _uniform((kh, kw, in_channels // groups, out_channels), scale)
+        self.bias = _uniform((out_channels,), scale) if bias else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x, w = promote_conv_operands(x, self.weight)
+        ph, pw = self.padding
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=self.stride,
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
 class ConvTranspose1d(Module):
     def __init__(
         self,

@@ -5,5 +5,16 @@ from mlx_audio_tpu.parallel.mesh import (
     replicate,
     tp_rules_llama,
 )
+from mlx_audio_tpu.parallel.context import (
+    MeshContext,
+    activate_mesh,
+    active_mesh,
+    deactivate_mesh,
+    parse_mesh_spec,
+)
 
-__all__ = ["get_mesh", "shard_batch", "shard_module", "replicate", "tp_rules_llama"]
+__all__ = [
+    "get_mesh", "shard_batch", "shard_module", "replicate", "tp_rules_llama",
+    "MeshContext", "activate_mesh", "active_mesh", "deactivate_mesh",
+    "parse_mesh_spec",
+]

@@ -492,6 +492,8 @@ def create_app(state: Optional[ServerState] = None):
             opts["tts_model"] = str(data["model"])
         if data.get("language"):
             opts["tts_language"] = str(data["language"])
+        if data.get("llm_model"):
+            opts["llm_model"] = str(data["llm_model"])
         state.sts_options.update(opts)
         return web.json_response({"status": "success"})
 
@@ -555,19 +557,34 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--max-batch", type=int, default=8,
-                        help="micro-batch size for concurrent /tts requests "
-                             "(0 disables dynamic batching)")
+                        help="micro-batch size PER DEVICE for concurrent "
+                             "/tts requests (0 disables dynamic batching); "
+                             "with --mesh dp=N the batcher coalesces up to "
+                             "max_batch x N requests per pass")
     parser.add_argument("--batch-window-ms", type=float, default=30.0,
                         help="how long to wait coalescing concurrent requests")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="device mesh spec 'dp=N[,tp=M]': batched "
+                             "synthesis shards over the data axis; the "
+                             "micro-batcher targets mesh capacity")
     args = parser.parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s [%(funcName)s:%(lineno)d] %(message)s",
     )
     state = ServerState()
+    dp = 1
+    if args.mesh:
+        from mlx_audio_tpu.parallel.context import activate_mesh
+
+        ctx = activate_mesh(args.mesh)
+        dp = ctx.dp
+        logger.info(f"Mesh active: dp={ctx.dp} tp={ctx.tp} "
+                    f"({ctx.dp * ctx.tp} devices)")
     if args.max_batch > 0:
         state.batcher = DynamicBatcher(
-            state, max_batch=args.max_batch, max_wait_ms=args.batch_window_ms
+            state, max_batch=args.max_batch * dp,
+            max_wait_ms=args.batch_window_ms,
         )
     web.run_app(create_app(state), host=args.host, port=args.port)
 

@@ -93,6 +93,11 @@ class VoicePipeline:
                 from mlx_audio_tpu.utils.loader import load_model
 
                 self._stt = load_model(self.config.stt_model, domain="stt")
+        if self._llm is None and self.config.llm_model:
+            from mlx_audio_tpu.models.lm.chat import ChatLM
+
+            logger.info(f"Loading chat LLM {self.config.llm_model}")
+            self._llm = ChatLM.from_pretrained(self.config.llm_model)
         if self._tts is None:
             if self._server_state is not None:
                 self._tts = self._server_state.get_tts(self.config.tts_model)
@@ -110,7 +115,9 @@ class VoicePipeline:
         return out.text.strip() if hasattr(out, "text") else str(out)
 
     def respond(self, text: str) -> str:
-        """LLM response; passthrough-echo when no LLM is configured."""
+        """LLM response (reference _generate_response, :198-221);
+        passthrough-echo when no LLM is configured or injected."""
+        self.init_models()
         if self._llm is None:
             return text
         if callable(self._llm):
@@ -293,9 +300,12 @@ def main():  # pragma: no cover
     parser.add_argument("--stt", default="mlx-community/whisper-large-v3-turbo")
     parser.add_argument("--tts", default="prince-canuma/Kokoro-82M")
     parser.add_argument("--voice", default="af_heart")
+    parser.add_argument("--llm-model", default=None,
+                        help="chat LLM checkpoint (HF llama/qwen layout); "
+                             "without one, responses echo the transcript")
     args = parser.parse_args()
     cfg = VoicePipelineConfig(stt_model=args.stt, tts_model=args.tts,
-                              tts_voice=args.voice)
+                              tts_voice=args.voice, llm_model=args.llm_model)
     asyncio.run(VoicePipeline(cfg).start())
 
 

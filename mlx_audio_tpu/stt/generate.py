@@ -31,14 +31,27 @@ def parse_args(argv=None):
     parser.add_argument("--beam-size", type=int, default=None)
     parser.add_argument("--word-timestamps", action="store_true")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--chunk-duration", type=float, default=None,
+                        help="split long audio into chunks of this many "
+                             "seconds (Parakeet; batched/DP decode)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="device mesh spec 'dp=N': shard batched chunk "
+                             "decoding over the data axis")
     return parser.parse_args(argv)
 
 
 def generate(model_path: str, audio_path: str, output_path: str = ".",
-             output_format: str = "txt", **kwargs):
+             output_format: str = "txt", mesh: str = None, **kwargs):
     from mlx_audio_tpu.models.base import peak_memory_gb
     from mlx_audio_tpu.models.stt.whisper.writers import get_writer
     from mlx_audio_tpu.utils.loader import load_model
+
+    if mesh:
+        from mlx_audio_tpu.parallel.context import activate_mesh
+
+        ctx = activate_mesh(mesh)
+        print(f"Mesh active: dp={ctx.dp} tp={ctx.tp} "
+              f"({ctx.dp * ctx.tp} devices)")
 
     model = load_model(model_path, domain="stt")
 
@@ -78,8 +91,11 @@ def main(argv=None):
         kwargs["beam_size"] = args.beam_size
     if args.max_tokens:
         kwargs["max_tokens"] = args.max_tokens
+    if args.chunk_duration:
+        kwargs["chunk_duration"] = args.chunk_duration
     generate(
         args.model, args.audio, args.output_path, args.format,
+        mesh=args.mesh,
         task=args.task, word_timestamps=args.word_timestamps,
         verbose=args.verbose or None, **kwargs,
     )

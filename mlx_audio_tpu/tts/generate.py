@@ -44,14 +44,25 @@ def generate_audio(
     ref_text: Optional[str] = None,
     stt_model: str = "mlx-community/whisper-large-v3-turbo",
     trace_dir: Optional[str] = None,
+    mesh: Optional[str] = None,
     **kwargs,
 ):
     """Generate speech from text; returns the list of GenerationResults.
 
     ``trace_dir`` captures an XLA profiler trace of the generation
-    (TensorBoard profile / Perfetto viewable)."""
+    (TensorBoard profile / Perfetto viewable).  ``mesh`` ('dp=N[,tp=M]')
+    activates the device mesh: segments synthesize data-parallel and
+    TP-capable decoders shard their weights (SURVEY.md §2.5)."""
     from mlx_audio_tpu.utils.loader import load_model
     from mlx_audio_tpu.utils.profiling import trace
+
+    if mesh:
+        from mlx_audio_tpu.parallel.context import activate_mesh
+
+        ctx = activate_mesh(mesh)
+        if verbose:
+            print(f"Mesh active: dp={ctx.dp} tp={ctx.tp} "
+                  f"({ctx.dp * ctx.tp} devices)")
 
     if model is None:
         model = load_model(model_path, domain="tts")
@@ -159,6 +170,10 @@ def parse_args(argv=None):
                              "--ref_text is absent")
     parser.add_argument("--trace-dir", type=str, default=None,
                         help="capture an XLA profiler trace into this dir")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="device mesh spec 'dp=N[,tp=M]': shard batched "
+                             "synthesis over data, TP-capable decoders over "
+                             "model")
     return parser.parse_args(argv)
 
 
@@ -195,6 +210,7 @@ def main(argv=None):
         streaming_interval=args.streaming_interval,
         stt_model=args.stt_model,
         trace_dir=args.trace_dir,
+        mesh=args.mesh,
     )
 
 

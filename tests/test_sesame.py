@@ -267,3 +267,92 @@ def test_watermark_roundtrip():
     assert not verify(wm, clean, sr, CSM_1B_GH_WATERMARK)
     # wrong key must not verify
     assert not verify(wm, marked, sr, [1, 2, 3, 4, 5])
+
+
+# ---------------------------------------------------------------------------
+# silentcipher architecture (VERDICT round 1 #6: reference wraps the trained
+# silentcipher 44.1k model, watermarking.py:21-56)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_sc():
+    from mlx_audio_tpu.models.tts.sesame.silentcipher import (
+        SilentCipherConfig,
+        SilentCipherModel,
+    )
+
+    cfg = SilentCipherConfig(
+        sample_rate=44100, n_fft=512, hop_length=128, msg_len=5,
+        msg_vocab=256, hidden=8, enc_layers=1, dec_layers=2,
+        message_band=64,
+    )
+    return SilentCipherModel(cfg)
+
+
+def test_silentcipher_encode_decode_api_roundtrip():
+    """encode_wav keeps length + meets the SDR constraint; decode_wav
+    returns the silentcipher server result schema."""
+    sc = _tiny_sc()
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(44100) * 0.1).astype(np.float32)
+    key = [212, 211, 146, 56, 201]
+    out, _, _ = sc.encode_wav(audio, 44100, key, message_sdr=36)
+    assert out.shape == audio.shape
+    delta = out - audio
+    sdr = 10 * np.log10(np.mean(audio ** 2) / (np.mean(delta ** 2) + 1e-12))
+    assert sdr >= 30.0  # perturbation respects the target SDR scale
+    res = sc.decode_wav(out, 44100, phase_shift_decoding=True)
+    assert set(res) >= {"status", "messages"}
+    assert len(res["messages"][0]) == 5
+    assert all(0 <= m < 256 for m in res["messages"][0])
+
+
+def test_silentcipher_sanitize_torch_conv_layout():
+    sc = _tiny_sc()
+    w = np.zeros((8, 6, 3, 3), dtype=np.float32)  # torch [O, I, kh, kw]
+    out = sc.sanitize({"module.enc_c.conv_in.weight": w,
+                       "enc_c.conv_in.bias": np.zeros(8, dtype=np.float32)})
+    assert out["enc_c.conv_in.weight"].shape == (3, 3, 6, 8)
+    assert out["enc_c.conv_in.bias"].shape == (8,)
+
+
+def test_load_watermarker_dispatch(tmp_path, monkeypatch):
+    """No checkpoint -> DSSS fallback; checkpoint dir -> silentcipher
+    architecture with loaded weights."""
+    from mlx_audio_tpu.models.tts.sesame import watermarking as wm
+    from mlx_audio_tpu.nn.module import named_arrays
+    from mlx_audio_tpu.utils.loader import save_checkpoint
+
+    monkeypatch.delenv("MLX_AUDIO_TPU_SILENTCIPHER", raising=False)
+    assert isinstance(wm.load_watermarker(), wm.Watermarker)
+
+    sc = _tiny_sc()
+    import json
+    from safetensors.numpy import save_file
+
+    ckpt = tmp_path / "sc"
+    ckpt.mkdir()
+    (ckpt / "config.json").write_text(json.dumps({
+        "native_format": True,
+        "sample_rate": 44100, "n_fft": 512, "hop_length": 128,
+        "msg_len": 5, "msg_vocab": 256, "hidden": 8, "enc_layers": 1,
+        "dec_layers": 2, "message_band": 64,
+    }))
+    save_file({k: np.asarray(v) for k, v in named_arrays(sc)},
+              str(ckpt / "model.safetensors"))
+    loaded = wm.load_watermarker(str(ckpt))
+    from mlx_audio_tpu.models.tts.sesame.silentcipher import SilentCipherModel
+
+    assert isinstance(loaded, SilentCipherModel)
+    # loaded weights round-trip exactly
+    orig = dict(named_arrays(sc))
+    got = dict(named_arrays(loaded))
+    for k in list(orig)[::3]:
+        np.testing.assert_array_equal(np.asarray(orig[k]), np.asarray(got[k]))
+    # the watermark()/verify() entry points accept the silentcipher model
+    audio = np.zeros(24000, dtype=np.float32)
+    marked = wm.watermark(loaded, audio, 24000, wm.CSM_1B_GH_WATERMARK)
+    assert marked.shape == audio.shape
+    assert isinstance(
+        wm.verify(loaded, marked, 24000, wm.CSM_1B_GH_WATERMARK), bool
+    )
