@@ -247,6 +247,22 @@ def _dilated_conv1d_decomposed(x: jax.Array, weight: jax.Array,
     return y[:, :l]
 
 
+def _dilated_conv1d_residue(x: jax.Array, weight: jax.Array, dilation: int,
+                            dense_conv) -> jax.Array:
+    """'Same' dilated conv via the residue-stream fold (see
+    _dilated_conv1d_decomposed) with a pluggable dense-conv implementation
+    (the Pallas banded kernel)."""
+    b, l, c = x.shape
+    d = dilation
+    lp = -(-l // d) * d
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    xs = xp.reshape(b, lp // d, d, c).transpose(0, 2, 1, 3)
+    xs = xs.reshape(b * d, lp // d, c)
+    y = dense_conv(xs, weight)
+    y = y.reshape(b, d, lp // d, -1).transpose(0, 2, 1, 3).reshape(b, lp, -1)
+    return y[:, :l]
+
+
 def use_decomp_conv() -> bool:
     from mlx_audio_tpu.nn.pallas_ops import _env_on
 
@@ -267,6 +283,26 @@ def conv1d(
     x, weight = promote_conv_operands(x, weight)
     k = weight.shape[0]
     span = (k - 1) * dilation
+    if (stride == 1 and groups == 1 and k > 1 and k % 2 == 1
+            and padding == (span // 2, span // 2) and x.ndim == 3):
+        # banded-matmul Pallas path: dense K>=5 'same' convs (dilated folds
+        # to dense via the exact residue-stream decomposition first) run as
+        # aligned MXU matmuls — beats XLA's ~23%-MXU conv emitter on the
+        # ISTFTNet/BigVGAN resblock shapes (docs/PERF.md)
+        from mlx_audio_tpu.nn.pallas_ops import (
+            banded_conv1d_pallas,
+            banded_conv_supported,
+            use_banded_conv,
+        )
+
+        if use_banded_conv() and banded_conv_supported(
+            k, weight.shape[1], weight.shape[2],
+            x.shape[1] // max(dilation, 1), x.dtype.itemsize,
+        ):
+            if dilation == 1:
+                return banded_conv1d_pallas(x, weight)
+            return _dilated_conv1d_residue(x, weight, dilation,
+                                           banded_conv1d_pallas)
     if (stride == 1 and groups == 1 and k > 1 and k % 2 == 1
             and dilation > 1 and padding == (span // 2, span // 2)
             and x.ndim == 3 and use_decomp_conv()):

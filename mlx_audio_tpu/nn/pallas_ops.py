@@ -282,6 +282,135 @@ def dilated_conv1d_pallas(x: jax.Array, w: jax.Array, dilation: int = 1,
     return out[:, :l]
 
 
+# ---------------------------------------------------------------------------
+# Banded-matmul dense conv1d (aligned-phase successor to the shifted-matmul
+# kernel above)
+# ---------------------------------------------------------------------------
+#
+# The shifted-matmul kernel loses to XLA because every tap's VMEM read is
+# sublane-misaligned (~2 VPU realign passes per tap, docs/PERF.md).  This
+# formulation removes per-tap shifts entirely: with the signal viewed as
+# 8-row groups ([L/8, 8C]), output rows 8g..8g+7 need window rows
+# 8g..8g+8+span-1, and the whole K-tap conv for a group is ONE matmul
+#   out[g] = window(g) [1, W8*C] @ W_band [W8*C, 8*Cout]
+# where W_band is the kernel scattered onto a banded block matrix.  Per
+# tile that is Q = W8/8 matmuls with 1024/2048-wide contractions (MXU
+# sweet spot) and only Q-1 misaligned row-slices (vs 2K VPU passes
+# before).  The cost is bandwidth-free wasted FLOPs — W8/K per output —
+# so the kernel is only used where W8/K is small (K=7: 16/7, K=11: 24/11);
+# K=3 stays on XLA.  Dilated convs fold to dense first via the exact
+# residue-stream decomposition (nn/layers._dilated_conv1d_decomposed).
+
+
+def _banded_conv_kernel(x_hbm, wb_ref, out_ref, x_scr, sem, *, q_groups,
+                        tile8):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    # window rounded to tile8 + 8 rows (sublane-aligned DMA size)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile8, tile8 + 8), :], x_scr, sem,
+    )
+    dma.start()
+    dma.wait()
+    eight_c = x_scr.shape[-1]
+    acc = jnp.zeros((tile8, out_ref.shape[-1]), dtype=jnp.float32)
+    for q in range(q_groups):
+        xq = x_scr[pl.ds(q, tile8), :]
+        wq = wb_ref[pl.ds(q * eight_c, eight_c), :]
+        acc += jnp.dot(xq, wq, preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _banded_weight(w: jax.Array, q_groups: int) -> jax.Array:
+    """w [K, C, Cout] -> W_band [(8*q_groups)*C, 8*Cout]:
+    W_band[(j+tap)*C + c, j*Cout + o] = w[tap, c, o]."""
+    k, c, c_out = w.shape
+    w8 = 8 * q_groups
+    wb = jnp.zeros((w8, 8, c, c_out), dtype=w.dtype)
+    for j in range(8):
+        for tap in range(k):
+            wb = wb.at[j + tap, j].set(w[tap])
+    return jnp.transpose(wb, (0, 2, 1, 3)).reshape(w8 * c, 8 * c_out)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_l"))
+def banded_conv1d_pallas(x: jax.Array, w: jax.Array,
+                         interpret: bool = False,
+                         tile_l: int = 2048) -> jax.Array:
+    """Dense (dilation-1) 'same'-padded conv, NLC: x [B, L, C] * w
+    [K, C, Cout] -> [B, L, Cout].  K odd; C and Cout multiples of 128."""
+    b, l, c = x.shape
+    k, _, c_out = w.shape
+    span = k - 1
+    pad_lo = span // 2
+    q_groups = 1 + -(-span // 8)
+    tile8 = tile_l // 8
+    n_tiles = -(-l // tile_l)
+    # rows available must cover the last tile's window: the DMA reads
+    # tile8 + 8 view-rows = tile_l + 64 samples past each tile start
+    lp = (n_tiles * tile_l) + 64
+    x_p = jnp.pad(x, ((0, 0), (pad_lo, lp - l - pad_lo), (0, 0)))
+    x_r = x_p.reshape(b, lp // 8, 8 * c)
+
+    co_tile = c_out if c_out <= 128 else 128
+    n_co = c_out // co_tile
+    kern = functools.partial(_banded_conv_kernel, q_groups=q_groups,
+                             tile8=tile8)
+    wb = _banded_weight(w, q_groups)            # [(8Q)*C, 8*Cout]
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles, n_co),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8 * q_groups * c, 8 * co_tile),
+                         lambda bi, i, co: (0, co), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile8, 8 * co_tile),
+                               lambda bi, i, co: (bi, i, co),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile8, 8 * c_out),
+                                       x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile8 + 8, 8 * c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x_r, wb)
+    # [B, tiles*tile8, 8*Cout] -> [B, tiles*tile_l, Cout] -> trim
+    out = out.reshape(b, n_tiles * tile_l, c_out)
+    return out[:, :l]
+
+
+def banded_conv_supported(k: int, c: int, c_out: int, l: int,
+                          dtype_size: int = 2) -> bool:
+    """Shape gate: contraction/output tiling plus a VMEM budget for the
+    banded weight block, and a waste bound (W8/K <= 3) so only shapes that
+    beat XLA's conv emitter route here (K=3's 5.3x waste loses)."""
+    if k < 5 or k % 2 == 0 or c % 128 or c_out % 128 or l < 4096:
+        return False
+    span = k - 1
+    q = 1 + -(-span // 8)
+    if (8 * q) / k > 3.0:
+        return False
+    co_tile = min(c_out, 128)
+    wb_bytes = (8 * q * c) * (8 * co_tile) * dtype_size
+    return wb_bytes <= 10 * 1024 * 1024
+
+
+def use_banded_conv() -> bool:
+    """TPU-only; opt-out via MLX_AUDIO_TPU_NO_PALLAS=1 or
+    MLX_AUDIO_TPU_BANDED_CONV=0."""
+    if not _HAS_PALLAS or _env_on("MLX_AUDIO_TPU_NO_PALLAS"):
+        return False
+    v = os.environ.get("MLX_AUDIO_TPU_BANDED_CONV", "").strip().lower()
+    if v in ("0", "false", "off"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def use_pallas_conv() -> bool:
     """Opt-in only (MLX_AUDIO_TPU_PALLAS_CONV=1): measured 33 TFLOP/s vs
     XLA's ~45-52 on the ISTFTNet resblock shapes — the unaligned shifted

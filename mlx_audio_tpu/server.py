@@ -520,7 +520,11 @@ def create_app(state: Optional[ServerState] = None):
                     audio_in = np.concatenate(buffer)
                     buffer = []
                     text, audio_out = await pipeline.process_turn(audio_in)
-                    await ws.send_json({"transcript": text})
+                    await ws.send_json({
+                        "transcript": text,
+                        "sample_rate": getattr(pipeline._tts, "sample_rate",
+                                               24000),
+                    })
                     if audio_out is not None:
                         await ws.send_bytes(
                             np.asarray(audio_out, dtype=np.float32).tobytes()

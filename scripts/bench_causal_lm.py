@@ -11,6 +11,11 @@ Usage: python scripts/bench_causal_lm.py [--dtype bf16|f32] [--batch 1]
        [--tokens 500] [--prompt 64] [--iters 3]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 
@@ -23,6 +28,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--tokens", type=int, default=500)
     ap.add_argument("--prompt", type=int, default=64)
+    ap.add_argument("--json", action="store_true",
+                    help="print one final JSON result line (bench_all)")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -76,6 +83,11 @@ def main():
     dt, n = sorted(times)[len(times) // 2]
     print(f"median: {n/dt:.0f} tok/s => ~{n/dt/50:.1f}x realtime "
           f"(batch {args.batch})")
+    if args.json:
+        import json
+        print(json.dumps({"metric": "causal_lm_tok_per_s",
+                          "value": round(n / dt, 0), "unit": "tok/s",
+                          "batch": args.batch}))
 
 
 if __name__ == "__main__":

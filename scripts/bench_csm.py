@@ -10,6 +10,11 @@ Usage: python scripts/bench_csm.py [--dtype bf16|f32] [--frames 62]
        [--prompt 128] [--iters 5] [--no-watermark]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 
@@ -29,6 +34,8 @@ def main():
                     help="weight-only quantize the LMs to N bits "
                          "(Pallas fused dequant-matmul decode)")
     ap.add_argument("--no-watermark", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="print one final JSON result line (bench_all)")
     ap.add_argument("--ttfa", action="store_true",
                     help="measure streaming time-to-first-audio instead of "
                          "bulk throughput (prefill + first streaming chunk "
@@ -172,6 +179,10 @@ def main():
         med = sorted(times)[len(times) // 2]
         print(f"median time-to-first-audio: {med*1000:.0f} ms "
               f"({n_first} frames = {n_first*0.08:.2f}s audio, batch {b})")
+        if args.json:
+            import json
+            print(json.dumps({"metric": "csm1b_ttfa_ms", "value":
+                              round(med * 1000, 1), "unit": "ms"}))
         return
 
     # compile + one drained run (first drain pays runtime re-init)
@@ -194,6 +205,11 @@ def main():
     print(f"median: {med:.3f}s for {audio_sec:.2f} audio-sec (batch {b}) "
           f"=> {audio_sec/med:.2f}x realtime "
           f"({max_frames * b/med:.1f} frames/s)")
+    if args.json:
+        import json
+        print(json.dumps({"metric": "csm1b_realtime_factor",
+                          "value": round(audio_sec / med, 2), "unit": "x",
+                          "batch": b, "dtype": args.dtype}))
 
 
 if __name__ == "__main__":

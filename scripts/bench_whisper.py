@@ -13,6 +13,11 @@ Usage: python scripts/bench_whisper.py [--dtype bf16|f32] [--batch 8]
        [--sample-len 224] [--beam 0] [--iters 5]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 
@@ -67,6 +72,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--sample-len", type=int, default=224)
     ap.add_argument("--beam", type=int, default=0, help="0 = greedy")
+    ap.add_argument("--json", action="store_true",
+                    help="print one final JSON result line (bench_all)")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -118,6 +125,12 @@ def main():
     tok_s = args.batch * args.sample_len / med
     print(f"median: {med:.3f}s for {audio_sec:.0f} transcribed audio-sec "
           f"=> {audio_sec/med:.1f} audio-sec/s ({tok_s:.0f} tok/s decode)")
+    if args.json:
+        import json
+        print(json.dumps({"metric": "whisper_audio_sec_per_s",
+                          "value": round(audio_sec / med, 1),
+                          "unit": "audio-sec/s", "batch": args.batch,
+                          "beam": args.beam or 0}))
 
 
 if __name__ == "__main__":

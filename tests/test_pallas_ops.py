@@ -97,3 +97,59 @@ def test_dilated_conv_pallas_matches_xla(k, dilation):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,c,c_out", [(7, 128, 128), (11, 128, 128),
+                                       (7, 256, 256), (11, 128, 256)])
+def test_banded_conv_matches_xla(k, c, c_out):
+    from mlx_audio_tpu.nn.pallas_ops import banded_conv1d_pallas
+
+    rng = np.random.default_rng(k + c)
+    x = jnp.asarray(rng.standard_normal((2, 4096 + 37, c)) * 0.1,
+                    dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, c, c_out)) * 0.05,
+                    dtype=jnp.float32)
+    pad = (k - 1) // 2
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=((pad, pad),),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    out = banded_conv1d_pallas(x, w, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("dilation", [3, 5])
+def test_banded_dilated_residue_matches_xla(dilation):
+    from functools import partial
+
+    from mlx_audio_tpu.nn.layers import _dilated_conv1d_residue
+    from mlx_audio_tpu.nn.pallas_ops import banded_conv1d_pallas
+
+    k, c = 7, 128
+    rng = np.random.default_rng(dilation)
+    x = jnp.asarray(rng.standard_normal((1, 9000, c)) * 0.1,
+                    dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, dtype=jnp.float32)
+    pad = (k - 1) * dilation // 2
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=((pad, pad),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    out = _dilated_conv1d_residue(
+        x, w, dilation, partial(banded_conv1d_pallas, interpret=True)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_banded_conv_supported_gate():
+    from mlx_audio_tpu.nn.pallas_ops import banded_conv_supported
+
+    assert banded_conv_supported(7, 128, 128, 78000)
+    assert banded_conv_supported(11, 128, 128, 78000)
+    assert not banded_conv_supported(3, 128, 128, 78000)   # 5.3x waste
+    assert not banded_conv_supported(7, 64, 128, 78000)    # contraction tile
+    assert not banded_conv_supported(7, 128, 128, 1000)    # too short
