@@ -125,7 +125,11 @@ class SesameModel(Module):
         k0, k_rest = jax.random.split(key)
         c0_logits = self.codebook0_head(last_h)
         c0 = sample_top_k(k0, c0_logits, temp, top_k)[:, None]  # [B, 1]
-        frame = self._depth_decode(last_h, c0, k_rest, temp, top_k)
+        if (getattr(self, "spec_decode", False) and last_h.shape[0] == 1
+                and getattr(self, "_spec_packed", None) is not None):
+            frame = self._depth_decode_spec(last_h, c0, k_rest, temp, top_k)
+        else:
+            frame = self._depth_decode(last_h, c0, k_rest, temp, top_k)
         return frame, caches
 
     def lm_dtype(self):
@@ -172,6 +176,132 @@ class SesameModel(Module):
             [c0, jnp.moveaxis(cs, 0, 1)[..., 0], c_last], axis=1
         )
         return frame  # [B, nc]
+
+    # -- speculative depth decode (batch-1 latency; nn/pallas_depth) -------
+
+    def enable_spec_decode(self, interpret: bool = False) -> None:
+        """Pack the depth decoder for the int8 streaming draft kernel and
+        switch `generate_frame_step` (batch 1) to draft+verify decoding.
+        Exact: greedy draft is verified against bf16 logits, so the emitted
+        frames match the plain decode path; sampling uses Gumbel-argmax
+        (the same categorical distribution) with shared noise."""
+        from mlx_audio_tpu.nn.pallas_depth import pack_depth
+
+        self._spec_packed = pack_depth(
+            self.decoder,
+            np.asarray(self.projection.weight, np.float32).T,
+            np.asarray(self.audio_head, np.float32),
+            np.asarray(self.audio_embeddings.weight, np.float32),
+            self.audio_vocab_size,
+        )
+        self.spec_decode = True
+        self._spec_interpret = interpret
+
+    def _depth_decode_spec(self, last_h: jax.Array, c0: jax.Array,
+                           key: jax.Array, temp: float,
+                           top_k: int) -> jax.Array:
+        """Draft c2..c31 with the int8 streaming kernel, verify against ONE
+        teacher-forced bf16 pass, finish any rejected tail with bf16 steps
+        (lax.while_loop) — output distribution identical to sequential bf16
+        decoding (bit-equal under greedy)."""
+        from mlx_audio_tpu.nn.pallas_depth import (
+            _topk_bisect_mask,
+            depth_draft_pallas,
+        )
+
+        nc = self.audio_num_codebooks
+        v = self.audio_vocab_size
+        packed = self._spec_packed
+        vpad = packed.heads.shape[2]
+        cap = 40                      # kernel cache rows (nc + 1 padded)
+        pad0 = jnp.zeros((1,), dtype=jnp.int32)
+        wdtype = last_h.dtype
+
+        def gumbel_argmax(logits, noise_row):
+            """Top-k categorical via Gumbel-argmax; the kernel makes the
+            same decision from its int8 logits (same noise, same bisection
+            mask), so draft == target whenever the quantized ranking
+            agrees."""
+            lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            valid = lane < v
+            z = jnp.where(valid, logits.astype(jnp.float32), -jnp.inf)
+            if temp > 0:
+                z = z / temp
+                if 0 < top_k < v:
+                    z = _topk_bisect_mask(z, valid, top_k)
+                z = z + noise_row
+            return jnp.argmax(z, axis=-1).astype(jnp.int32)
+
+        if temp > 0:
+            noise = jax.random.gumbel(key, (nc - 1, vpad), dtype=jnp.float32)
+        else:
+            noise = jnp.zeros((nc - 1, vpad), dtype=jnp.float32)
+
+        # ---- bf16 prefill of [last_h, c0_embed] -> c1 -------------------
+        dec_caches = self.decoder.init_cache(1, max_len=cap, dtype=wdtype)
+        c0_embed = self.embed_audio(0, c0)
+        first = jnp.concatenate([last_h[:, None, :], c0_embed], axis=1)
+        h, dec_caches = self.decoder.step(dec_caches, self.projection(first),
+                                          pad0)
+        l1 = jnp.einsum("bd,dv->bv", h[:, -1, :], self.audio_head[0])
+        l1p = jnp.pad(l1, ((0, 0), (0, vpad - v)),
+                      constant_values=-jnp.inf)
+        c1 = gumbel_argmax(l1p, noise[0:1])[0]            # [] int32
+
+        # ---- int8 draft of c2..c31 --------------------------------------
+        kc = jnp.stack([c.k[0].astype(jnp.float32) for c in dec_caches])
+        vc = jnp.stack([c.v[0].astype(jnp.float32) for c in dec_caches])
+        draft = depth_draft_pallas(
+            packed, kc, vc, c1, noise[1:], self.audio_vocab_size,
+            temp, top_k, interpret=getattr(self, "_spec_interpret", False),
+        )                                                  # [nc-2]
+        draft_full = jnp.concatenate([c1[None], draft])    # c1..c31 [nc-1]
+
+        # ---- ONE teacher-forced bf16 pass over all 32 positions ---------
+        offs = jnp.arange(1, nc - 1) * v                   # embeds c1..c30
+        emb = self.audio_embeddings(draft_full[:-1] + offs)[None]
+        ver_in = self.projection(
+            jnp.concatenate([first, emb.astype(wdtype)], axis=1)
+        )                                                  # [1, nc, D]
+        ver_caches = self.decoder.init_cache(1, max_len=cap, dtype=wdtype)
+        vh, ver_caches = self.decoder.prefill(ver_caches, ver_in, pad0)
+        logits = jnp.einsum("btd,tdv->btv", vh[:, 1:, :], self.audio_head)
+        logits = jnp.pad(logits, ((0, 0), (0, 0), (0, vpad - v)),
+                         constant_values=-jnp.inf)[0]      # [nc-1, vpad]
+        targets = jax.vmap(
+            lambda lg, nz: gumbel_argmax(lg[None], nz[None])[0]
+        )(logits, noise)                                   # [nc-1]
+
+        match = targets == draft_full
+        m = jnp.argmin(match)                              # first mismatch
+        m = jnp.where(match.all(), nc - 1, m)
+        corrected = jnp.where(jnp.arange(nc - 1) < m, draft_full, targets)
+        # tokens c1..c_{m+1} now correct; finish c_{m+2}.. sequentially on
+        # the verify cache (its slots 0..m+1 were built from correct inputs)
+        tokens0 = corrected
+
+        def cond(st):
+            return st[2] < nc - 1
+
+        def body(st):
+            caches, toks, j = st
+            tok = jnp.take(toks, j - 1)
+            embed = self.audio_embeddings(tok[None, None] + j * v)
+            hh, caches = self.decoder.step(
+                caches, self.projection(embed.astype(wdtype)), pad0)
+            lg = jnp.einsum("bd,dv->bv",
+                            hh[:, -1, :], jnp.take(self.audio_head, j,
+                                                   axis=0))
+            lgp = jnp.pad(lg, ((0, 0), (0, vpad - v)),
+                          constant_values=-jnp.inf)
+            nz = jax.lax.dynamic_slice(noise, (j, 0), (1, vpad))
+            t = gumbel_argmax(lgp, nz)[0]
+            return caches, toks.at[j].set(t), j + 1
+
+        fixed = [c._replace(idx=m + 2) for c in ver_caches]
+        _, tokens, _ = jax.lax.while_loop(
+            cond, body, (fixed, tokens0, m + 1))
+        return jnp.concatenate([c0, tokens[None]], axis=1)  # [1, nc]
 
 
 class Model(Module):
@@ -586,7 +716,11 @@ def _prefill_and_first_frame(model, caches, pad_len, tokens, mask, key,
     last_h = h[:, -1, :]
     k0, k_rest = jax.random.split(key)
     c0 = sample_top_k(k0, model.codebook0_head(last_h), temp, top_k)[:, None]
-    frame = model._depth_decode(last_h, c0, k_rest, temp, top_k)
+    if (getattr(model, "spec_decode", False) and last_h.shape[0] == 1
+            and getattr(model, "_spec_packed", None) is not None):
+        frame = model._depth_decode_spec(last_h, c0, k_rest, temp, top_k)
+    else:
+        frame = model._depth_decode(last_h, c0, k_rest, temp, top_k)
     return frame, caches
 
 

@@ -34,6 +34,12 @@ def main():
                     help="weight-only quantize the LMs to N bits "
                          "(Pallas fused dequant-matmul decode)")
     ap.add_argument("--no-watermark", action="store_true")
+    ap.add_argument("--spec", action="store_true",
+                    help="speculative depth decode: int8 streaming draft "
+                         "kernel + bf16 verify (batch 1; exact under "
+                         "greedy)")
+    ap.add_argument("--temp", type=float, default=0.9,
+                    help="sampling temperature (0 = greedy)")
     ap.add_argument("--json", action="store_true",
                     help="print one final JSON result line (bench_all)")
     ap.add_argument("--ttfa", action="store_true",
@@ -70,6 +76,8 @@ def main():
                                      bits=args.quant)
     if args.dtype == "bf16":
         model.cast_lm(jnp.bfloat16)
+    if args.spec:
+        model.model.enable_spec_decode()
     n_params = model.model.num_params()
     print(f"params: {n_params/1e9:.2f}B  dtype={args.dtype}  "
           f"quant={args.quant or 'none'}")
@@ -89,7 +97,7 @@ def main():
     prompt_mask[n_text:, :-1] = True
 
     max_frames = args.frames
-    temp, top_k = 0.9, 50
+    temp, top_k = args.temp, 50
 
     b = args.batch
 
