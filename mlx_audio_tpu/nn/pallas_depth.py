@@ -37,7 +37,7 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 GROUP = 128          # quant group along the contraction dim
-CHUNK_COLS = 2048    # streaming chunk width (VMEM budget)
+CHUNK_COLS = 4096    # streaming chunk width (VMEM budget)
 
 
 def _gsz(n: int) -> int:
@@ -80,11 +80,16 @@ class PackedDepth(NamedTuple):
     sdown: jax.Array
     norms: jax.Array       # [L, 2, Dm] f32 (input / post-attn RMS weights)
     final_norm: jax.Array  # [Dm]
-    wproj: jax.Array       # [Db, Dm] int8 (backbone-dim -> decoder-dim)
-    sproj: jax.Array
     heads: jax.Array       # [S, Dm, Vp] int8 (audio_head[1..30], padded)
     sheads: jax.Array      # [S, Dm/G, Vp]
-    embeds: jax.Array      # [nc*V, Db] bf16 (audio embedding table)
+    emb_proj: jax.Array    # [S, Vp, Dm] bf16: per-codebook embedding tables
+    #                        (codebooks 1..30) pre-multiplied by the
+    #                        backbone->decoder projection; row `tok` of slab
+    #                        s is the decoder input embedding for token
+    #                        c_{s+1}.  Pre-projecting keeps the dynamic
+    #                        "row fetch" expressible as a one-hot matmul on
+    #                        a slab DMA'd at an (untiled) leading index —
+    #                        single-row DMA from a tiled HBM array is not.
     rope_cos: jax.Array    # [P, Dh] f32 rows for positions 0..P-1
     rope_sin: jax.Array
 
@@ -128,7 +133,15 @@ def pack_depth(decoder, projection_w: np.ndarray, audio_head: np.ndarray,
         hw = _pad_to(np.asarray(h, np.float32), 1, 128)
         c, s = quantize_int8(hw)
         hp_c.append(c), hp_s.append(s)
-    pc, ps = quantize_int8(np.asarray(projection_w, np.float32))
+    vpad = hp_c[0].shape[1]
+
+    # per-codebook embedding tables (codebooks 1..30, the draft inputs)
+    # pre-multiplied by the backbone->decoder projection, padded to Vp rows
+    nc = audio_head.shape[0] + 1
+    emb = np.asarray(embed_table, np.float32).reshape(nc, vocab, -1)
+    proj = np.asarray(projection_w, np.float32)            # [Db, Dm]
+    ep = np.einsum("cvb,bd->cvd", emb[1: nc - 1], proj)
+    ep = _pad_to(ep, 1, vpad)[:, :vpad]
 
     return PackedDepth(
         wqkv=jnp.asarray(np.stack(qkv_c)), sqkv=jnp.asarray(np.stack(qkv_s)),
@@ -137,9 +150,8 @@ def pack_depth(decoder, projection_w: np.ndarray, audio_head: np.ndarray,
         wdown=jnp.asarray(np.stack(dn_c)), sdown=jnp.asarray(np.stack(dn_s)),
         norms=jnp.asarray(np.stack(norms)),
         final_norm=jnp.asarray(np.asarray(decoder.norm.weight, np.float32)),
-        wproj=jnp.asarray(pc), sproj=jnp.asarray(ps),
         heads=jnp.asarray(np.stack(hp_c)), sheads=jnp.asarray(np.stack(hp_s)),
-        embeds=jnp.asarray(np.asarray(embed_table), dtype=jnp.bfloat16),
+        emb_proj=jnp.asarray(ep, dtype=jnp.bfloat16),
         rope_cos=decoder.rope_cos[:64], rope_sin=decoder.rope_sin[:64],
     )
 
@@ -163,26 +175,44 @@ def _rms(x, w, eps=1e-5):
                               + eps) * w
 
 
+def _quant_row(xin):
+    """f32 [1, In] -> (s8 [1, In], f32 scale).  Symmetric per-row max-abs.
+    The matmuls below feed the MXU native s8 x s8 -> s32 — an int8->bf16
+    VPU unpack of the streamed weights costs ~1 ms/step (measured), which
+    is 3x the whole bf16 scan; integer MXU keeps the kernel DMA-bound.
+    Identical formula in kernel and XLA mirror (token-exact tests)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(xin)), 1e-30)
+    inv = 127.0 / amax
+    xq = jnp.clip(jnp.round(xin * inv), -127.0, 127.0).astype(jnp.int8)
+    return xq, amax * (1.0 / 127.0)
+
+
+def _dot_s8(xq, wq):
+    """s8 [1, n] @ s8 [n, m] -> s32 [1, m] on the MXU."""
+    return jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
 def _depth_kernel(
     # inputs (HBM unless noted)
     wqkv, sqkv, wo, so, wgu, sgu, wdown, sdown,
     norms_ref,        # VMEM [L, 2, Dm]
     fnorm_ref,        # VMEM [1, Dm]
-    wproj, sproj,     # HBM
     heads, sheads,    # HBM
-    embeds,           # HBM [nc*V, Db]
+    emb_proj,         # HBM [S, Vp, Dm] bf16
     cos_ref, sin_ref,  # VMEM [P, Dh]
     cache0_k, cache0_v,  # HBM [L, Hkv, Cap, Dh] initial (prefilled) cache
     noise_ref,        # VMEM [S, Vp] f32
     tok0_ref,         # SMEM [1] int32 (c1)
     # outputs
-    tok_out,          # VMEM [1, Sp] int32
+    tok_out,          # SMEM [1, Sp] int32
     # scratch
     buf_a, buf_b, sc_a, sc_b,       # streaming slots
-    gu_buf, head_buf, shead_buf, erow, attn_buf,
+    gu_buf, head_buf, shead_buf, emb_buf, attn_buf,
     k_cache, v_cache, prev_tok,
     dma_sems,
-    *, n_layers, dm, db, f_inter, hq, hkv, dh, cap, vocab, vpad, n_steps,
+    *, n_layers, dm, f_inter, hq, hkv, dh, cap, vocab, vpad, n_steps,
     temp, top_k,
 ):
     s = pl.program_id(0)
@@ -200,43 +230,33 @@ def _depth_kernel(
     pos = s + 2                         # cache write position of this step
     tok = prev_tok[0]
 
-    # ---- embedding row DMA + projection (x = proj(embed(tok))) ----------
-    row = tok + (s + 1) * vocab
-    edma = pltpu.make_async_copy(embeds.at[pl.ds(row, 1), :], erow,
-                                 dma_sems.at[2])
+    # ---- kick off slab DMAs (embedding table + head; leading-dim index
+    # of a >=3D HBM array is untiled, so a dynamic `s` is legal) ----------
+    edma = pltpu.make_async_copy(emb_proj.at[s], emb_buf, dma_sems.at[2])
     edma.start()
-    edma.wait()
-    ev = erow[:].astype(jnp.float32)    # [1, Db]
-
-    # stream the projection [Db, Dm] (small; single chunk per group-dot)
-    pdma = pltpu.make_async_copy(wproj, buf_a.at[: db, : dm], dma_sems.at[0])
-    pdma.start()
-    sdma = pltpu.make_async_copy(sproj, sc_a.at[: db // _gsz(db), : dm],
-                                 dma_sems.at[1])
-    sdma.start()
-    pdma.wait()
-    sdma.wait()
-    x = jnp.zeros((1, dm), jnp.float32)
-    gp = _gsz(db)
-    for g in range(db // gp):
-        wgq = buf_a[g * gp:(g + 1) * gp, : dm].astype(jnp.bfloat16)
-        part = jnp.dot(ev[:, g * gp:(g + 1) * gp].astype(jnp.bfloat16),
-                       wgq, preferred_element_type=jnp.float32)
-        x = x + part * sc_a[g:g + 1, : dm]
-
-    # ---- kick off the head DMA early (overlaps with the layer stack) ----
     hdma = pltpu.make_async_copy(heads.at[s], head_buf, dma_sems.at[6])
     hdma.start()
     hsdma = pltpu.make_async_copy(sheads.at[s], shead_buf, dma_sems.at[7])
     hsdma.start()
 
+    # ---- x = row `tok` of the pre-projected embedding slab, fetched as a
+    # one-hot matmul on the MXU (dynamic-row vector loads are not
+    # expressible; one nonzero product per column keeps it exact) ---------
+    edma.wait()
+    oh_lane = jax.lax.broadcasted_iota(jnp.int32, (1, vpad), 1)
+    onehot = (oh_lane == tok).astype(jnp.bfloat16)
+    x = jax.lax.dot_general(
+        onehot, emb_buf[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [1, Dm]
+
     # ---- transformer layers (weights streamed, double-buffered) ---------
     def stream_matmul(xin, w_hbm, s_hbm, in_rows, out_cols, l):
         """y [1, out_cols] = xin [1, in_rows] @ dequant(W[l]); chunks the
-        output columns, double-buffering chunk DMAs."""
+        output columns, double-buffering chunk DMAs; s8 MXU dots."""
         n_chunks = out_cols // CHUNK_COLS if out_cols >= CHUNK_COLS else 1
         cw = out_cols // n_chunks
         outs = []
+        xq, sx = _quant_row(xin)
         # prologue: start chunk 0 into slot A
         slots = ((buf_a, sc_a, dma_sems.at[0], dma_sems.at[1]),
                  (buf_b, sc_b, dma_sems.at[2], dma_sems.at[3]))
@@ -267,12 +287,10 @@ def _depth_kernel(
             acc = jnp.zeros((1, cw), jnp.float32)
             gsm = _gsz(in_rows)
             for g in range(in_rows // gsm):
-                wgq = wbuf[g * gsm:(g + 1) * gsm, : cw].astype(
-                    jnp.bfloat16)
-                part = jnp.dot(
-                    xin[:, g * gsm:(g + 1) * gsm].astype(jnp.bfloat16),
-                    wgq, preferred_element_type=jnp.float32)
-                acc = acc + part * sbuf[g:g + 1, : cw]
+                part = _dot_s8(xq[:, g * gsm:(g + 1) * gsm],
+                               wbuf[g * gsm:(g + 1) * gsm, : cw])
+                acc = acc + part.astype(jnp.float32) * (
+                    sbuf[g:g + 1, : cw] * sx)
             outs.append(acc)
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
@@ -339,6 +357,7 @@ def _depth_kernel(
             d2.start()
             return d1, d2
 
+        hq8, sh = _quant_row(gu_buf[:])
         pending = dstart(0, slots[0])
         for j in range(n_rc):
             cur = slots[j % 2]
@@ -352,26 +371,25 @@ def _depth_kernel(
             wbuf, sbuf, _, _ = cur
             gsd = _gsz(rc)
             for g in range(rc // gsd):
-                wgq = wbuf[g * gsd:(g + 1) * gsd, : dm].astype(
-                    jnp.bfloat16)
-                hseg = gu_buf[:, j * rc + g * gsd:
-                              j * rc + (g + 1) * gsd]
-                part = jnp.dot(hseg.astype(jnp.bfloat16), wgq,
-                               preferred_element_type=jnp.float32)
-                y2 = y2 + part * sbuf[g:g + 1, : dm]
+                part = _dot_s8(
+                    hq8[:, j * rc + g * gsd: j * rc + (g + 1) * gsd],
+                    wbuf[g * gsd:(g + 1) * gsd, : dm])
+                y2 = y2 + part.astype(jnp.float32) * (
+                    sbuf[g:g + 1, : dm] * sh)
         x = x + y2
 
     # ---- logits + sampling ----------------------------------------------
     xf = _rms(x, fnorm_ref[0])
     hdma.wait()
     hsdma.wait()
+    xfq, sf = _quant_row(xf)
     logits = jnp.zeros((1, vpad), jnp.float32)
     gh = _gsz(dm)
     for g in range(dm // gh):
-        wgq = head_buf[g * gh:(g + 1) * gh, :].astype(jnp.bfloat16)
-        part = jnp.dot(xf[:, g * gh:(g + 1) * gh].astype(jnp.bfloat16),
-                       wgq, preferred_element_type=jnp.float32)
-        logits = logits + part * shead_buf[g:g + 1, :]
+        part = _dot_s8(xfq[:, g * gh:(g + 1) * gh],
+                       head_buf[g * gh:(g + 1) * gh, :])
+        logits = logits + part.astype(jnp.float32) * (
+            shead_buf[g:g + 1, :] * sf)
     lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(lane < vocab, logits, -jnp.inf)
 
@@ -396,7 +414,9 @@ def _depth_kernel(
         z = logits
     nxt_tok = jnp.argmax(z).astype(jnp.int32)
     prev_tok[0] = nxt_tok
-    tok_out[0, pl.ds(s, 1)] = nxt_tok[None]
+    # scalar store at dynamic index: tok_out lives in SMEM (a dynamic
+    # *lane* offset vector store is not expressible on the VPU)
+    tok_out[0, s] = nxt_tok
 
 
 @functools.partial(jax.jit, static_argnames=("vocab", "temp", "top_k",
@@ -411,7 +431,6 @@ def depth_draft_pallas(packed: PackedDepth, cache_k0: jax.Array,
     Returns tokens [S] int32 (S = nc - 2 = 30)."""
     n_layers, hkv, cap, dh = cache_k0.shape
     dm = packed.wqkv.shape[1]
-    db = packed.wproj.shape[0]
     f_inter = packed.wdown.shape[1]
     cqkv = packed.wqkv.shape[2]
     vpad = packed.heads.shape[2]
@@ -419,11 +438,11 @@ def depth_draft_pallas(packed: PackedDepth, cache_k0: jax.Array,
     hq = (cqkv // dh) - 2 * hkv
     sp = -(-n_steps // 8) * 8
 
-    max_in = max(db, dm, CHUNK_COLS)
+    max_in = max(dm, CHUNK_COLS)
     max_cols = max(dm, CHUNK_COLS, cqkv if cqkv < CHUNK_COLS else CHUNK_COLS)
 
     kern = functools.partial(
-        _depth_kernel, n_layers=n_layers, dm=dm, db=db, f_inter=f_inter,
+        _depth_kernel, n_layers=n_layers, dm=dm, f_inter=f_inter,
         hq=hq, hkv=hkv, dh=dh, cap=cap, vocab=vocab, vpad=vpad,
         n_steps=n_steps, temp=temp, top_k=top_k,
     )
@@ -442,11 +461,9 @@ def depth_draft_pallas(packed: PackedDepth, cache_k0: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),   # sdown
             pl.BlockSpec(memory_space=vm),          # norms
             pl.BlockSpec(memory_space=vm),          # final norm [1, Dm]
-            pl.BlockSpec(memory_space=pl.ANY),   # wproj
-            pl.BlockSpec(memory_space=pl.ANY),   # sproj
             pl.BlockSpec(memory_space=pl.ANY),   # heads
             pl.BlockSpec(memory_space=pl.ANY),   # sheads
-            pl.BlockSpec(memory_space=pl.ANY),   # embeds
+            pl.BlockSpec(memory_space=pl.ANY),   # emb_proj
             pl.BlockSpec(memory_space=vm),          # cos
             pl.BlockSpec(memory_space=vm),          # sin
             pl.BlockSpec(memory_space=pl.ANY),   # cache k0
@@ -454,7 +471,7 @@ def depth_draft_pallas(packed: PackedDepth, cache_k0: jax.Array,
             pl.BlockSpec(memory_space=vm),          # noise
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tok0
         ],
-        out_specs=pl.BlockSpec(memory_space=vm),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, sp), jnp.int32),
         scratch_shapes=[
             vm((max_in, max_cols), jnp.int8),       # buf_a
@@ -464,18 +481,22 @@ def depth_draft_pallas(packed: PackedDepth, cache_k0: jax.Array,
             vm((1, f_inter), jnp.float32),          # gu_buf
             vm((dm, vpad), jnp.int8),               # head_buf
             vm((max(1, dm // GROUP), vpad), jnp.float32),   # shead_buf
-            vm((1, db), jnp.bfloat16),              # erow
+            vm((vpad, dm), jnp.bfloat16),           # emb_buf
             vm((1, dm), jnp.float32),               # attn_buf
             vm((n_layers, hkv, cap, dh), jnp.float32),  # k_cache
             vm((n_layers, hkv, cap, dh), jnp.float32),  # v_cache
             pltpu.SMEM((1,), jnp.int32),            # prev_tok
             pltpu.SemaphoreType.DMA((8,)),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(packed.wqkv, packed.sqkv, packed.wo, packed.so, packed.wgu,
       packed.sgu, packed.wdown, packed.sdown, packed.norms,
-      packed.final_norm[None], packed.wproj, packed.sproj, packed.heads,
-      packed.sheads, packed.embeds, packed.rope_cos, packed.rope_sin,
+      packed.final_norm[None], packed.heads, packed.sheads,
+      packed.emb_proj, packed.rope_cos, packed.rope_sin,
       cache_k0, cache_v0, noise, c1[None].astype(jnp.int32))
     return out[0, :n_steps]
 
@@ -520,12 +541,11 @@ def depth_draft_xla(packed: PackedDepth, cache_k0: jax.Array,
     def step(carry, s):
         kc, vc, tok = carry
         pos = s + 2
-        row = tok + (s + 1) * vocab
-        ev = jax.lax.dynamic_slice(packed.embeds, (row, 0),
-                                   (1, packed.embeds.shape[1])
-                                   ).astype(jnp.float32)
-        # projection via the same grouped path but scales folded in
-        x = mm_scaled(ev, packed.wproj, packed.sproj)
+        # row `tok` of the pre-projected per-codebook slab (the kernel
+        # fetches it as a one-hot bf16 matmul — exact, one product/col)
+        x = jax.lax.dynamic_slice(
+            packed.emb_proj, (s, tok, 0), (1, 1, dm)
+        )[0].astype(jnp.float32)
 
         for l in range(n_layers):
             xn = _rms(x, packed.norms[l, 0])
@@ -584,17 +604,17 @@ def depth_draft_xla(packed: PackedDepth, cache_k0: jax.Array,
         return (kc, vc, nxt), nxt
 
     def mm_scaled(xin, codes, scales):
-        """Kernel-faithful grouped matmul: (x_g(bf16) @ codes_g(bf16)) *
-        scale_g accumulated in f32."""
+        """Kernel-faithful grouped matmul: quantize the activation row,
+        s8 x s8 -> s32 dots per group, scale partials in f32 — the same
+        op order as the kernel, so tokens match bit-for-bit."""
         acc = jnp.zeros((1, codes.shape[1]), jnp.float32)
+        xq, sx = _quant_row(xin)
         ing = codes.shape[0]
         gsm = _gsz(ing)
         for g in range(ing // gsm):
-            part = jnp.dot(
-                xin[:, g * gsm:(g + 1) * gsm].astype(jnp.bfloat16),
-                codes[g * gsm:(g + 1) * gsm].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-            acc = acc + part * scales[g:g + 1]
+            part = _dot_s8(xq[:, g * gsm:(g + 1) * gsm],
+                           codes[g * gsm:(g + 1) * gsm])
+            acc = acc + part.astype(jnp.float32) * (scales[g:g + 1] * sx)
         return acc
 
     (_, _, _), toks = jax.lax.scan(
