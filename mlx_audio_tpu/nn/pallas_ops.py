@@ -374,6 +374,10 @@ def banded_conv1d_pallas(x: jax.Array, w: jax.Array,
             pltpu.VMEM((tile8 + 8, 8 * c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x_r, wb)
     # [B, tiles*tile8, 8*Cout] -> [B, tiles*tile_l, Cout] -> trim
@@ -398,12 +402,17 @@ def banded_conv_supported(k: int, c: int, c_out: int, l: int,
 
 
 def use_banded_conv() -> bool:
-    """TPU-only; opt-out via MLX_AUDIO_TPU_NO_PALLAS=1 or
-    MLX_AUDIO_TPU_BANDED_CONV=0."""
+    """Opt-IN via MLX_AUDIO_TPU_BANDED_CONV=1 (TPU only).
+
+    Measured on a v5e chip (scripts/bench_conv.py, docs/PERF.md): the
+    banded kernel reaches 10.6-19 TFLOP/s on the resblock shapes vs
+    XLA's 18.6-28.7 — the aligned-phase formulation removes the sublane
+    realignment of the shifted-matmul kernel but Pallas DMA streaming on
+    this stack caps near ~120 G elem/s (see probe_depth.py), so XLA's
+    conv emitter keeps the win.  Kept as an A/B lever for other stacks."""
     if not _HAS_PALLAS or _env_on("MLX_AUDIO_TPU_NO_PALLAS"):
         return False
-    v = os.environ.get("MLX_AUDIO_TPU_BANDED_CONV", "").strip().lower()
-    if v in ("0", "false", "off"):
+    if not _env_on("MLX_AUDIO_TPU_BANDED_CONV"):
         return False
     try:
         return jax.default_backend() == "tpu"
