@@ -55,9 +55,14 @@ def llama_config_from_hf(config: dict) -> LlamaConfig:
 
 
 def sanitize_hf_causal_lm(weights: dict) -> dict:
-    """HF `model.*` / `lm_head.*` keys map 1:1 under LlamaForCausalLM."""
+    """HF `model.*` / `lm_head.*` keys map 1:1 under LlamaForCausalLM.
+    Non-parameter buffers some conversions ship (rotary inv_freq tables,
+    attention bias masks) are dropped — RoPE tables are recomputed."""
     out = {}
     for k, v in weights.items():
+        if k.endswith("rotary_emb.inv_freq") or k.endswith(".attn.bias") \
+                or k.endswith(".attn.masked_bias"):
+            continue
         if k.startswith("model.") or k.startswith("lm_head"):
             out[k] = np.asarray(v)
         else:
@@ -119,11 +124,14 @@ class ChatLM:
                 stops.update(int(e) for e in eos)
             else:
                 stops.add(int(eos))
-        # llama3 chat ends turns with <|eot_id|>
+        # llama3 chat ends turns with <|eot_id|>; tokenizers that lack the
+        # token return unk_token_id (sentencepiece) — excluding it keeps
+        # <unk> from silently truncating replies
+        unk = getattr(self.tokenizer, "unk_token_id", None)
         for tok in ("<|eot_id|>", "<|im_end|>"):
             try:
                 tid = self.tokenizer.convert_tokens_to_ids(tok)
-                if tid is not None and tid >= 0:
+                if tid is not None and tid >= 0 and tid != unk:
                     stops.add(int(tid))
             except Exception:
                 pass

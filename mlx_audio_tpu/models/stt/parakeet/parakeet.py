@@ -215,12 +215,7 @@ class BaseParakeet(Module):
 
             ctx = active_mesh()
             if ctx is not None and ctx.dp > 1:
-                n = mels.shape[0]
-                m = ctx.pad_rows(n)
-                if m > n:
-                    mels = jnp.concatenate(
-                        [mels, jnp.repeat(mels[-1:], m - n, axis=0)], axis=0
-                    )
+                mels, n = ctx.pad_batch(mels)
                 model = ctx.place_replicated(self)
                 with ctx.mesh:
                     results = model.decode(ctx.shard_batch(mels))[:n]

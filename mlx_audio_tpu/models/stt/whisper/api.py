@@ -145,13 +145,7 @@ def decode(
     ctx = active_mesh()
     if ctx is not None and ctx.dp > 1 and getattr(mel, "ndim", 2) == 3 \
             and mel.shape[0] > 1:
-        n = mel.shape[0]
-        m = ctx.pad_rows(n)
-        mel = jnp.asarray(mel)
-        if m > n:
-            mel = jnp.concatenate(
-                [mel, jnp.repeat(mel[-1:], m - n, axis=0)], axis=0
-            )
+        mel, n = ctx.pad_batch(jnp.asarray(mel))
         placed = ctx.place_replicated(model)
         with ctx.mesh:
             results = _decode_impl(placed, ctx.shard_batch(mel), options,

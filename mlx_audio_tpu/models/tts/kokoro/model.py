@@ -256,6 +256,20 @@ class Model(Module):
         if key is None:
             key = jax.random.PRNGKey(0)
 
+        def run_stages(model, input_ids, lengths, ref, speeds_j, key):
+            """duration -> frame bucket -> synthesis; padded rows (if any)
+            predict durations too, so the bucket only considers real rows."""
+            d, pred_dur = _duration_stage(model, input_ids, lengths,
+                                          ref[:, 128:], speeds_j)
+            pred_np = np.asarray(pred_dur)
+            totals = pred_np.sum(axis=1)           # padded rows contribute 0
+            f_bucket = pick_frame_bucket(int(totals[:b].max()))
+            audio, _ = _synthesis_stage(
+                model, input_ids, lengths, d, pred_dur, ref, key,
+                jnp.zeros((f_bucket,), dtype=jnp.int32),
+            )
+            return np.asarray(audio), pred_np, totals
+
         ctx = active_mesh()
         if ctx is not None and ctx.dp > 1:
             # data-parallel pass: pad the batch to a dp multiple (noise
@@ -272,31 +286,12 @@ class Model(Module):
                     jnp.asarray(ref_np), jnp.asarray(speeds_np),
                 )
                 key = jax.device_put(key, ctx.replicated_sharding())
-                d, pred_dur = _duration_stage(model, input_ids, lengths,
-                                              ref[:, 128:], speeds_j)
-                pred_np = np.asarray(pred_dur)
-                totals = pred_np.sum(axis=1)
-                f_bucket = pick_frame_bucket(int(totals[:b].max()))
-                audio, _ = _synthesis_stage(
-                    model, input_ids, lengths, d, pred_dur, ref, key,
-                    jnp.zeros((f_bucket,), dtype=jnp.int32),
-                )
-                audio_np = np.asarray(audio)
+                audio_np, pred_np, totals = run_stages(
+                    model, input_ids, lengths, ref, speeds_j, key)
         else:
-            input_ids = jnp.asarray(input_ids_np)
-            lengths = jnp.asarray(lengths_np)
-            ref = jnp.asarray(ref_np)
-            speeds_j = jnp.asarray(speeds_np)
-            d, pred_dur = _duration_stage(self, input_ids, lengths,
-                                          ref[:, 128:], speeds_j)
-            pred_np = np.asarray(pred_dur)
-            totals = pred_np.sum(axis=1)           # padded rows contribute 0
-            f_bucket = pick_frame_bucket(int(totals.max()))
-            audio, _ = _synthesis_stage(
-                self, input_ids, lengths, d, pred_dur, ref, key,
-                jnp.zeros((f_bucket,), dtype=jnp.int32),
-            )
-            audio_np = np.asarray(audio)
+            audio_np, pred_np, totals = run_stages(
+                self, jnp.asarray(input_ids_np), jnp.asarray(lengths_np),
+                jnp.asarray(ref_np), jnp.asarray(speeds_np), key)
         return [
             (audio_np[i, : int(totals[i]) * self.SAMPLES_PER_FRAME],
              pred_np[i, : n_valid[i]])

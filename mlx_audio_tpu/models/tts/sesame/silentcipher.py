@@ -6,11 +6,13 @@ package and its weights are not installable offline, so this module
 re-creates the *architecture* (SilentCipher, Interspeech 2024: STFT-
 magnitude-domain message embedding with an SDR-constrained additive
 perturbation, conv2d carrier encoder, per-frame message decoder with
-phase-shift decoding) plus a `sanitize` that maps the published torch
-checkpoint layout (top-level `enc_c` / `dec_c` / `dec_m` sub-models with
-`msg_linear_in`, gated conv blocks) onto these modules, so real weights
-drop in when present.  Without weights, `watermarking.py` keeps the
-self-contained DSSS mark as the fallback.
+phase-shift decoding).  `sanitize` handles the torch layout transforms
+(module.-prefix strip, conv transposes, dropping the unused `dec_c`
+carrier-SDR sub-model); checkpoints must be converted to these parameter
+paths (see `load_silentcipher`'s error text) since the published
+package's exact serialization cannot be validated offline.  Without
+weights, `watermarking.py` keeps the self-contained DSSS mark as the
+fallback.
 
 API mirrors the silentcipher server model: `encode_wav(audio, sr, message,
 message_sdr)` -> watermarked audio and `decode_wav(audio, sr,
@@ -237,13 +239,19 @@ class SilentCipherModel(Module):
     # -- checkpoint loading ------------------------------------------------
 
     def sanitize(self, weights: dict) -> dict:
-        """Map the published torch checkpoint layout onto these modules:
-        `enc_c.*` / `dec_m.*` sub-model prefixes, torch conv [O, I, kh, kw]
-        -> ours [kh, kw, I, O], linear/embedding pass through."""
+        """Layout transforms for torch checkpoints whose parameter paths
+        match these modules: strip `module.` wrappers, transpose conv2d
+        [O, I, kh, kw] -> [kh, kw, I, O], and DROP sub-models this port
+        does not implement (`dec_c.*`, the carrier-SDR estimator — unused
+        by the encode/decode server paths exposed here).  Paths that still
+        do not line up are reported by `load_silentcipher` with a clear
+        error rather than loaded approximately."""
         out = {}
         for key, w in weights.items():
-            w = np.asarray(w)
             k = key.replace("module.", "")
+            if k.startswith("dec_c."):
+                continue
+            w = np.asarray(w)
             if w.ndim == 4:  # torch conv2d layout
                 w = w.transpose(2, 3, 1, 0)
             out[k] = w
@@ -277,4 +285,15 @@ def load_silentcipher(checkpoint_dir: str) -> SilentCipherModel:
     weights = load_weights_files(Path(checkpoint_dir))
     if not native:  # torch checkpoints need the conv-layout transposes
         weights = model.sanitize(weights)
-    return update_arrays(model, weights)
+    try:
+        return update_arrays(model, weights)
+    except (KeyError, ValueError) as e:
+        raise ValueError(
+            f"silentcipher checkpoint at {checkpoint_dir} does not match "
+            "this architecture (hidden/layer/band sizes come from "
+            "config.json; parameter paths must line up with "
+            "SilentCipherModel — msg_encoder.embeds.N.weight, "
+            "enc_c.conv_in/blocks.N.conv/conv_out, dec_m.*).  Convert the "
+            "published checkpoint to this layout (native_format: true in "
+            f"config.json skips the torch transposes).  Detail: {e}"
+        ) from e

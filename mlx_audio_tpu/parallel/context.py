@@ -70,6 +70,20 @@ class MeshContext:
         """Smallest multiple of dp >= n (batch rows per device pass)."""
         return -(-n // self.dp) * self.dp
 
+    def pad_batch(self, a):
+        """Pad a device array's leading axis to a dp multiple by repeating
+        the final row (jnp sibling of pad_batch_arrays; same contract:
+        repetition keeps padded rows on the same buckets, caller drops
+        them).  Returns (padded, original_n)."""
+        import jax.numpy as jnp
+
+        n = a.shape[0]
+        m = self.pad_rows(n)
+        if m == n:
+            return a, n
+        return jnp.concatenate(
+            [a, jnp.repeat(a[-1:], m - n, axis=0)], axis=0), n
+
     def data_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P("data"))
 
@@ -128,6 +142,8 @@ def activate_mesh(
     devs = list(devices if devices is not None else jax.devices())
     if tp < 1:
         raise ValueError(f"tp must be >= 1, got {tp}")
+    if dp < 0:
+        raise ValueError(f"dp must be >= 0 (0 = all remaining), got {dp}")
     if dp == 0:
         if len(devs) % tp:
             raise ValueError(f"{len(devs)} devices not divisible by tp={tp}")

@@ -27,10 +27,15 @@ ROOT = Path(__file__).resolve().parent.parent
 def run_json(cmd: list, timeout: int = 3600):
     """Run a bench subprocess; return every JSON object line it printed."""
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable] + cmd, cwd=ROOT, capture_output=True, text=True,
-        timeout=timeout,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable] + cmd, cwd=ROOT, capture_output=True, text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        # one hung family must not lose the rest of the sweep's report
+        return [{"error": f"timeout after {timeout}s",
+                 "cmd": " ".join(cmd), "wall_s": round(time.time() - t0, 1)}]
     rows = []
     for line in proc.stdout.splitlines():
         line = line.strip()
