@@ -41,7 +41,8 @@ def _sampled_support(sampler, logits, n=256, **kw):
     return set(np.asarray(toks).tolist())
 
 
-@pytest.mark.parametrize("v,k", [(97, 5), (640, 50), (1000, 1)])
+@pytest.mark.parametrize("v,k", [(97, 5), (640, 50), (1000, 1),
+                                 (20_000, 50)])  # >= _BISECT_MIN_VOCAB
 def test_top_k_support_matches_sorted_reference(v, k):
     rng = np.random.default_rng(v)
     logits = rng.standard_normal(v).astype(np.float32) * 3
@@ -62,7 +63,8 @@ def test_top_k_ties_at_boundary_are_kept():
     assert support == {3, 17, 40}
 
 
-@pytest.mark.parametrize("v,p", [(97, 0.5), (640, 0.9), (4000, 0.95)])
+@pytest.mark.parametrize("v,p", [(97, 0.5), (640, 0.9), (4000, 0.95),
+                                 (20_000, 0.9)])  # >= _BISECT_MIN_VOCAB
 def test_top_p_support_matches_nucleus_reference(v, p):
     rng = np.random.default_rng(v + 1)
     logits = (rng.standard_normal(v) * 4).astype(np.float32)
