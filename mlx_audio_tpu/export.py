@@ -128,6 +128,103 @@ def export_mimi_decode(mimi, out_path, batch: int = 1, frames: int = 63,
 
 
 # ---------------------------------------------------------------------------
+# CSM session: prefill + frame-chunk programs (the on-device analogue of
+# the Swift port's SesameSession, mlx_audio_swift README.md:262-301) —
+# caches cross the export boundary as flat arrays so loading needs no
+# model classes; a JSON sidecar records shapes for host-side cache init.
+# ---------------------------------------------------------------------------
+
+
+def _flat_caches(caches) -> tuple:
+    return tuple(x for c in caches for x in (c.k, c.v, c.idx))
+
+
+def csm_session_fns(model, temp: float = 0.9, top_k: int = 50):
+    """(prefill_fn, chunk_fn) closures over the CSM lm (weights baked).
+
+    prefill(tokens [B,T,nc+1] i32, mask bool, pad_len [B] i32, key u32[2],
+            *flat_caches) -> (frame [B, nc], *flat_caches)
+    chunk(last_frame [B, nc], pad_len, key, *flat_caches)
+            -> (frames [n, B, nc], *flat_caches)
+    An all-zero frame is EOS (reference sesame.py:779)."""
+    from mlx_audio_tpu.models.tts.sesame.model import (
+        _frame_chunk,
+        _prefill_and_first_frame,
+    )
+    from mlx_audio_tpu.nn.attention import KVCache
+
+    def rebuild(flat):
+        return [KVCache(k=flat[3 * i], v=flat[3 * i + 1], idx=flat[3 * i + 2])
+                for i in range(len(flat) // 3)]
+
+    def prefill(tokens, mask, pad_len, key, *flat_caches):
+        frame, caches = _prefill_and_first_frame(
+            model, rebuild(flat_caches), pad_len, tokens, mask, key,
+            temp, top_k)
+        return (frame, *_flat_caches(caches))
+
+    def chunk(last_frame, pad_len, key, *flat_caches, n: int):
+        frames, caches = _frame_chunk(
+            model, rebuild(flat_caches), pad_len, last_frame, key, temp,
+            top_k, jnp.zeros((n,), dtype=jnp.int32))
+        return (frames, *_flat_caches(caches))
+
+    return prefill, chunk
+
+
+def export_csm_session(model, out_prefix, prompt_bucket: int = 256,
+                       max_frames: int = 1125, chunk_frames: int = 32,
+                       temp: float = 0.9, top_k: int = 50, batch: int = 1,
+                       platforms: Sequence[str] = ("tpu", "cpu")) -> dict:
+    """Write <prefix>.prefill / <prefix>.chunk / <prefix>.meta.json.
+    `model`: the SesameModel (Model.model).  Mimi decode is exported
+    separately with export_mimi_decode."""
+    import json
+
+    lm = model
+    nc = lm.audio_num_codebooks
+    wdtype = lm.lm_dtype()
+    caches = lm.backbone.init_cache(batch,
+                                    max_len=prompt_bucket + max_frames,
+                                    dtype=wdtype)
+    flat = _flat_caches(caches)
+    prefill, chunk = csm_session_fns(lm, temp=temp, top_k=top_k)
+
+    pre_args = (
+        jnp.zeros((batch, prompt_bucket, nc + 1), jnp.int32),
+        jnp.zeros((batch, prompt_bucket, nc + 1), bool),
+        jnp.zeros((batch,), jnp.int32),
+        jax.random.PRNGKey(0),
+        *flat,
+    )
+    n1 = export_program(prefill, pre_args, f"{out_prefix}.prefill",
+                        platforms)
+    import functools
+
+    chunk_args = (
+        jnp.zeros((batch, nc), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+        jax.random.PRNGKey(0),
+        *flat,
+    )
+    n2 = export_program(functools.partial(chunk, n=chunk_frames),
+                        chunk_args, f"{out_prefix}.chunk", platforms)
+    meta = {
+        "audio_num_codebooks": nc,
+        "prompt_bucket": prompt_bucket,
+        "chunk_frames": chunk_frames,
+        "batch": batch,
+        "cache_shapes": [list(x.shape) for x in flat],
+        "cache_dtypes": [str(x.dtype) for x in flat],
+        "eos": "all-zero frame",
+        "frame_ms": 80,
+    }
+    with open(f"{out_prefix}.meta.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    return {"prefill_bytes": n1, "chunk_bytes": n2, **meta}
+
+
+# ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
 
@@ -141,7 +238,8 @@ def main(argv=None):
     ap.add_argument("--model", required=True,
                     help="model dir / repo (kokoro) or codec dir (mimi)")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--kind", default="kokoro", choices=["kokoro", "mimi"])
+    ap.add_argument("--kind", default="kokoro",
+                    choices=["kokoro", "mimi", "csm"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--phoneme-bucket", type=int, default=512)
     ap.add_argument("--frame-bucket", type=int, default=1300)
@@ -160,6 +258,16 @@ def main(argv=None):
                           phoneme_bucket=args.phoneme_bucket,
                           frame_bucket=args.frame_bucket,
                           platforms=platforms)
+    elif args.kind == "csm":
+        from mlx_audio_tpu.utils.loader import load_model
+
+        model = load_model(args.model, domain="tts")
+        info = export_csm_session(model.model, args.out, batch=args.batch,
+                                  platforms=platforms)
+        print(f"wrote {args.out}.prefill/.chunk/.meta.json "
+              f"({(info['prefill_bytes']+info['chunk_bytes'])/1e6:.1f} MB, "
+              f"platforms={platforms})")
+        return
     else:
         from mlx_audio_tpu.codec.mimi.mimi import Mimi
 

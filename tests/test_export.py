@@ -102,3 +102,57 @@ print("ok", out[0].shape)
                             "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-2000:]
     assert "ok" in r.stdout
+
+
+def test_csm_session_export_roundtrip(tmp_path):
+    """Exported prefill/chunk programs must emit the exact frames of the
+    live jitted loop (greedy), with caches crossing as flat arrays."""
+    import json
+
+    from test_sesame import tiny_config
+    from mlx_audio_tpu.export import (
+        _flat_caches,
+        csm_session_fns,
+        export_csm_session,
+        load_program,
+    )
+    from mlx_audio_tpu.models.tts.sesame.model import Model
+
+    m = Model(tiny_config())
+    lm = m.model
+    info = export_csm_session(lm, str(tmp_path / "csm"), prompt_bucket=16,
+                              max_frames=8, chunk_frames=3, temp=0.0,
+                              platforms=("cpu",))
+    meta = json.load(open(tmp_path / "csm.meta.json"))
+    assert meta["cache_shapes"] and meta["audio_num_codebooks"] == 4
+
+    nc = meta["audio_num_codebooks"]
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((1, 16, nc + 1), np.int32)
+    mask = np.zeros((1, 16, nc + 1), bool)
+    tokens[0, :6, -1] = rng.integers(3, 100, size=6)
+    mask[0, :6, -1] = True
+    pad_len = jnp.zeros((1,), jnp.int32)
+    key = jax.random.PRNGKey(9)
+
+    def init_flat():
+        return [jnp.zeros(s, dtype=d) for s, d in
+                zip(meta["cache_shapes"], meta["cache_dtypes"])]
+
+    # live reference (same closures, unexported)
+    prefill, chunk = csm_session_fns(lm, temp=0.0, top_k=50)
+    ref_pre = jax.jit(prefill)(jnp.asarray(tokens), jnp.asarray(mask),
+                               pad_len, key, *init_flat())
+    import functools
+    ref_ch = jax.jit(functools.partial(chunk, n=3))(
+        ref_pre[0], pad_len, key, *ref_pre[1:])
+
+    got_pre = load_program(tmp_path / "csm.prefill")(
+        jnp.asarray(tokens), jnp.asarray(mask), pad_len, key, *init_flat())
+    got_ch = load_program(tmp_path / "csm.chunk")(
+        got_pre[0], pad_len, key, *got_pre[1:])
+
+    np.testing.assert_array_equal(np.asarray(got_pre[0]),
+                                  np.asarray(ref_pre[0]))
+    np.testing.assert_array_equal(np.asarray(got_ch[0]),
+                                  np.asarray(ref_ch[0]))
