@@ -9,6 +9,7 @@ Orpheus, OuteTTS, Spark and the CSM backbone family.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Iterator, List, Optional
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlx_audio_tpu.models.lm.llama import LlamaConfig, LlamaModel
-from mlx_audio_tpu.models.sampling import sample_top_k, sample_top_p
+from mlx_audio_tpu.models.sampling import sample_top_k_rows, sample_top_p_rows
 from mlx_audio_tpu.nn import Linear, Module
 
 
@@ -57,11 +58,13 @@ def _decode_chunk(model, caches, pad_len, last_token, rep_window, key,
     """
 
     def sample(k, logits):
+        # per-row keys: a row's draw is independent of batch size, so dp
+        # padding keeps real rows bit-exact vs the unpadded run
         if temp == 0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if top_p < 1.0:
-            return sample_top_p(k, logits, temp, top_p)
-        return sample_top_k(k, logits, temp, top_k)
+            return sample_top_p_rows(k, logits, temp, top_p)
+        return sample_top_k_rows(k, logits, temp, top_k)
 
     def body(carry, k):
         caches_s, prev, window = carry
@@ -92,6 +95,22 @@ def _prefill(model, caches, pad_len, input_ids):
     return logits, caches
 
 
+def _sample_first(key, logits, temperature, top_k, top_p):
+    if temperature == 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if top_p < 1.0:
+        return sample_top_p_rows(key, logits, temperature, top_p)
+    return sample_top_k_rows(key, logits, temperature, top_k)
+
+
+def _dp_context():
+    """(ctx | None): the active mesh when its data axis can shard a batch."""
+    from mlx_audio_tpu.parallel.context import active_mesh
+
+    ctx = active_mesh()
+    return ctx if (ctx is not None and ctx.dp > 1) else None
+
+
 def lm_dtype(model) -> jnp.dtype:
     """Activation/cache dtype: first floating leaf (robust to quantized
     modules whose `weight` is uint8)."""
@@ -119,7 +138,15 @@ def generate_tokens_batch(
     HBM-bound, so throughput scales near-linearly in B — docs/PERF.md).
     Per-sequence stop tokens are tracked on host between chunks; finished
     rows keep stepping until all stop or the budget runs out.  Returns the
-    generated tokens (stop token excluded) per prompt."""
+    generated tokens (stop token excluded) per prompt.
+
+    Under an active mesh with dp > 1 the batch is padded to a dp multiple
+    and sharded over the 'data' axis with the weights replicated — one
+    change that data-parallelizes every causal-LM family (Orpheus, OuteTTS,
+    Spark, ChatLM).  Per-row sampling keys keep real rows bit-exact vs the
+    unsharded run (the reference's whole TTS surface is the capability
+    being scaled, /root/reference/mlx_audio/tts/generate.py:203; the
+    reference itself is single-device, SURVEY.md §2.5)."""
     b = len(prompts)
     prompts = [np.asarray(p).reshape(-1) for p in prompts]
     bucket = _bucket(max(len(p) for p in prompts))
@@ -128,20 +155,32 @@ def generate_tokens_batch(
     for i, p in enumerate(prompts):
         pad[i] = bucket - len(p)
         prompt[i, pad[i]:] = p
-    pad_len = jnp.asarray(pad)
+
+    dp = _dp_context()
+    if dp is not None:
+        from mlx_audio_tpu.parallel.context import pad_batch_arrays
+
+        prompt, pad, _ = pad_batch_arrays(dp, prompt, pad)
+    bn = prompt.shape[0]                     # dp-padded batch
+    run_model = dp.place_replicated(model) if dp is not None else model
+    mesh_cm = dp.mesh if dp is not None else contextlib.nullcontext()
 
     cache_len = max_cache_len or (bucket + max_tokens)
-    caches = model.model.init_cache(b, max_len=cache_len, dtype=lm_dtype(model))
+    caches = run_model.model.init_cache(bn, max_len=cache_len,
+                                        dtype=lm_dtype(model))
+    pad_len = jnp.asarray(pad)
+    prompt_j = jnp.asarray(prompt)
+    rep_window = np.full((bn, max(repetition_context_size, 1)), -1,
+                         dtype=np.int32)
+    if dp is not None:
+        caches = dp.shard_batch_tree(caches, bn)
+        prompt_j, pad_len = dp.shard_batch(prompt_j, pad_len)
     key = jax.random.PRNGKey(seed)
 
-    logits, caches = _prefill(model, caches, pad_len, jnp.asarray(prompt))
-    key, k0 = jax.random.split(key)
-    if temperature == 0:
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    elif top_p < 1.0:
-        first = sample_top_p(k0, logits, temperature, top_p)
-    else:
-        first = sample_top_k(k0, logits, temperature, top_k)
+    with mesh_cm:
+        logits, caches = _prefill(run_model, caches, pad_len, prompt_j)
+        key, k0 = jax.random.split(key)
+        first = _sample_first(k0, logits, temperature, top_k, top_p)
     first_np = np.asarray(first)
 
     out = [[] for _ in range(b)]
@@ -152,22 +191,23 @@ def generate_tokens_batch(
         else:
             out[i].append(int(first_np[i]))
 
-    rep_window = np.full((b, max(repetition_context_size, 1)), -1,
-                         dtype=np.int32)
     rep_window[:, -1] = first_np
     rep_window = jnp.asarray(rep_window)
+    if dp is not None:
+        rep_window = dp.shard_batch(rep_window)
     last = first
     produced = 1
     while produced < max_tokens and not done.all():
         n = min(chunk, max_tokens - produced)
         key, kc = jax.random.split(key)
-        toks, caches, rep_window, last = _decode_chunk(
-            model, caches, pad_len, last, rep_window, kc,
-            temp=temperature, top_k=top_k, top_p=top_p,
-            rep_penalty=repetition_penalty,
-            rep_context=max(repetition_context_size, 1), chunk=n,
-        )
-        toks_np = np.asarray(toks)          # [n, B]
+        with mesh_cm:
+            toks, caches, rep_window, last = _decode_chunk(
+                run_model, caches, pad_len, last, rep_window, kc,
+                temp=temperature, top_k=top_k, top_p=top_p,
+                rep_penalty=repetition_penalty,
+                rep_context=max(repetition_context_size, 1), chunk=n,
+            )
+        toks_np = np.asarray(toks)          # [n, Bn]
         for step in range(toks_np.shape[0]):
             for i in range(b):
                 if done[i]:
@@ -211,12 +251,7 @@ def generate_tokens(
 
     logits, caches = _prefill(model, caches, pad_len, jnp.asarray(prompt))
     key, k0 = jax.random.split(key)
-    if temperature == 0:
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    elif top_p < 1.0:
-        first = sample_top_p(k0, logits, temperature, top_p)
-    else:
-        first = sample_top_k(k0, logits, temperature, top_k)
+    first = _sample_first(k0, logits, temperature, top_k, top_p)
     first_np = int(np.asarray(first)[0])
     if first_np in stop_tokens:
         return

@@ -137,23 +137,40 @@ class ChatLM:
                 pass
         return tuple(stops)
 
+    def _tokenize_messages(self, messages: List[dict]) -> List[int]:
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            return self.tokenizer.apply_chat_template(
+                messages, tokenize=True, add_generation_prompt=True
+            )
+        # plain tokenizer: fall back to a simple transcript format
+        prompt = "".join(
+            f"{m['role']}: {m['content']}\n" for m in messages
+        ) + "assistant:"
+        return self.tokenizer.encode(prompt)
+
     def respond(self, text: str,
                 history: Optional[List[dict]] = None,
                 seed: int = 0) -> str:
         """One chat turn: history + user text -> assistant reply (reference
-        _generate_response, sts/voice_pipeline.py:198-221)."""
-        messages = [{"role": "system", "content": self.system_prompt}]
-        messages += list(history or [])
-        messages.append({"role": "user", "content": text})
-        if hasattr(self.tokenizer, "apply_chat_template"):
-            ids = self.tokenizer.apply_chat_template(
-                messages, tokenize=True, add_generation_prompt=True
-            )
-        else:  # plain tokenizer: fall back to a simple transcript format
-            prompt = "".join(
-                f"{m['role']}: {m['content']}\n" for m in messages
-            ) + "assistant:"
-            ids = self.tokenizer.encode(prompt)
+        _generate_response, sts/voice_pipeline.py:198-221; the reference
+        keeps no history at all — ours is a superset).
+
+        Long sessions forget instead of failing: when prompt tokens plus
+        the generation budget would overflow the model's context, the
+        OLDEST history turns are dropped (system prompt and the current
+        user message always survive) and the prompt is re-tokenized."""
+        history = list(history or [])
+        budget = self.model.config.max_position_embeddings - self.max_tokens
+
+        def build():
+            return ([{"role": "system", "content": self.system_prompt}]
+                    + history
+                    + [{"role": "user", "content": text}])
+
+        ids = self._tokenize_messages(build())
+        while len(ids) > budget and history:
+            history.pop(0)           # drop-oldest eviction
+            ids = self._tokenize_messages(build())
         out = generate_tokens_batch(
             self.model, [np.asarray(ids, dtype=np.int32)],
             max_tokens=self.max_tokens, temperature=self.temperature,

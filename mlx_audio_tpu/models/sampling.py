@@ -40,7 +40,9 @@ def _bisect_threshold(z: jax.Array, keep_fn, iters: int = 48) -> jax.Array:
         return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
 
     lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return lo
+    # a fully masked row (all -inf, e.g. a padded batch row) would yield
+    # lo=+inf and mask everything; fall back to the unfiltered distribution
+    return jnp.where(jnp.any(finite, axis=-1, keepdims=True), lo, -jnp.inf)
 
 
 def sample_top_k(key: jax.Array, logits: jax.Array, temp: float = 1.0,
@@ -92,6 +94,32 @@ def sample_top_p(key: jax.Array, logits: jax.Array, temp: float = 1.0,
             )
         logits = jnp.where(logits < tau, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def _row_keys(key: jax.Array, n: int) -> jax.Array:
+    return jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(n))
+
+
+def sample_top_k_rows(key: jax.Array, logits: jax.Array, temp: float = 1.0,
+                      top_k: int = 0) -> jax.Array:
+    """Per-row keyed top-k over [B, V] logits: row i draws with
+    fold_in(key, i), so a row's sample is a function of (key, row index,
+    its own logits) only — independent of batch size and co-batched rows.
+    This is what makes dp batch padding bit-exact for real rows (the
+    Kokoro per-row-noise contract, applied to AR sampling)."""
+    if temp == 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    keys = _row_keys(key, logits.shape[0])
+    return jax.vmap(lambda k, z: sample_top_k(k, z, temp, top_k))(keys, logits)
+
+
+def sample_top_p_rows(key: jax.Array, logits: jax.Array, temp: float = 1.0,
+                      top_p: float = 1.0) -> jax.Array:
+    """Per-row keyed nucleus sampling (see sample_top_k_rows)."""
+    if temp == 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    keys = _row_keys(key, logits.shape[0])
+    return jax.vmap(lambda k, z: sample_top_p(k, z, temp, top_p))(keys, logits)
 
 
 def make_sampler(temp: float = 1.0, top_k: int = 0,

@@ -38,6 +38,12 @@ COARSE_INFER_TOKEN = 12_050
 SAMPLE_RATE = 24_000
 
 
+def _null_cm():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 @dataclass
 class ModelConfig(BaseModelArgs):
     semantic_config: dict = None
@@ -55,11 +61,23 @@ class ModelConfig(BaseModelArgs):
 # ---------------------------------------------------------------------------
 
 
+def _cat_rows(key, logits, temperature):
+    """Per-row keyed categorical over [B, ..., V]: row b draws with
+    fold_in(key, b), so a row's sample is independent of the batch size
+    (dp padding keeps real rows bit-exact)."""
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, jnp.arange(logits.shape[0]))
+    return jax.vmap(
+        lambda k, z: jax.random.categorical(k, z / temperature, axis=-1)
+    )(keys, logits).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("chunk", "temperature"))
 def _semantic_chunk(model, caches, last_token, key, chunk: int,
                     temperature: float):
-    """Scan `chunk` semantic steps; sampled class 10000 == early stop
-    (emitted as SEMANTIC_VOCAB_SIZE, host truncates)."""
+    """Scan `chunk` semantic steps over a [B] row batch; sampled class
+    10000 == early stop (emitted as SEMANTIC_VOCAB_SIZE, host truncates
+    per row)."""
 
     def body(carry, k):
         caches_s, prev = carry
@@ -69,7 +87,7 @@ def _semantic_chunk(model, caches, last_token, key, chunk: int,
             [logits[:, :SEMANTIC_VOCAB_SIZE],
              logits[:, SEMANTIC_PAD_TOKEN:SEMANTIC_PAD_TOKEN + 1]], axis=-1
         )
-        tok = jax.random.categorical(k, relevant / temperature, axis=-1).astype(jnp.int32)
+        tok = _cat_rows(k, relevant, temperature)
         # feed the pad token on (early-stop marker can't index embeddings OOB)
         feed = jnp.where(tok >= SEMANTIC_VOCAB_SIZE, SEMANTIC_PAD_TOKEN, tok)
         return (caches_s, feed), tok
@@ -82,52 +100,53 @@ def _semantic_chunk(model, caches, last_token, key, chunk: int,
 @partial(jax.jit, static_argnames=("steps", "temperature"))
 def _coarse_window(model, x_in, n_valid, parity0, key, steps: int,
                    temperature: float):
-    """One coarse sliding window: prefill the padded context then scan
-    `steps` token generations with alternating codebook logit ranges."""
-    caches = model.coarse_acoustics.init_cache(1, x_in.shape[1] + steps)
+    """One coarse sliding window over a [B, L] row batch: prefill the
+    padded contexts (lockstep rows share n_valid) then scan `steps` token
+    generations with alternating codebook logit ranges."""
+    b = x_in.shape[0]
+    caches = model.coarse_acoustics.init_cache(b, x_in.shape[1] + steps)
     emb = model.coarse_acoustics.input_embeds_layer(x_in)
     logits0, caches = model.coarse_acoustics.prefill(caches, emb, n_valid)
 
     def sample(k, logits, parity):
         start = SEMANTIC_VOCAB_SIZE + parity * CODEBOOK_SIZE
         v = logits.shape[-1]
-        ids = jnp.arange(v)
+        ids = jnp.arange(v)[None]
         masked = jnp.where((ids >= start) & (ids < start + CODEBOOK_SIZE),
                            logits, -jnp.inf)
-        return jax.random.categorical(k, masked / temperature, axis=-1).astype(jnp.int32)
+        return _cat_rows(k, masked, temperature)
 
     key, k0 = jax.random.split(key)
-    tok0 = sample(k0, logits0.astype(jnp.float32)[0], parity0)
+    tok0 = sample(k0, logits0.astype(jnp.float32), parity0)   # [B]
 
     def body(carry, xs):
         caches_s, prev, parity = carry
         k = xs
-        logits, caches_s = model.coarse_acoustics.step(caches_s, prev[None, None])
+        logits, caches_s = model.coarse_acoustics.step(caches_s, prev[:, None])
         parity = 1 - parity
-        tok = sample(k, logits.astype(jnp.float32)[0], parity)
+        tok = sample(k, logits.astype(jnp.float32), parity)
         return (caches_s, tok, parity), tok
 
     keys = jax.random.split(key, steps - 1)
     (caches, _, _), toks = jax.lax.scan(body, (caches, tok0, parity0), keys)
-    return jnp.concatenate([tok0[None], toks])
+    return jnp.concatenate([tok0[None], toks])          # [steps, B]
 
 
 @partial(jax.jit, static_argnames=("pred_idx", "temperature"))
 def _fine_predict(model, in_buffer, rel_start, key, pred_idx: int,
                   temperature: Optional[float]):
+    """in_buffer [B, 1024, 8], rel_start [B]: per-row window fill."""
     logits = model.fine_acoustics(pred_idx, in_buffer).astype(jnp.float32)
-    relevant = logits[0, :, :CODEBOOK_SIZE]
+    relevant = logits[:, :, :CODEBOOK_SIZE]             # [B, T, V]
     if temperature is None:
         preds = jnp.argmax(relevant, axis=-1).astype(jnp.int32)
     else:
-        preds = jax.random.categorical(
-            key, relevant / temperature, axis=-1
-        ).astype(jnp.int32)
-    # only positions >= rel_start are replaced
+        preds = _cat_rows(key, relevant, temperature)
+    # only positions >= rel_start are replaced (per row)
     t = in_buffer.shape[1]
-    keep = jnp.arange(t) < rel_start
-    new_col = jnp.where(keep, in_buffer[0, :, pred_idx], preds)
-    return in_buffer.at[0, :, pred_idx].set(new_col)
+    keep = jnp.arange(t)[None] < rel_start[:, None]     # [B, T]
+    new_col = jnp.where(keep, in_buffer[:, :, pred_idx], preds)
+    return in_buffer.at[:, :, pred_idx].set(new_col)
 
 
 # ---------------------------------------------------------------------------
@@ -204,13 +223,25 @@ class Model(Module):
     def generate_text_semantic(self, text: str, voice=None,
                                temperature: float = 0.7, seed: int = 0,
                                max_steps: int = 768) -> np.ndarray:
+        return self.generate_text_semantic_batch(
+            [text], voice, temperature, seed, max_steps)[0]
+
+    def generate_text_semantic_batch(self, texts, voice=None,
+                                     temperature: float = 0.7, seed: int = 0,
+                                     max_steps: int = 768, dp=None) -> list:
+        """Stage 1, batched: B text prompts -> per-row semantic tokens in
+        one jitted AR loop (per-row early stop tracked on host)."""
         tokenizer = self._get_tokenizer()
-        encoded = np.asarray(
-            tokenizer.encode(text, add_special_tokens=False)
-        ) + TEXT_ENCODING_OFFSET
-        encoded = encoded[:256]
-        encoded = np.pad(encoded, (0, 256 - len(encoded)),
-                         constant_values=TEXT_PAD_TOKEN)
+        b = len(texts)
+        rows = []
+        for text in texts:
+            encoded = np.asarray(
+                tokenizer.encode(text, add_special_tokens=False)
+            ) + TEXT_ENCODING_OFFSET
+            encoded = encoded[:256]
+            rows.append(np.pad(encoded, (0, 256 - len(encoded)),
+                               constant_values=TEXT_PAD_TOKEN))
+        encoded = np.stack(rows)                     # [B, 256]
         if voice is not None:
             hist = np.asarray(load_voice_prompt(voice)["semantic_prompt"])[-256:]
             hist = np.pad(hist, (0, 256 - len(hist)),
@@ -218,56 +249,87 @@ class Model(Module):
         else:
             hist = np.full(256, SEMANTIC_PAD_TOKEN)
 
+        mesh_cm = dp.mesh if dp is not None else _null_cm()
         # merged context: emb(text) + emb(history), then the infer token
-        emb = (
-            self.semantic.input_embeds_layer(jnp.asarray(encoded)[None])
-            + self.semantic.input_embeds_layer(jnp.asarray(hist)[None])
-        )
-        infer = self.semantic.input_embeds_layer(
-            jnp.asarray([[SEMANTIC_INFER_TOKEN]])
-        )
-        prompt_emb = jnp.concatenate([emb, infer], axis=1)  # [1, 257, D]
-        n = prompt_emb.shape[1]
-
-        caches = self.semantic.init_cache(1, n + max_steps)
-        logits, caches = self.semantic.prefill(
-            caches, prompt_emb, jnp.asarray(n, dtype=jnp.int32)
-        )
-        key = jax.random.PRNGKey(seed)
-        key, k0 = jax.random.split(key)
-        relevant = jnp.concatenate(
-            [logits.astype(jnp.float32)[:, :SEMANTIC_VOCAB_SIZE],
-             logits.astype(jnp.float32)[:, SEMANTIC_PAD_TOKEN:SEMANTIC_PAD_TOKEN + 1]],
-            axis=-1,
-        )
-        tok0 = int(np.asarray(
-            jax.random.categorical(k0, relevant / temperature, axis=-1)
-        )[0])
-        out = []
-        if tok0 >= SEMANTIC_VOCAB_SIZE:
-            return np.asarray(out, dtype=np.int32)
-        out.append(tok0)
-        last = jnp.asarray([tok0], dtype=jnp.int32)
-        while len(out) < max_steps:
-            n_chunk = min(64, max_steps - len(out))
-            key, kc = jax.random.split(key)
-            toks, caches, last = _semantic_chunk(
-                self, caches, last, kc, chunk=n_chunk, temperature=temperature
+        with mesh_cm:
+            enc_dev = jnp.asarray(encoded)
+            if dp is not None:
+                enc_dev = dp.shard_batch(enc_dev)
+            emb = (
+                self.semantic.input_embeds_layer(enc_dev)
+                + self.semantic.input_embeds_layer(jnp.asarray(hist))[None]
             )
-            stop = False
-            for t_ in np.asarray(toks)[:, 0]:
-                if int(t_) >= SEMANTIC_VOCAB_SIZE:
-                    stop = True
-                    break
-                out.append(int(t_))
-            if stop or n_chunk < 64:
-                break
-        return np.asarray(out, dtype=np.int32)
+            infer = jnp.broadcast_to(
+                self.semantic.input_embeds_layer(
+                    jnp.asarray([SEMANTIC_INFER_TOKEN]))[None],
+                (b, 1, emb.shape[-1]),
+            )
+            prompt_emb = jnp.concatenate([emb, infer], axis=1)  # [B, 257, D]
+            n = prompt_emb.shape[1]
+
+            caches = self.semantic.init_cache(b, n + max_steps)
+            if dp is not None:
+                caches = dp.shard_batch_tree(caches, b)
+            logits, caches = self.semantic.prefill(
+                caches, prompt_emb, jnp.asarray(n, dtype=jnp.int32)
+            )
+            key = jax.random.PRNGKey(seed)
+            key, k0 = jax.random.split(key)
+            relevant = jnp.concatenate(
+                [logits.astype(jnp.float32)[:, :SEMANTIC_VOCAB_SIZE],
+                 logits.astype(jnp.float32)[
+                     :, SEMANTIC_PAD_TOKEN:SEMANTIC_PAD_TOKEN + 1]],
+                axis=-1,
+            )
+            tok0 = _cat_rows(k0, relevant, temperature)
+            last = jnp.where(tok0 >= SEMANTIC_VOCAB_SIZE,
+                             SEMANTIC_PAD_TOKEN, tok0)
+        tok0_np = np.asarray(tok0)
+        out = [[] for _ in range(b)]
+        done = tok0_np >= SEMANTIC_VOCAB_SIZE
+        for i in range(b):
+            if not done[i]:
+                out[i].append(int(tok0_np[i]))
+        produced = 1
+        while produced < max_steps and not done.all():
+            n_chunk = min(64, max_steps - produced)
+            key, kc = jax.random.split(key)
+            with mesh_cm:
+                toks, caches, last = _semantic_chunk(
+                    self, caches, last, kc, chunk=n_chunk,
+                    temperature=temperature,
+                )
+            toks_np = np.asarray(toks)               # [n, B]
+            for step in range(toks_np.shape[0]):
+                for i in range(b):
+                    if done[i]:
+                        continue
+                    t_ = int(toks_np[step, i])
+                    if t_ >= SEMANTIC_VOCAB_SIZE:
+                        done[i] = True
+                    else:
+                        out[i].append(t_)
+            produced += toks_np.shape[0]
+        return [np.asarray(o, dtype=np.int32) for o in out]
 
     def generate_coarse(self, x_semantic: np.ndarray, voice=None,
                         temperature: float = 0.7,
                         max_coarse_history: int = 630,
                         sliding_window_len: int = 60, seed: int = 0) -> np.ndarray:
+        return self.generate_coarse_batch(
+            [x_semantic], voice, temperature, max_coarse_history,
+            sliding_window_len, seed)[0]
+
+    def generate_coarse_batch(self, sems, voice=None,
+                              temperature: float = 0.7,
+                              max_coarse_history: int = 630,
+                              sliding_window_len: int = 60, seed: int = 0,
+                              dp=None) -> list:
+        """Stage 2, batched: rows decode their sliding windows in lockstep
+        (every window's context has the same length across rows, so the
+        right-padded prefill shares one scalar n_valid); rows whose budget
+        is exhausted keep stepping and are truncated to their own n_steps
+        at the end."""
         ratio = COARSE_RATE_HZ / SEMANTIC_RATE_HZ * N_COARSE_CODEBOOKS
         max_semantic_history = int(math.floor(max_coarse_history / ratio))
         if voice is not None:
@@ -286,80 +348,108 @@ class Model(Module):
             sem_hist = np.zeros(0, dtype=np.int32)
             coarse_hist = np.zeros(0, dtype=np.int32)
 
-        n_steps = int(round(
-            math.floor(len(x_semantic) * ratio / N_COARSE_CODEBOOKS)
-            * N_COARSE_CODEBOOKS
-        ))
-        x_sem = np.concatenate([sem_hist, x_semantic]).astype(np.int32)
-        x_coarse = list(coarse_hist)
+        b = len(sems)
+        n_steps = [
+            int(round(math.floor(len(s) * ratio / N_COARSE_CODEBOOKS)
+                      * N_COARSE_CODEBOOKS))
+            for s in sems
+        ]
+        x_sem_rows = [np.concatenate([sem_hist, s]).astype(np.int32)
+                      for s in sems]
+        x_coarse_rows = [list(coarse_hist) for _ in range(b)]
         base_sem_idx = len(sem_hist)
+        n_steps_max = max(n_steps)
 
+        mesh_cm = dp.mesh if dp is not None else _null_cm()
         key = jax.random.PRNGKey(seed + 1)
         n_step = 0
-        n_windows = int(round(n_steps / sliding_window_len))
-        for _ in range(max(n_windows, 1)):
-            if n_step >= n_steps:
-                break
+        bucket = 257 + max_coarse_history
+        while n_step < n_steps_max:
             sem_idx = base_sem_idx + int(round(n_step / ratio))
-            x_in = x_sem[max(0, sem_idx - max_semantic_history):][:256]
-            x_in = np.pad(x_in, (0, 256 - len(x_in)),
-                          constant_values=COARSE_SEMANTIC_PAD_TOKEN)
-            tail = np.asarray(x_coarse[-max_coarse_history:], dtype=np.int32)
-            ctx = np.concatenate([x_in, [COARSE_INFER_TOKEN], tail]).astype(np.int32)
-            bucket = 257 + max_coarse_history
-            padded = np.full(bucket, COARSE_SEMANTIC_PAD_TOKEN, dtype=np.int32)
-            padded[: len(ctx)] = ctx
-            steps = min(sliding_window_len, n_steps - n_step)
+            padded = np.full((b, bucket), COARSE_SEMANTIC_PAD_TOKEN,
+                             dtype=np.int32)
+            clen = None
+            for i in range(b):
+                x_in = x_sem_rows[i][max(0, sem_idx - max_semantic_history):][:256]
+                x_in = np.pad(x_in, (0, 256 - len(x_in)),
+                              constant_values=COARSE_SEMANTIC_PAD_TOKEN)
+                tail = np.asarray(x_coarse_rows[i][-max_coarse_history:],
+                                  dtype=np.int32)
+                ctx = np.concatenate(
+                    [x_in, [COARSE_INFER_TOKEN], tail]).astype(np.int32)
+                padded[i, : len(ctx)] = ctx
+                clen = len(ctx)      # lockstep rows: identical every window
+            steps = min(sliding_window_len, n_steps_max - n_step)
             # major steps (even n_step) sample codebook-0 logits [10000,11024)
             parity0 = 0 if (n_step % N_COARSE_CODEBOOKS == 0) else 1
             key, kw = jax.random.split(key)
-            toks = _coarse_window(
-                self, jnp.asarray(padded)[None], jnp.asarray(len(ctx), jnp.int32),
-                jnp.asarray(parity0, jnp.int32), kw, steps=int(steps),
-                temperature=temperature,
-            )
-            x_coarse.extend(int(t) for t in np.asarray(toks))
+            with mesh_cm:
+                x_dev = jnp.asarray(padded)
+                if dp is not None:
+                    x_dev = dp.shard_batch(x_dev)
+                toks = _coarse_window(
+                    self, x_dev, jnp.asarray(clen, jnp.int32),
+                    jnp.asarray(parity0, jnp.int32), kw, steps=int(steps),
+                    temperature=temperature,
+                )
+            toks_np = np.asarray(toks)               # [steps, B]
+            for i in range(b):
+                x_coarse_rows[i].extend(int(t) for t in toks_np[:, i])
             n_step += int(steps)
 
-        gen = np.asarray(x_coarse[len(coarse_hist):], dtype=np.int32)
-        gen = gen.reshape(-1, N_COARSE_CODEBOOKS).T - SEMANTIC_VOCAB_SIZE
-        for n in range(1, N_COARSE_CODEBOOKS):
-            gen[n, :] -= n * CODEBOOK_SIZE
-        return gen
+        outs = []
+        for i in range(b):
+            gen = np.asarray(x_coarse_rows[i][len(coarse_hist):],
+                             dtype=np.int32)[: n_steps[i]]
+            gen = gen.reshape(-1, N_COARSE_CODEBOOKS).T - SEMANTIC_VOCAB_SIZE
+            for n in range(1, N_COARSE_CODEBOOKS):
+                gen[n, :] -= n * CODEBOOK_SIZE
+            outs.append(gen)
+        return outs
 
     def generate_fine(self, x_coarse_gen: np.ndarray,
                       temperature: Optional[float] = 0.7, seed: int = 0) -> np.ndarray:
-        n_coarse = x_coarse_gen.shape[0]
-        in_arr = np.concatenate(
-            [x_coarse_gen,
-             np.full((N_FINE_CODEBOOKS - n_coarse, x_coarse_gen.shape[1]),
-                     CODEBOOK_SIZE)], axis=0,
-        )
-        n_remove = 0
-        if in_arr.shape[1] < 1024:
-            n_remove = 1024 - in_arr.shape[1]
-            in_arr = np.concatenate(
-                [in_arr, np.full((N_FINE_CODEBOOKS, n_remove), CODEBOOK_SIZE)],
-                axis=1,
-            )
-        n_loops = max(0, int(math.ceil((x_coarse_gen.shape[1] - 1024) / 512))) + 1
-        in_arr = in_arr.T.astype(np.int32)  # [T, 8]
+        return self.generate_fine_batch([x_coarse_gen], temperature, seed)[0]
+
+    def generate_fine_batch(self, coarse_list, temperature: Optional[float] = 0.7,
+                            seed: int = 0, dp=None) -> list:
+        """Stage 3, batched: rows pad to a shared length and fill their
+        1024-wide non-causal windows together; per-row outputs truncate to
+        each row's own coarse length."""
+        b = len(coarse_list)
+        n_coarse = coarse_list[0].shape[0]
+        t_rows = [c.shape[1] for c in coarse_list]
+        t_max = max(1024, max(t_rows))
+        in_rows = []
+        for c in coarse_list:
+            arr = np.concatenate(
+                [c, np.full((N_FINE_CODEBOOKS - n_coarse, c.shape[1]),
+                            CODEBOOK_SIZE)], axis=0)
+            if arr.shape[1] < t_max:
+                arr = np.concatenate(
+                    [arr, np.full((N_FINE_CODEBOOKS, t_max - arr.shape[1]),
+                                  CODEBOOK_SIZE)], axis=1)
+            in_rows.append(arr.T.astype(np.int32))   # [T, 8]
+        in_arr = np.stack(in_rows)                   # [B, T, 8]
+        n_loops = max(0, int(math.ceil((t_max - 1024) / 512))) + 1
+        mesh_cm = dp.mesh if dp is not None else _null_cm()
         key = jax.random.PRNGKey(seed + 2)
         for n in range(n_loops):
-            start_idx = min(n * 512, in_arr.shape[0] - 1024)
-            start_fill_idx = min(n * 512, in_arr.shape[0] - 512)
+            start_idx = min(n * 512, t_max - 1024)
+            start_fill_idx = min(n * 512, t_max - 512)
             rel_start = start_fill_idx - start_idx
-            buf = jnp.asarray(in_arr[start_idx: start_idx + 1024][None])
-            for nn in range(n_coarse, N_FINE_CODEBOOKS):
-                key, kf = jax.random.split(key)
-                buf = _fine_predict(self, buf, jnp.asarray(rel_start, jnp.int32),
-                                    kf, pred_idx=nn, temperature=temperature)
-            buf_np = np.asarray(buf)[0]
-            in_arr[start_fill_idx: start_idx + 1024] = buf_np[rel_start:]
-        gen = in_arr.T
-        if n_remove > 0:
-            gen = gen[:, :-n_remove]
-        return gen
+            with mesh_cm:
+                buf = jnp.asarray(in_arr[:, start_idx: start_idx + 1024])
+                rel = jnp.full((b,), rel_start, dtype=jnp.int32)
+                if dp is not None:
+                    buf, rel = dp.shard_batch(buf, rel)
+                for nn in range(n_coarse, N_FINE_CODEBOOKS):
+                    key, kf = jax.random.split(key)
+                    buf = _fine_predict(self, buf, rel, kf, pred_idx=nn,
+                                        temperature=temperature)
+            buf_np = np.asarray(buf)
+            in_arr[:, start_fill_idx: start_idx + 1024] = buf_np[:, rel_start:]
+        return [in_arr[i].T[:, : t_rows[i]] for i in range(b)]
 
     def codec_decode(self, fine_tokens: np.ndarray) -> np.ndarray:
         """EnCodec decode of [8, T] fine tokens -> [1, samples]."""
@@ -370,15 +460,49 @@ class Model(Module):
 
     def generate(self, text: str, voice=None, temperature: float = 0.7,
                  seed: int = 0, **kwargs):
+        yield self.generate_batch([text], voice=voice,
+                                  temperature=temperature, seed=seed)[0]
+
+    def generate_batch(self, texts, voice=None, temperature: float = 0.7,
+                       seed: int = 0, **kwargs) -> list:
+        """Batched three-stage synthesis: B texts run each GPT stage in one
+        jitted batch loop (per-row early stop / step budgets tracked on
+        host).  Under an active mesh with dp > 1 the batch pads to a dp
+        multiple and every stage shards its rows over 'data' with the
+        weights replicated; per-row fold_in sampling keys keep real rows
+        exact vs the unsharded run.  EnCodec decode runs per row (ragged
+        lengths).  New capability vs the reference (strictly single-text,
+        bark.py:393)."""
+        from mlx_audio_tpu.parallel.context import active_mesh
+
         start = time.perf_counter()
-        semantic = self.generate_text_semantic(text, voice, temperature, seed)
-        coarse = self.generate_coarse(semantic, voice, temperature, seed=seed)
-        fine = self.generate_fine(coarse, temperature, seed=seed)
-        audio = self.codec_decode(fine)[0]
-        yield make_generation_result(
-            audio, self.config.sample_rate, 0, int(len(semantic)),
-            time.perf_counter() - start,
-        )
+        b = len(texts)
+        ctx = active_mesh()
+        dp = ctx if (ctx is not None and ctx.dp > 1 and b > 1) else None
+        run_texts = list(texts)
+        if dp is not None:
+            while len(run_texts) % dp.dp:
+                run_texts.append(run_texts[-1])
+
+        target = dp.place_replicated(self) if dp is not None else self
+        sems = target.generate_text_semantic_batch(
+            run_texts, voice, temperature, seed, dp=dp)
+        coarse = target.generate_coarse_batch(
+            sems, voice, temperature, seed=seed, dp=dp)
+        fines = target.generate_fine_batch(
+            coarse, temperature, seed=seed, dp=dp)
+        elapsed = time.perf_counter() - start
+        results = []
+        for i in range(b):
+            if fines[i].shape[1] == 0:
+                audio = np.zeros((0,), dtype=np.float32)
+            else:
+                audio = self.codec_decode(fines[i])[0]
+            results.append(make_generation_result(
+                audio, self.config.sample_rate, i, int(len(sems[i])),
+                elapsed / b,
+            ))
+        return results
 
     def sanitize(self, weights: dict) -> dict:
         out = {}

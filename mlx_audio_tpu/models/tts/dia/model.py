@@ -30,6 +30,12 @@ from mlx_audio_tpu.nn import Module
 _EXTRA_STEPS_AFTER_EOS = 30
 
 
+def _null_cm():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 class DiaModel(Module):
     def __init__(self, config: DiaConfig):
         self.encoder = DiaEncoder(config)
@@ -42,12 +48,14 @@ def _dia_chunk(model, sa_caches, cross_kvs, ca_mask, last_tokens, step0,
                gen_start, delay, key, bos_value, chunk: int,
                temperature: float, top_k: int, cfg_scale: float,
                force_bos: bool):
-    """Scan `chunk` decode steps with CFG over the 2-row batch.
+    """Scan `chunk` decode steps with CFG over interleaved (uncond, cond)
+    row pairs: text b occupies rows (2b, 2b+1).
 
-    last_tokens: [2, C] codes fed at position step0 (the current step's
-    input); returns sampled codes [chunk, C] (with delay-pattern BOS forcing
-    applied in-graph, dia.py:521-526, so the fed-back tokens match).
-    """
+    last_tokens: [2B, C] codes fed at position step0 (the current step's
+    input); returns sampled codes [chunk, B, C] (with delay-pattern BOS
+    forcing applied in-graph, dia.py:521-526, so the fed-back tokens
+    match).  Sampling keys are folded per text row, so a text's draw is
+    independent of the batch size (dp padding keeps real rows exact)."""
 
     def body(carry, xs):
         caches_s, prev, step = carry
@@ -56,30 +64,53 @@ def _dia_chunk(model, sa_caches, cross_kvs, ca_mask, last_tokens, step0,
             prev[:, None, :], step[None, None], caches_s, cross_kvs,
             None, ca_mask,
         )
-        logits = logits[:, -1]              # [2, C, V]
-        uncond, cond = logits[0], logits[1]
-        cfg = cond + cfg_scale * (cond - uncond)  # [C, V]
+        logits = logits[:, -1]              # [2B, C, V]
+        b = logits.shape[0] // 2
+        pair = logits.reshape(b, 2, *logits.shape[1:])
+        uncond, cond = pair[:, 0], pair[:, 1]        # [B, C, V]
+        cfg = cond + cfg_scale * (cond - uncond)     # [B, C, V]
         v = cfg.shape[-1]
         # restrict to the 1025 valid classes (codes + EOS)
-        ids = jnp.arange(v)[None, :]
+        ids = jnp.arange(v)[None, None, :]
         cfg = jnp.where(ids < 1025, cfg, -jnp.inf)
         if top_k > 0:
-            kth = jnp.sort(cfg, axis=-1)[:, -top_k][:, None]
+            kth = jnp.sort(cfg, axis=-1)[..., -top_k][..., None]
             cfg = jnp.where(cfg < kth, -jnp.inf, cfg)
         if temperature == 0:
-            pred = jnp.argmax(cfg, axis=-1).astype(jnp.int32)
+            pred = jnp.argmax(cfg, axis=-1).astype(jnp.int32)   # [B, C]
         else:
-            pred = jax.random.categorical(k, cfg / temperature, axis=-1).astype(jnp.int32)
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                k, jnp.arange(b))
+            pred = jax.vmap(
+                lambda kk, z: jax.random.categorical(
+                    kk, z / temperature, axis=-1)
+            )(keys, cfg).astype(jnp.int32)
         if force_bos:
             gen_idx = step - gen_start
-            pred = jnp.where(gen_idx >= delay, pred, bos_value)
-        return (caches_s, jnp.broadcast_to(pred[None], prev.shape), step + 1), pred
+            pred = jnp.where(gen_idx >= delay[None], pred, bos_value)
+        feed = jnp.repeat(pred, 2, axis=0)           # [2B, C] per-pair copy
+        return (caches_s, feed, step + 1), pred
 
     keys = jax.random.split(key, chunk)
     (sa_caches, last, _), preds = jax.lax.scan(
         body, (sa_caches, last_tokens, step0), keys
     )
     return preds, sa_caches, last
+
+
+def _eos_tail(c: int, eos: int, pad_tok: int, delay) -> list:
+    """Per-channel EOS/PAD countdown rows appended after the EOS frame
+    (dia.py:545-573); the delay revert discards this tail region."""
+    rows = []
+    for extra in range(1, max(delay) + 1):
+        row = np.full((c,), pad_tok, dtype=np.int32)
+        for i, d in enumerate(delay):
+            if extra == d:
+                row[i] = eos
+            elif extra < d:
+                row[i] = 0
+        rows.append(row)
+    return rows
 
 
 class Model(Module):
@@ -222,7 +253,7 @@ class Model(Module):
                 top_k=cfg_filter_top_k, cfg_scale=cfg_scale,
                 force_bos=ref_audio is None,
             )
-            preds_np = np.asarray(preds)  # [n, C]
+            preds_np = np.asarray(preds)[:, 0]  # [n, C]
             for row in preds_np:
                 out_frames.append(row.astype(np.int32))
                 step += 1
@@ -235,15 +266,7 @@ class Model(Module):
         # countdown; we fill them with code 0 — the revert step discards the
         # last 30 frames, which covers the max_delay=15 tail.
         if eos_seen:
-            tail_start = len(out_frames) - 1
-            for extra in range(1, max_delay + 1):
-                row = np.full((c,), pad_tok, dtype=np.int32)
-                for i, d in enumerate(delay):
-                    if extra == d:
-                        row[i] = eos
-                    elif extra < d:
-                        row[i] = 0
-                out_frames.append(row)
+            out_frames.extend(_eos_tail(c, eos, pad_tok, delay))
 
         # voice cloning: exclude the reference-prompt frames from the
         # output (reference dia.py:581 slices them off); keep the BOS
@@ -253,6 +276,114 @@ class Model(Module):
         codes = np.stack(out_frames, axis=1)  # [C, T]
         audio = codebook_to_audio(codes, self._get_dac(), delay, c=c)
         return audio, len(out_frames)
+
+    def generate_batch(self, texts: List[str],
+                       max_tokens: Optional[int] = None,
+                       cfg_scale: float = 3.0, temperature: float = 1.3,
+                       cfg_filter_top_k: int = 35, seed: int = 0,
+                       **kwargs) -> list:
+        """Batched dialogue synthesis: B texts decode in one jitted CFG
+        loop over 2B interleaved (uncond, cond) rows, sharing every
+        decoder weight fetch.  Under an active mesh with dp > 1 the text
+        batch pads to a dp multiple and row pairs shard over 'data' with
+        the weights replicated; per-text fold_in sampling keys keep real
+        rows exact.  Per-text EOS is tracked on host between chunks; DAC
+        synthesis runs per text (lengths are ragged).  New capability vs
+        the reference (strictly single-text, dia.py:230)."""
+        from mlx_audio_tpu.parallel.context import active_mesh
+
+        data = self.config.data
+        c = data.channels
+        bos, eos, pad_tok = (data.audio_bos_value, data.audio_eos_value,
+                             data.audio_pad_value)
+        delay = data.delay_pattern
+        max_tokens = max_tokens or data.audio_length
+        start_time = time.perf_counter()
+
+        b = len(texts)
+        ctx = active_mesh()
+        dp = ctx if (ctx is not None and ctx.dp > 1 and b > 1) else None
+        run_texts = list(texts)
+        if dp is not None:
+            while len(run_texts) % dp.dp:
+                run_texts.append(run_texts[-1])     # pad rows, dropped below
+        bn = len(run_texts)
+
+        srcs, pads, masks = [], [], []
+        for t in run_texts:
+            src, src_pos, pad_mask, enc_mask = self._prepare_text_input(t)
+            srcs.append(src)
+            pads.append(pad_mask)
+            masks.append(enc_mask)
+        src = jnp.concatenate(srcs, axis=0)          # [Bn, S]
+        pad_mask = jnp.concatenate(pads, axis=0)
+        enc_mask = jnp.concatenate(masks, axis=0)
+        s_len = src.shape[1]
+        # interleave (uncond, cond) per text: rows (2b, 2b+1)
+        src2 = jnp.stack([jnp.zeros_like(src), src], axis=1).reshape(
+            2 * bn, s_len)
+        pad2 = jnp.repeat(pad_mask, 2, axis=0)
+        enc_mask2 = jnp.repeat(enc_mask, 2, axis=0)
+        src_pos2 = jnp.broadcast_to(jnp.arange(s_len)[None], (2 * bn, s_len))
+
+        cache_len = max_tokens + 64
+        run_model = dp.place_replicated(self.model) if dp is not None \
+            else self.model
+        mesh_cm = dp.mesh if dp is not None else _null_cm()
+        sa_caches = run_model.decoder.init_cache(2 * bn, cache_len)
+        if dp is not None:
+            src2, src_pos2, pad2, enc_mask2 = dp.shard_batch(
+                src2, src_pos2, pad2, enc_mask2)
+            sa_caches = dp.shard_batch_tree(sa_caches, 2 * bn)
+        with mesh_cm:
+            encoder_out, cross_kvs = _encode_text_jit(
+                run_model, src2, src_pos2, enc_mask2)
+        ca_mask = pad2[:, None, None, :]
+
+        key = jax.random.PRNGKey(seed)
+        first = np.full((c,), bos, dtype=np.int32)
+        out_frames = [[first.copy()] for _ in range(bn)]
+        done = np.zeros((bn,), dtype=bool)
+        last = jnp.asarray(np.broadcast_to(first, (2 * bn, c)).copy())
+        if dp is not None:
+            last = dp.shard_batch(last)
+        step = 0
+        while step < max_tokens and not done[:b].all():
+            n = min(64, max_tokens - step)
+            key, kc = jax.random.split(key)
+            with mesh_cm:
+                preds, sa_caches, last = _dia_chunk(
+                    run_model, sa_caches, cross_kvs, ca_mask, last,
+                    jnp.asarray(step, jnp.int32),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(delay), kc,
+                    bos, chunk=int(n), temperature=temperature,
+                    top_k=cfg_filter_top_k, cfg_scale=cfg_scale,
+                    force_bos=True,
+                )
+            preds_np = np.asarray(preds)   # [n, Bn, C]
+            for row in preds_np:
+                for i in range(bn):
+                    if done[i]:
+                        continue
+                    out_frames[i].append(row[i].astype(np.int32))
+                    if row[i][0] == eos:
+                        done[i] = True
+                step += 1
+
+        dac = self._get_dac()
+        elapsed = time.perf_counter() - start_time
+        results = []
+        for i in range(b):
+            frames = out_frames[i]
+            if done[i]:
+                frames = frames + _eos_tail(c, eos, pad_tok, delay)
+            codes = np.stack(frames, axis=1)          # [C, T]
+            audio = codebook_to_audio(codes, dac, delay, c=c)
+            results.append(make_generation_result(
+                audio, self.config.model.sample_rate, i, len(frames),
+                elapsed / b,
+            ))
+        return results
 
     def generate(self, text: str, temperature: float = 1.3, top_p: float = 0.95,
                  split_pattern: str = "\n", max_tokens: Optional[int] = None,

@@ -108,13 +108,43 @@ class GPT2Model(Module):
         x = self.ln_f(x)
         return x[jnp.arange(b), n_valid - 1], new_caches
 
-    def step(self, caches: List[KVCache], embed: jax.Array):
+    def prefill_left(self, caches: List[KVCache], embeds: jax.Array,
+                     pad_len: jax.Array):
+        """LEFT-padded prompt embeddings [B, Lb, D] (row b's prompt occupies
+        slots [pad_len[b], Lb)) -> (hidden at the shared frontier Lb-1
+        [B, D] after ln_f, caches at idx=Lb).
+
+        Ragged batches decode in lockstep this way: every row's write
+        frontier is the same scalar cache index (KVCache.idx is scalar;
+        per-row right-padding would need scatter writes), and the pad slots
+        are masked out of every attention read.  GPT-2's positions are
+        learned embeddings added by the CALLER on the real token index, so
+        the constant left shift changes nothing else."""
+        b, lb, _ = embeds.shape
+        max_len = caches[0].k.shape[-2]
+        i = jnp.arange(lb)[:, None]
+        j = jnp.arange(max_len)[None, :]
+        causal = (j <= i) & (j < lb)
+        valid = j[None] >= pad_len[:, None, None]        # [B, 1, max_len]
+        mask = jnp.where(causal[None] & valid, 0.0, -1e9)[:, None]
+        x = embeds
+        new_caches = []
+        for layer, cache in zip(self.h, caches):
+            x, cache = layer(x, cache, mask)
+            new_caches.append(cache)
+        return self.ln_f(x)[:, -1], new_caches
+
+    def step(self, caches: List[KVCache], embed: jax.Array, pad_len=None):
         """One embedding [B, 1, D] at the cache frontier -> (hidden [B, D]
-        after ln_f, caches)."""
+        after ln_f, caches).  pad_len [B] (left-padded batches) masks each
+        row's pad slots out of the attention read."""
         pos = caches[0].idx
         max_len = caches[0].k.shape[-2]
         j = jnp.arange(max_len)[None, None, None, :]
-        mask = jnp.where(j <= pos, 0.0, -1e9).astype(jnp.float32)
+        valid = j <= pos
+        if pad_len is not None:
+            valid = valid & (j >= pad_len[:, None, None, None])
+        mask = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
         x = embed
         new_caches = []
         for layer, cache in zip(self.h, caches):

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlx_audio_tpu.models.base import make_generation_result
-from mlx_audio_tpu.models.sampling import sample_top_k
+from mlx_audio_tpu.models.sampling import sample_top_k, sample_top_k_rows
 from mlx_audio_tpu.nn import Embedding, LayerNorm, Linear, Module
 
 from . import normalize
@@ -95,6 +95,12 @@ def _bucket(n: int, step: int = 64) -> int:
     return max(step, -(-n // step) * step)
 
 
+def _null_cm():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 @jax.jit
 def _prefill_jit(model, caches, embeds, n_valid):
     hidden, caches = model.gpt.prefill(caches, embeds, n_valid)
@@ -102,29 +108,39 @@ def _prefill_jit(model, caches, embeds, n_valid):
 
 
 @partial(jax.jit, static_argnames=("temp", "top_k", "chunk"))
-def _decode_chunk(model, caches, last_token, prompt_len, mel_pos0, key,
-                  temp: float, top_k: int, chunk: int):
+def _decode_chunk(model, caches, last_token, prompt_len, pad_len, mel_pos0,
+                  key, temp: float, top_k: int, chunk: int):
     """Scan `chunk` decode steps.  Each step embeds the previous mel code,
-    runs one GPT step, emits (latent [D], next token)."""
+    runs one GPT step, emits (latent [B, D], next token [B]).
+
+    prompt_len [B]: per-row learned-position offset (the reference quirk,
+    indextts.py:396-397).  pad_len [B]: left-pad slots masked out of
+    attention (ragged batches).  Sampling keys fold per row, so a row's
+    draw is independent of the batch (dp padding keeps real rows exact)."""
     pos_table_len = model.mel_pos_embedding.emb.weight.shape[0]
 
     def body(carry, _):
         caches, tok, mel_pos, key = carry
-        pos = jnp.minimum(prompt_len + mel_pos, pos_table_len - 1)
+        pos = jnp.minimum(prompt_len + mel_pos, pos_table_len - 1)  # [B]
         emb = (model.mel_embedding(tok[:, None])
-               + model.mel_pos_embedding.emb(pos)[None, None])
-        hidden, caches = model.gpt.step(caches, emb)
+               + model.mel_pos_embedding.emb(pos)[:, None])
+        hidden, caches = model.gpt.step(caches, emb, pad_len)
         latent = model.final_norm(hidden)  # [B, D]
         logits = model.mel_head(latent)
         key, sub = jax.random.split(key)
-        nxt = sample_top_k(sub, logits, temp, top_k).astype(jnp.int32)
-        return (caches, nxt[:, 0] if nxt.ndim > 1 else nxt,
-                mel_pos + 1, key), (latent, nxt.reshape(-1))
+        nxt = sample_top_k_rows(sub, logits, temp, top_k)  # [B]
+        return (caches, nxt, mel_pos + 1, key), (latent, nxt)
 
     (caches, tok, mel_pos, key), (latents, tokens) = jax.lax.scan(
         body, (caches, last_token, mel_pos0, key), None, length=chunk
     )
     return caches, tok, mel_pos, key, latents, tokens
+
+
+@jax.jit
+def _prefill_left_jit(model, caches, embeds, pad_len):
+    hidden, caches = model.gpt.prefill_left(caches, embeds, pad_len)
+    return model.final_norm(hidden), caches
 
 
 class Model(Module):
@@ -216,6 +232,28 @@ class Model(Module):
                  verbose: bool = False, max_tokens: int = 5000,
                  temperature: float = 0.8, top_k: int = 30, seed: int = 0,
                  chunk: int = 64, **kwargs):
+        yield self.generate_batch(
+            [text], ref_audio=ref_audio, ref_mel=ref_mel,
+            max_tokens=max_tokens, temperature=temperature, top_k=top_k,
+            seed=seed, chunk=chunk,
+        )[0]
+
+    def generate_batch(self, texts: List[str], ref_audio=None, ref_mel=None,
+                       max_tokens: int = 5000, temperature: float = 0.8,
+                       top_k: int = 30, seed: int = 0, chunk: int = 64,
+                       **kwargs) -> list:
+        """Batched synthesis: B texts share one conditioning pass and one
+        jitted mel-code decode loop (LEFT-padded ragged prompts, per-row
+        stop tracking; every GPT weight fetch amortized over B rows).
+
+        Under an active mesh with dp > 1 the batch pads to a dp multiple
+        and shards over 'data' with the weights replicated; per-row
+        sampling keys keep real rows exact vs the unsharded run.  BigVGAN
+        synthesis runs per row (latent lengths are ragged).  New
+        capability vs the reference (strictly single-text,
+        indextts.py:352)."""
+        from mlx_audio_tpu.parallel.context import active_mesh
+
         if ref_audio is not None:
             ref_mel = log_mel_spectrogram(
                 jnp.asarray(ref_audio, dtype=jnp.float32))
@@ -224,52 +262,86 @@ class Model(Module):
 
         t0 = time.perf_counter()
         g = self.args.gpt
-        embeds = self.prepare_input_embedding([text], ref_mel)
-        b, t, d = embeds.shape
+        b = len(texts)
+        ctx = active_mesh()
+        dp = ctx if (ctx is not None and ctx.dp > 1 and b > 1) else None
+        run_texts = list(texts)
+        if dp is not None:
+            while len(run_texts) % dp.dp:
+                run_texts.append(run_texts[-1])
+        bn = len(run_texts)
 
-        bucket = _bucket(t)
-        padded = jnp.zeros((b, bucket, d), dtype=embeds.dtype)
-        padded = jax.lax.dynamic_update_slice(padded, embeds, (0, 0, 0))
-        caches = self.gpt.init_cache(b, max_len=bucket + max_tokens)
+        rows = self.prepare_input_embedding(run_texts, ref_mel)
+        if bn == 1:
+            rows = [rows]
+        d = rows[0].shape[-1]
+        lens = [int(r.shape[1]) for r in rows]
+        bucket = _bucket(max(lens))
+        padded = np.zeros((bn, bucket, d), dtype=np.float32)
+        pad = np.zeros((bn,), dtype=np.int32)
+        for i, r in enumerate(rows):
+            pad[i] = bucket - lens[i]
+            padded[i, pad[i]:] = np.asarray(r)[0]
+        prompt_len = jnp.asarray(lens, dtype=jnp.int32)
+        pad_len = jnp.asarray(pad)
+        padded_j = jnp.asarray(padded)
 
-        latent0, caches = _prefill_jit(
-            self, caches, padded, jnp.asarray(t, dtype=jnp.int32))
+        run_model = dp.place_replicated(self) if dp is not None else self
+        mesh_cm = dp.mesh if dp is not None else _null_cm()
+        caches = run_model.gpt.init_cache(bn, max_len=bucket + max_tokens)
+        if dp is not None:
+            caches = dp.shard_batch_tree(caches, bn)
+            padded_j, pad_len, prompt_len = dp.shard_batch(
+                padded_j, pad_len, prompt_len)
+
         key = jax.random.PRNGKey(seed)
-        key, sub = jax.random.split(key)
-        first = sample_top_k(sub, self.mel_head(latent0), temperature,
-                             top_k).astype(jnp.int32).reshape(-1)
+        with mesh_cm:
+            latent0, caches = _prefill_left_jit(
+                run_model, caches, padded_j, pad_len)
+            key, sub = jax.random.split(key)
+            first = sample_top_k_rows(
+                sub, run_model.mel_head(latent0), temperature, top_k)
 
-        latents = [np.asarray(latent0)[:, None]]  # [B, 1, D]
-        tokens: List[int] = []
-        stopped = int(first[0]) == g.stop_mel_token
+        latent0_np = np.asarray(latent0)
+        first_np = np.asarray(first)
+        latents = [[latent0_np[i]] for i in range(bn)]   # per-row [D] list
+        n_tokens = np.zeros((bn,), dtype=np.int64)
+        done = first_np == g.stop_mel_token
         last = first
         mel_pos = jnp.zeros((), dtype=jnp.int32)
-        prompt_len = jnp.asarray(t, dtype=jnp.int32)
-        while not stopped and len(tokens) < max_tokens:
-            tokens.append(int(last[0]))
-            caches, last, mel_pos, key, lat_c, tok_c = _decode_chunk(
-                self, caches, last, prompt_len, mel_pos, key,
-                temperature, top_k, chunk,
-            )
-            lat_c = np.asarray(lat_c)  # [chunk, B, D]
-            tok_c = np.asarray(tok_c)  # [chunk, B]
-            stop_hits = np.nonzero(tok_c[:, 0] == g.stop_mel_token)[0]
-            n_valid = int(stop_hits[0]) + 1 if len(stop_hits) else chunk
-            latents.append(lat_c[:n_valid].transpose(1, 0, 2))
-            tokens.extend(int(x) for x in tok_c[:n_valid - 1, 0])
-            if len(stop_hits):
-                stopped = True
-            if sum(a.shape[1] for a in latents) >= max_tokens:
-                break
+        while not done[:b].all() and int(n_tokens[:b].max(initial=0)) < max_tokens:
+            with mesh_cm:
+                caches, last, mel_pos, key, lat_c, tok_c = _decode_chunk(
+                    run_model, caches, last, prompt_len, pad_len, mel_pos,
+                    key, temperature, top_k, chunk,
+                )
+            lat_np = np.asarray(lat_c)  # [chunk, Bn, D]
+            tok_np = np.asarray(tok_c)  # [chunk, Bn]
+            for i in range(bn):
+                if done[i]:
+                    continue
+                hits = np.nonzero(tok_np[:, i] == g.stop_mel_token)[0]
+                n_valid = int(hits[0]) + 1 if len(hits) else chunk
+                # the latent of the stop step is included (reference keeps
+                # it, indextts.py:381-401); its token is not
+                latents[i].extend(lat_np[:n_valid, i])
+                n_tokens[i] += n_valid
+                if len(hits):
+                    done[i] = True
 
-        latent_states = jnp.asarray(
-            np.concatenate(latents, axis=1), dtype=jnp.float32)
-        audio = self.bigvgan(latent_states, ref_mel)
-        audio = np.asarray(audio).reshape(-1)
-        yield make_generation_result(
-            audio, self.sample_rate, 0, latent_states.shape[1],
-            time.perf_counter() - t0,
-        )
+        elapsed = time.perf_counter() - t0
+        results = []
+        for i in range(b):
+            latent_states = jnp.asarray(
+                np.stack(latents[i][: max_tokens + 1])[None],
+                dtype=jnp.float32)
+            audio = np.asarray(
+                self.bigvgan(latent_states, ref_mel)).reshape(-1)
+            results.append(make_generation_result(
+                audio, self.sample_rate, i, latent_states.shape[1],
+                elapsed / b,
+            ))
+        return results
 
     # -- weights -----------------------------------------------------------
 

@@ -33,7 +33,7 @@ from mlx_audio_tpu.codec.mimi import Mimi, mimi_202407
 from mlx_audio_tpu.codec.mimi.mimi import mimi_from_hf_config
 from mlx_audio_tpu.models.base import GenerationResult, make_generation_result
 from mlx_audio_tpu.models.lm.llama import LLAMA_FLAVORS, LlamaConfig, LlamaModel
-from mlx_audio_tpu.models.sampling import sample_top_k
+from mlx_audio_tpu.models.sampling import sample_top_k_rows
 from mlx_audio_tpu.nn import Embedding, Linear, Module
 
 
@@ -124,7 +124,7 @@ class SesameModel(Module):
         last_h = h[:, -1, :]
         k0, k_rest = jax.random.split(key)
         c0_logits = self.codebook0_head(last_h)
-        c0 = sample_top_k(k0, c0_logits, temp, top_k)[:, None]  # [B, 1]
+        c0 = sample_top_k_rows(k0, c0_logits, temp, top_k)[:, None]  # [B, 1]
         if (getattr(self, "spec_decode", False) and last_h.shape[0] == 1
                 and getattr(self, "_spec_packed", None) is not None):
             frame = self._depth_decode_spec(last_h, c0, k_rest, temp, top_k)
@@ -153,7 +153,7 @@ class SesameModel(Module):
         h, dec_caches = self.decoder.step(dec_caches, self.projection(first), pad0)
         l1 = jnp.einsum("bd,dv->bv", h[:, -1, :], self.audio_head[0])
         key, k1 = jax.random.split(key)
-        c1 = sample_top_k(k1, l1, temp, top_k)[:, None]
+        c1 = sample_top_k_rows(k1, l1, temp, top_k)[:, None]
 
         def body(carry, xs):
             caches, c_prev = carry
@@ -161,7 +161,7 @@ class SesameModel(Module):
             embed = self.audio_embeddings(c_prev + i * self.audio_vocab_size)
             h, caches = self.decoder.step(caches, self.projection(embed), pad0)
             logits = jnp.einsum("bd,dv->bv", h[:, -1, :], head)
-            c = sample_top_k(k, logits, temp, top_k)[:, None]
+            c = sample_top_k_rows(k, logits, temp, top_k)[:, None]
             return (caches, c), c_prev
 
         n_rest = nc - 2
@@ -362,21 +362,27 @@ class Model(Module):
     def mimi(self) -> Mimi:
         return self._mimi
 
-    def _decode_placement(self):
-        """(lm, mesh_cm): the LM to decode with and a context manager to run
-        decode steps under.  With an active mesh whose tp > 1 the backbone/
-        depth-decoder weights are sharded by tp_rules_llama (cached) and
-        steps run inside the mesh so XLA inserts the ICI collectives; Mimi
-        and the watermark stay replicated host-side."""
+    def _decode_placement(self, batch: int = 1):
+        """(lm, mesh_cm, dp_ctx): the LM to decode with, a context manager
+        to run decode steps under, and the mesh context when its data axis
+        can shard a ``batch``-row decode (else None).  With tp > 1 the
+        backbone/depth-decoder weights are sharded by tp_rules_llama
+        (cached); with dp > 1 and a multi-row batch the weights replicate
+        over 'data' while the caller shards the batch axis — dp=4,tp=2
+        composes (weights split over 'model' only, batch over 'data').
+        Mimi and the watermark stay replicated host-side."""
         import contextlib
 
         from mlx_audio_tpu.parallel.context import active_mesh
         from mlx_audio_tpu.parallel.mesh import tp_rules_llama
 
         ctx = active_mesh()
+        dp = ctx if (ctx is not None and ctx.dp > 1 and batch > 1) else None
         if ctx is not None and ctx.tp > 1:
-            return ctx.place_tp(self.model, tp_rules_llama), ctx.mesh
-        return self.model, contextlib.nullcontext()
+            return ctx.place_tp(self.model, tp_rules_llama), ctx.mesh, dp
+        if dp is not None:
+            return dp.place_replicated(self.model), dp.mesh, dp
+        return self.model, contextlib.nullcontext(), None
 
     def _get_tokenizer(self):
         if self._text_tokenizer is None:
@@ -584,45 +590,64 @@ class Model(Module):
             pad[i] = bucket - p.shape[0]
             tokens[i, pad[i]:] = p
             mask[i, pad[i]:] = m
-        pad_len = jnp.asarray(pad)
 
-        lm, mesh_cm = self._decode_placement()
+        lm, mesh_cm, dp = self._decode_placement(batch=b)
+        if dp is not None:
+            from mlx_audio_tpu.parallel.context import pad_batch_arrays
+
+            tokens, mask, pad, _ = pad_batch_arrays(dp, tokens, mask, pad)
+        bn = tokens.shape[0]                  # dp-padded batch
         wdtype = self.model.lm_dtype()
         caches = lm.backbone.init_cache(
-            b, max_len=bucket + max_frames, dtype=wdtype
+            bn, max_len=bucket + max_frames, dtype=wdtype
         )
+        pad_len = jnp.asarray(pad)
+        tokens_j, mask_j = jnp.asarray(tokens), jnp.asarray(mask)
+        if dp is not None:
+            caches = dp.shard_batch_tree(caches, bn)
+            tokens_j, mask_j, pad_len = dp.shard_batch(tokens_j, mask_j,
+                                                       pad_len)
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
         with mesh_cm:
             frame, caches = _prefill_and_first_frame(
-                lm, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
+                lm, caches, pad_len, tokens_j, mask_j,
                 k0, temperature, top_k,
             )
-        first = np.asarray(frame)             # [B, nc]
+        first = np.asarray(frame)             # [Bn, nc]
         all_frames = [first]
-        done = (first == 0).all(axis=1)
+        done = (first[:b] == 0).all(axis=1)
         n_frames = np.where(done, 0, 1)       # per-sequence audio length
-        last = first
+        last = frame
         produced = 1
         while produced < max_frames and not done.all():
             n = min(chunk, max_frames - produced)
             key, kc = jax.random.split(key)
             with mesh_cm:
                 out, caches = _frame_chunk(
-                    lm, caches, pad_len, jnp.asarray(last),
+                    lm, caches, pad_len, last,
                     kc, temperature, top_k, jnp.zeros((n,), dtype=jnp.int32),
                 )
-            out_np = np.asarray(out)          # [n, B, nc]
+            out_np = np.asarray(out)          # [n, Bn, nc]
             for f in out_np:
-                eos = (f == 0).all(axis=1)
+                eos = (f[:b] == 0).all(axis=1)
                 done = done | eos
                 n_frames = np.where(done, n_frames, n_frames + 1)
                 all_frames.append(f)
                 produced += 1
-            last = out_np[-1]
+            last = out[-1]
 
-        codes = jnp.asarray(np.stack(all_frames, axis=-1))        # [B, nc, T]
-        audio = np.asarray(self._mimi.decode(codes))[:, 0]        # [B, samples]
+        codes = np.stack(all_frames, axis=-1)                     # [Bn, nc, T]
+        if dp is not None:
+            # the vocoder pass shards the same way: Bn rows over 'data',
+            # Mimi weights replicated
+            mimi = dp.place_replicated(self._mimi)
+            with dp.mesh:
+                audio = np.asarray(
+                    mimi.decode(dp.shard_batch(jnp.asarray(codes)))
+                )[:b, 0]
+        else:
+            audio = np.asarray(self._mimi.decode(jnp.asarray(codes)))[:, 0]
         spf = int(self._mimi.samples_per_frame)
         elapsed = time.perf_counter() - start_time
         results = []
@@ -652,7 +677,7 @@ class Model(Module):
         # KV cache dtype follows the LM weights: with a bf16-cast model
         # (`model.cast_lm(jnp.bfloat16)`) the whole decode loop — params,
         # activations, cache reads — moves half the HBM bytes per step
-        lm, mesh_cm = self._decode_placement()
+        lm, mesh_cm, _ = self._decode_placement()
         wdtype = self.model.lm_dtype()
         caches = lm.backbone.init_cache(1, max_len=cache_len, dtype=wdtype)
 
@@ -715,7 +740,7 @@ def _prefill_and_first_frame(model, caches, pad_len, tokens, mask, key,
     h, caches = model.backbone.prefill(caches, embeds, pad_len)
     last_h = h[:, -1, :]
     k0, k_rest = jax.random.split(key)
-    c0 = sample_top_k(k0, model.codebook0_head(last_h), temp, top_k)[:, None]
+    c0 = sample_top_k_rows(k0, model.codebook0_head(last_h), temp, top_k)[:, None]
     if (getattr(model, "spec_decode", False) and last_h.shape[0] == 1
             and getattr(model, "_spec_packed", None) is not None):
         frame = model._depth_decode_spec(last_h, c0, k_rest, temp, top_k)

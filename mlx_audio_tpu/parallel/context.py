@@ -12,6 +12,7 @@ The reference has no analogue — it is single-device by construction
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -22,6 +23,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mlx_audio_tpu.parallel.mesh import get_mesh, shard_module
 
 _ACTIVE: Optional["MeshContext"] = None
+
+logger = logging.getLogger(__name__)
+
+# warn once per process when dp padding wastes a large fraction of a pass
+# (serving-side contract: size batches to dp multiples — the server batcher
+# rounds its flush size, server.py)
+_PAD_WASTE_THRESHOLD = 0.25
+_warned_pad_waste = False
+
+
+def _note_pad_waste(n: int, m: int, dp: int) -> None:
+    global _warned_pad_waste
+    if m == n or _warned_pad_waste:
+        return
+    if (m - n) / m > _PAD_WASTE_THRESHOLD:
+        _warned_pad_waste = True
+        logger.warning(
+            "dp=%d padded a batch of %d rows to %d — %d%% of this pass is "
+            "duplicated work; size batches to dp multiples to avoid it",
+            dp, n, m, round(100 * (m - n) / m),
+        )
 
 
 def parse_mesh_spec(spec: str) -> Tuple[int, int]:
@@ -81,6 +103,7 @@ class MeshContext:
         m = self.pad_rows(n)
         if m == n:
             return a, n
+        _note_pad_waste(n, m, self.dp)
         return jnp.concatenate(
             [a, jnp.repeat(a[-1:], m - n, axis=0)], axis=0), n
 
@@ -95,6 +118,21 @@ class MeshContext:
         s = self.data_sharding()
         out = tuple(jax.device_put(a, s) for a in arrays)
         return out[0] if len(out) == 1 else out
+
+    def shard_batch_tree(self, tree, batch: int):
+        """device_put every array leaf of a pytree: leaves whose leading
+        axis equals ``batch`` shard over 'data', everything else (cache
+        write indices, shared tables) replicates.  This is how KV-cache
+        pytrees enter a DP decode loop."""
+        data = self.data_sharding()
+        rep = self.replicated_sharding()
+
+        def place(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch:
+                return jax.device_put(x, data)
+            return jax.device_put(x, rep)
+
+        return jax.tree_util.tree_map(place, tree)
 
     def place_replicated(self, model):
         """Replicate a model's weights on the mesh (cached per model)."""
@@ -176,6 +214,7 @@ def pad_batch_arrays(ctx: MeshContext, *arrays: np.ndarray):
     m = ctx.pad_rows(n)
     if m == n:
         return (*arrays, n)
+    _note_pad_waste(n, m, ctx.dp)
     out = []
     for a in arrays:
         pad = np.repeat(a[-1:], m - n, axis=0)

@@ -278,6 +278,17 @@ class DynamicBatcher:
                         break
                     self._cond.wait(timeout=remaining)
                 group = [p for p in self._pending if p[0] == key0][: self.max_batch]
+                # dp-aware flush: a batch that is not a dp multiple pays a
+                # full duplicated row per pad (parallel/context.pad_batch),
+                # so when more than dp requests are queued, flush the
+                # largest dp multiple and leave the remainder for the next
+                # round (where new arrivals can top it up)
+                from mlx_audio_tpu.parallel.context import active_mesh
+
+                ctx = active_mesh()
+                if (ctx is not None and ctx.dp > 1 and len(group) > ctx.dp
+                        and len(group) % ctx.dp):
+                    group = group[: (len(group) // ctx.dp) * ctx.dp]
                 for g in group:
                     self._pending.remove(g)
             self._run_group(key0, group)

@@ -81,6 +81,10 @@ class VoicePipeline:
         self.cancel_event = asyncio.Event()
         self._speak_task: Optional[asyncio.Task] = None
         self._running = False
+        # multi-turn conversation memory (superset of the reference, whose
+        # _generate_response rebuilds system+user each turn, :200-215);
+        # ChatLM evicts drop-oldest when the context budget overflows
+        self._history: list = []
 
     # -- model access ------------------------------------------------------
 
@@ -116,13 +120,30 @@ class VoicePipeline:
 
     def respond(self, text: str) -> str:
         """LLM response (reference _generate_response, :198-221);
-        passthrough-echo when no LLM is configured or injected."""
+        passthrough-echo when no LLM is configured or injected.  Chat-aware
+        stages (ChatLM) get the running conversation history and the
+        exchange is recorded; plain callables stay (text)->text."""
         self.init_models()
         if self._llm is None:
             return text
-        if callable(self._llm):
-            return self._llm(text)
-        raise ValueError("llm must be a callable(text)->text")
+        if not callable(self._llm):
+            raise ValueError("llm must be a callable(text)->text")
+        import inspect
+
+        try:
+            takes_history = "history" in inspect.signature(
+                self._llm).parameters
+        except (TypeError, ValueError):
+            takes_history = False
+        if takes_history:
+            reply = self._llm(text, history=self._history)
+            self._history += [{"role": "user", "content": text},
+                              {"role": "assistant", "content": reply}]
+            # bound the stored transcript too (ChatLM evicts by token
+            # budget at prompt build; this caps host memory/tokenize cost)
+            del self._history[:-40]
+            return reply
+        return self._llm(text)
 
     def speak(self, text: str):
         """TTS a response; yields audio chunks, polling cancel for barge-in

@@ -57,9 +57,14 @@ def main():
                       (0, 2, 1, 3)), (L * n_chunks, dm, cw)))
     x = jnp.asarray(rng.integers(-127, 127, size=(1, dm), dtype=np.int8))
 
+    itemsize = 2 if args.dtype == "bf16" else 1
+    wdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.int8
+
     def make(mode):
+        if mode == "mxu" and args.dtype != "int8":
+            raise SystemExit("mxu mode probes s8 dot throughput; use int8")
         n_bufs = {"dma": 2, "dmac": 2, "dma8": 8, "dmabig": 2,
-                  "mxu": 1, "vpu": 1}[mode]
+                  "mxu": 1}[mode]
         big = mode == "dmabig"
 
         def kern(w_hbm, x_ref, out_ref, bufs, acc, sems):
@@ -105,7 +110,7 @@ def main():
                     if nxt < len(flat):
                         pend[idx % n_bufs] = start(*flat[nxt])
                 acc[0:1, :cw] = bufs[0, 0:1, :].astype(jnp.float32)
-            elif mode == "mxu":
+            else:  # mxu: s8 dots on a resident chunk (vpu mode: make_vpu)
                 a = jnp.zeros((1, cw), jnp.int32)
                 for l in range(L):
                     for j in range(n_chunks):
@@ -116,14 +121,6 @@ def main():
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
                 acc[0:1, :] = a.astype(jnp.float32)
-            else:  # vpu: resident [dm/8, 8, cw] weights, broadcast-MAC
-                a = jnp.zeros((8, cw), jnp.float32)
-                x3 = x3_ref[:].astype(jnp.float32)[:, :, 0:1]  # [dm/8,8,1]
-                for l in range(L):
-                    for j in range(n_chunks):
-                        w3 = bufs3[:].astype(jnp.float32)
-                        a = a + jnp.sum(w3 * x3, axis=0)
-                acc[0:1, :] = jnp.sum(a, axis=0, keepdims=True)[:, :cw]
             out_ref[0, 0] = acc[0, 0]
 
         if big:
@@ -138,7 +135,7 @@ def main():
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM(bufshape, jnp.int8),
+                pltpu.VMEM(bufshape, wdt),
                 pltpu.VMEM((8, cw), jnp.float32),
                 pltpu.SemaphoreType.DMA((max(2, n_bufs),)),
             ],
@@ -221,7 +218,7 @@ def main():
                 np.asarray(jitted(x3))
                 times.append(time.perf_counter() - t0)
             med = sorted(times)[len(times) // 2]
-            by = L * dm * cols * args.steps
+            by = L * dm * cols * args.steps * itemsize
             print(f"vpu: median {med*1e3:.2f} ms "
                   f"({med/args.steps*1e6:.0f} us/step, {by/med/1e9:.0f} "
                   f"GB/s-equiv)  [compile {compile_s:.1f}s]", flush=True)
@@ -255,7 +252,7 @@ def main():
             np.asarray(jitted(wdev, x))
             times.append(time.perf_counter() - t0)
         med = sorted(times)[len(times) // 2]
-        by = L * dm * cols * args.steps
+        by = L * dm * cols * args.steps * itemsize
         print(f"{mode}: median {med*1e3:.2f} ms "
               f"({med/args.steps*1e6:.0f} us/step, {by/med/1e9:.0f} GB/s)"
               f"  [compile {compile_s:.1f}s]", flush=True)

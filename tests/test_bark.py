@@ -30,8 +30,7 @@ def tiny_gpt_cfg(in_vocab, out_vocab, **kw):
     return d
 
 
-@pytest.fixture(scope="module")
-def model():
+def tiny_bark():
     cfg = ModelConfig(
         semantic_config=tiny_gpt_cfg(129600, 129600),
         coarse_acoustics_config=tiny_gpt_cfg(12096, 12096),
@@ -39,6 +38,11 @@ def model():
                                            n_codes_given=1),
     )
     return Model(cfg, codec=small_encodec(), tokenizer=FakeBertTokenizer())
+
+
+@pytest.fixture(scope="module")
+def model():
+    return tiny_bark()
 
 
 def test_semantic_stage(model):

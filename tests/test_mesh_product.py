@@ -12,8 +12,14 @@ Contracts verified:
   across dp=2 vs dp=4
 - Parakeet chunked decode shards its chunk batch and matches no-mesh text
 - CSM `generate` under tp=2 matches the replicated run
+- the shared causal-LM batch loop (Orpheus/OuteTTS/Spark/ChatLM) under
+  dp=4 is bit-exact vs unsharded — sampled and greedy, padded and not
+  (per-row sampling keys make a row's draw independent of the batch)
+- CSM `generate_batch` under dp=4 and dp=2,tp=2 matches unsharded
+- Bark (3-stage), IndexTTS (mel LM) and Dia (CFG pairs) batch paths under
+  dp=4 match unsharded including padding
 - the server micro-batcher coalesces concurrent requests into one
-  mesh-sharded generate_batch pass
+  mesh-sharded generate_batch pass, and flushes in dp multiples
 """
 
 import numpy as np
@@ -215,6 +221,224 @@ def test_csm_generate_tp2_matches_replicated():
 
 
 # ---------------------------------------------------------------------------
+# Causal-LM DP (Orpheus / OuteTTS / Spark / ChatLM shared loop)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_causal_lm():
+    from mlx_audio_tpu.models.lm.causal import LlamaForCausalLM
+    from mlx_audio_tpu.models.lm.llama import LlamaConfig
+
+    cfg = LlamaConfig(
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=8, hidden_size=16, intermediate_size=32, rms_norm_eps=1e-5,
+        vocab_size=64, max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    return LlamaForCausalLM(cfg)
+
+
+def test_causal_lm_dp4_matches_unsharded():
+    """The shared causal-LM batch loop under dp=4: per-row tokens must be
+    bit-equal to the unsharded run — sampled (per-row keys make the draw a
+    function of the row, not the batch) and greedy."""
+    from mlx_audio_tpu.models.lm.causal import generate_tokens_batch
+
+    lm = _tiny_causal_lm()
+    prompts = [np.arange(5), np.arange(3, 12), np.arange(7), np.arange(2, 6)]
+    for temp, top_k in ((0.0, 0), (0.9, 8)):
+        base = generate_tokens_batch(lm, prompts, max_tokens=12,
+                                     temperature=temp, top_k=top_k,
+                                     chunk=8, seed=11)
+        activate_mesh("dp=4")
+        dp = generate_tokens_batch(lm, prompts, max_tokens=12,
+                                   temperature=temp, top_k=top_k,
+                                   chunk=8, seed=11)
+        deactivate_mesh()
+        assert [r.tolist() for r in dp] == [r.tolist() for r in base], (
+            f"temp={temp}")
+
+
+def test_causal_lm_dp_padding_is_exact():
+    """b=3 pads to 4 under dp=4; per-row sampling keys keep real rows
+    bit-exact vs the unpadded unsharded run even with temperature>0."""
+    from mlx_audio_tpu.models.lm.causal import generate_tokens_batch
+
+    lm = _tiny_causal_lm()
+    prompts = [np.arange(4), np.arange(2, 10), np.arange(6)]
+    base = generate_tokens_batch(lm, prompts, max_tokens=10, temperature=0.8,
+                                 top_k=16, chunk=8, seed=4)
+    activate_mesh("dp=4")
+    dp = generate_tokens_batch(lm, prompts, max_tokens=10, temperature=0.8,
+                               top_k=16, chunk=8, seed=4)
+    assert len(dp) == 3
+    assert [r.tolist() for r in dp] == [r.tolist() for r in base]
+
+
+def test_orpheus_generate_batch_under_dp(monkeypatch):
+    """The family surface: Orpheus generate_batch routes through the
+    dp-sharded token loop and still returns per-text audio."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_orpheus import tiny_model
+
+    m = tiny_model()
+    activate_mesh("dp=4")
+    results = m.generate_batch(["first text", "second", "third", "fourth"],
+                               voice="tara", max_tokens=21)
+    assert len(results) == 4
+    for r in results:
+        assert np.asarray(r.audio).ndim == 1
+
+
+# ---------------------------------------------------------------------------
+# CSM batched decode under DP (and DP x TP composition)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def csm():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sesame import FakeTokenizer, tiny_config
+    from test_mimi import tiny_mimi
+    from mlx_audio_tpu.models.tts.sesame.model import Model
+
+    return Model(tiny_config(), mimi=tiny_mimi(nq=4),
+                 text_tokenizer=FakeTokenizer())
+
+
+CSM_TEXTS = ["hello world", "a second utterance", "third", "one more line"]
+
+
+def _csm_batch(model, texts, **kw):
+    ref = np.random.default_rng(0).standard_normal(1920).astype(np.float32) * 0.1
+    return model.generate_batch(
+        texts, ref_audio=ref, ref_text="hi", max_audio_length_ms=800,
+        seed=3, **kw,
+    )
+
+
+def test_csm_generate_batch_dp4_matches_unsharded(csm):
+    """CSM's batched AR loop (the throughput workhorse) under dp=4: frame
+    counts bit-equal, audio to float rounding, for sampled decode."""
+    base = _csm_batch(csm, CSM_TEXTS)
+    activate_mesh("dp=4")
+    dp = _csm_batch(csm, CSM_TEXTS)
+    assert len(base) == len(dp) == 4
+    for a, b in zip(base, dp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-4)
+
+
+def test_csm_generate_batch_dp_padding(csm):
+    """b=3 pads to 4 under dp=4; per-row sampling keys keep real rows exact."""
+    base = _csm_batch(csm, CSM_TEXTS[:3])
+    activate_mesh("dp=4")
+    dp = _csm_batch(csm, CSM_TEXTS[:3])
+    assert len(dp) == 3
+    for a, b in zip(base, dp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-4)
+
+
+def test_csm_generate_batch_dp2_tp2_composes(csm):
+    """dp=2,tp=2 on one model: batch over 'data', weights over 'model'."""
+    base = _csm_batch(csm, CSM_TEXTS)
+    activate_mesh("dp=2,tp=2")
+    dptp = _csm_batch(csm, CSM_TEXTS)
+    assert len(dptp) == 4
+    for a, b in zip(base, dptp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Bark three-stage batched decode under DP
+# ---------------------------------------------------------------------------
+
+
+def test_bark_generate_batch_dp4_matches_unsharded():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_bark import tiny_bark
+
+    model = tiny_bark()
+    texts = ["hi there", "second text", "third"]    # b=3 pads to 4
+    base = model.generate_batch(texts, temperature=0.7, seed=1)
+    activate_mesh("dp=4")
+    dp = model.generate_batch(texts, temperature=0.7, seed=1)
+    assert len(base) == len(dp) == 3
+    for a, b in zip(base, dp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# IndexTTS batched mel-LM decode under DP
+# ---------------------------------------------------------------------------
+
+
+def test_indextts_generate_batch_dp4_matches_unsharded():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_indextts import _FakeSpm, tiny_model_config
+    from mlx_audio_tpu.models.tts.indextts.indextts import Model
+
+    model = Model(tiny_model_config(), tokenizer=_FakeSpm())
+    ref_mel = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 21, 16)),
+        dtype=jnp.float32)
+    texts = ["hello world", "a second one", "third"]  # b=3 pads to 4
+    base = model.generate_batch(texts, ref_mel=ref_mel, max_tokens=12,
+                                chunk=4, temperature=0.8, seed=0)
+    activate_mesh("dp=4")
+    dp = model.generate_batch(texts, ref_mel=ref_mel, max_tokens=12,
+                              chunk=4, temperature=0.8, seed=0)
+    assert len(base) == len(dp) == 3
+    for a, b in zip(base, dp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dia batched CFG decode under DP
+# ---------------------------------------------------------------------------
+
+
+def test_dia_generate_batch_dp4_matches_unsharded():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_dia import tiny_dia
+
+    model = tiny_dia()
+    texts = ["[S1] hi [S2] hello", "[S1] another [S2] line",
+             "[S1] third [S2] text"]  # b=3 pads to 4: eviction+padding path
+    base = model.generate_batch(texts, max_tokens=24, temperature=1.0, seed=2)
+    activate_mesh("dp=4")
+    dp = model.generate_batch(texts, max_tokens=24, temperature=1.0, seed=2)
+    assert len(base) == len(dp) == 3
+    for a, b in zip(base, dp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # Server micro-batcher over the mesh
 # ---------------------------------------------------------------------------
 
@@ -247,3 +471,41 @@ def test_server_batcher_runs_dp_batched_pass(kokoro, tmp_path):
     for r in results:
         assert r.get("status", 200) == 200, r
         assert (tmp_path / r["filename"]).stat().st_size > 0
+
+
+def test_server_batcher_flushes_in_dp_multiples(kokoro, tmp_path):
+    """dp=4, 6 concurrent requests, max_batch=8: the batcher must flush a
+    4-row pass then a 2-row pass instead of one 6-row pass padded to 8
+    (a full duplicated row of compute per pad, parallel/context.pad_batch)."""
+    from mlx_audio_tpu.server import DynamicBatcher, ServerState
+
+    rng = np.random.default_rng(7)
+    pack = (rng.standard_normal((510, 1, 256)) * 0.1).astype(np.float32)
+    vpath = str(tmp_path / "voice.npy")
+    np.save(vpath, pack)
+
+    state = ServerState(output_folder=str(tmp_path))
+    state.tts_model = kokoro
+    state.tts_repo = "local/kokoro"
+    activate_mesh("dp=4")
+    batch_sizes = []
+    batcher = DynamicBatcher(state, max_batch=8, max_wait_ms=300.0)
+    orig = batcher._run_group
+
+    def record(key, group):
+        batch_sizes.append(len(group))
+        return orig(key, group)
+
+    batcher._run_group = record
+    try:
+        futs = [
+            batcher.submit("local/kokoro", f"request number {i}", vpath,
+                           "1.0", "a")
+            for i in range(6)
+        ]
+        results = [f.result(timeout=600) for f in futs]
+    finally:
+        batcher.close()
+    for r in results:
+        assert r.get("status", 200) == 200, r
+    assert batch_sizes == [4, 2], batch_sizes

@@ -278,6 +278,61 @@ def test_chat_lm_hf_config_mapping():
     assert cfg.head_dim == 8 and cfg.tie_word_embeddings
 
 
+def test_chat_lm_drop_oldest_eviction():
+    """A history longer than the context budget must drop OLDEST turns and
+    keep generating (never raise); system + current user always survive."""
+
+    class CountingTokenizer(FakeChatTokenizer):
+        last_messages = None
+
+        def apply_chat_template(self, messages, tokenize=True,
+                                add_generation_prompt=True):
+            CountingTokenizer.last_messages = [dict(m) for m in messages]
+            text = " ".join(m["content"] for m in messages)
+            return [3 + (ord(c) % 60) for c in text]  # no truncation
+
+    llm = tiny_chat_lm()
+    llm.tokenizer = CountingTokenizer()
+    # budget = 256 - 8 = 248 tokens; each turn ~50 chars -> ~10 turns max
+    history = [
+        {"role": "user" if i % 2 == 0 else "assistant",
+         "content": f"turn {i} " + "x" * 40}
+        for i in range(30)
+    ]
+    out = llm.respond("the current question", history=history)
+    assert isinstance(out, str) and out
+    kept = CountingTokenizer.last_messages
+    assert kept[0]["role"] == "system"
+    assert kept[-1]["content"] == "the current question"
+    # oldest turns evicted, newest retained
+    contents = [m["content"] for m in kept]
+    assert not any(c.startswith("turn 0 ") for c in contents)
+    assert any(c.startswith("turn 29 ") for c in contents)
+    # prompt fits the budget
+    assert len(llm._tokenize_messages(kept)) <= 256 - llm.max_tokens
+
+
+def test_voice_pipeline_accumulates_history():
+    """The pipeline records user/assistant turns and passes them to a
+    chat-aware LLM stage (multi-turn memory; superset of the reference)."""
+    from mlx_audio_tpu.sts.voice_pipeline import VoicePipeline
+
+    seen = []
+
+    class HistoryLLM:
+        def __call__(self, text, history=None):
+            seen.append(list(history or []))
+            return f"reply to {text}"
+
+    p = VoicePipeline(stt_model=object(), llm=HistoryLLM(),
+                      tts_model=object())
+    assert p.respond("one") == "reply to one"
+    assert p.respond("two") == "reply to two"
+    assert seen[0] == []
+    assert seen[1] == [{"role": "user", "content": "one"},
+                       {"role": "assistant", "content": "reply to one"}]
+
+
 def test_ws_sts_end_to_end_with_llm(monkeypatch, tmp_path):
     """mic-sim -> /ws/sts -> STT -> tiny random-weight chat LM -> TTS ->
     audio bytes back (reference behavior sts/voice_pipeline.py:193-231)."""
