@@ -15,7 +15,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from mlx_audio_tpu.models.tts.outetts.prompt_processor import PromptProcessor
+from mlx_audio_tpu.models.tts.outetts.prompt_processor import normalize_text
 
 
 def calculate_pitch(audio: np.ndarray, sr: int, min_freq: float = 75.0,
@@ -157,7 +157,7 @@ class AudioProcessor:
 
         wav16 = resample_audio(audio.reshape(-1), self.audio_codec.sr, 16000)
         data = whisper_model.generate(wav16, word_timestamps=True)
-        text = PromptProcessor.text_normalizations(data.text)
+        text = normalize_text(data.text)
         words = []
         for s in data.segments or []:
             words.extend(
