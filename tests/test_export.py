@@ -156,3 +156,152 @@ def test_csm_session_export_roundtrip(tmp_path):
                                   np.asarray(ref_pre[0]))
     np.testing.assert_array_equal(np.asarray(got_ch[0]),
                                   np.asarray(ref_ch[0]))
+
+
+def _init_state_from_meta(meta):
+    out = []
+    for s, d, v in zip(meta["state_shapes"], meta["state_dtypes"],
+                       meta["state_init"]):
+        if v == "zeros":
+            out.append(jnp.zeros(s, dtype=d))
+        else:
+            out.append(jnp.asarray(v, dtype=d).reshape(s))
+    return out
+
+
+def test_mimi_stream_export_seamless(tmp_path):
+    """Chunked decode through the exported STATEFUL program must equal the
+    batch decode of the same codes (the MimiStreamingDecoder guarantee,
+    reference mimi.py:264-306) — no seams, no O(n^2) re-decode."""
+    import json
+
+    from test_mimi import tiny_mimi
+    from mlx_audio_tpu.export import export_mimi_stream_decode, load_program
+
+    mimi = tiny_mimi(nq=4)
+    path = tmp_path / "mimi_stream.jaxexp"
+    info = export_mimi_stream_decode(mimi, path, batch=1, chunk_frames=3,
+                                     platforms=("cpu",))
+    assert info["bytes"] > 1000
+    meta = json.load(open(f"{path}.meta.json"))
+
+    codes = jnp.asarray(
+        np.random.default_rng(2).integers(0, 17, size=(1, 4, 9)), jnp.int32)
+    batch_audio = np.asarray(mimi.decode(codes))
+
+    step = load_program(path)
+    state = _init_state_from_meta(meta)
+    chunks = []
+    for i in range(3):
+        out = step(codes[:, :, 3 * i: 3 * i + 3], *state)
+        chunks.append(np.asarray(out[0]))
+        state = list(out[1:])
+    stream_audio = np.concatenate(chunks, axis=-1)
+    assert stream_audio.shape == batch_audio.shape
+    np.testing.assert_allclose(stream_audio, batch_audio, atol=1e-4)
+
+
+def test_causal_session_export_roundtrip(tmp_path):
+    """Exported causal-LM prefill/chunk programs reproduce the live greedy
+    loop (the Orpheus/OuteTTS/Spark decode engine)."""
+    import json
+
+    from mlx_audio_tpu.export import export_causal_session, load_program
+    from mlx_audio_tpu.models.lm.causal import (
+        LlamaForCausalLM,
+        generate_tokens_batch,
+    )
+    from mlx_audio_tpu.models.lm.llama import LlamaConfig
+
+    cfg = LlamaConfig(
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=8, hidden_size=16, intermediate_size=32, rms_norm_eps=1e-5,
+        vocab_size=64, max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    lm = LlamaForCausalLM(cfg)
+    info = export_causal_session(lm, str(tmp_path / "lm"), prompt_bucket=16,
+                                 max_tokens=8, chunk_tokens=4, temp=0.0,
+                                 platforms=("cpu",))
+    meta = json.load(open(tmp_path / "lm.meta.json"))
+    assert meta["chunk_tokens"] == 4
+
+    prompt_ids = np.arange(5)
+    live = generate_tokens_batch(lm, [prompt_ids], max_tokens=9,
+                                 temperature=0.0, chunk=4)[0]
+
+    prompt = np.zeros((1, 16), np.int32)
+    prompt[0, 16 - 5:] = prompt_ids
+    pad_len = jnp.asarray([11], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    flat = [jnp.zeros(s, dtype=d) for s, d in
+            zip(meta["cache_shapes"], meta["cache_dtypes"])]
+    pre = load_program(tmp_path / "lm.prefill")(
+        jnp.asarray(prompt), pad_len, key, *flat)
+    toks = [int(np.asarray(pre[0])[0])]
+    last, flat = pre[0], list(pre[1:])
+    for _ in range(2):
+        out = load_program(tmp_path / "lm.chunk")(last, pad_len, key, *flat)
+        toks.extend(int(t) for t in np.asarray(out[0])[:, 0])
+        last, flat = out[0][-1], list(out[1:])
+    assert toks[: len(live)] == live.tolist()
+
+
+def test_orpheus_export_set(tmp_path):
+    """export_orpheus writes the LM session + SNAC program + the frame
+    constants the host parser needs."""
+    import json
+
+    from test_orpheus import tiny_model
+    from mlx_audio_tpu.export import export_orpheus, load_program
+
+    m = tiny_model()
+    info = export_orpheus(m, str(tmp_path / "orp"), prompt_bucket=16,
+                          max_tokens=8, chunk_tokens=4, snac_frames=8,
+                          platforms=("cpu",))
+    meta = json.load(open(tmp_path / "orp.meta.json"))
+    assert meta["codes_per_frame"] == 7 and meta["stop_token"] > 0
+    assert info["snac_bytes"] > 1000
+
+    # SNAC program: 3 strided code streams -> waveform
+    snac = load_program(tmp_path / "orp.snac")
+    audio = snac(jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 4), jnp.int32),
+                 jnp.zeros((1, 8), jnp.int32))
+    assert np.asarray(audio).ndim == 3
+
+
+def test_whisper_greedy_export_roundtrip(tmp_path):
+    """The exported greedy window program reproduces api.decode's greedy
+    tokens for the same mel."""
+    import json
+
+    from test_whisper import tiny_dims, tiny_encoding
+    from mlx_audio_tpu.export import export_whisper_greedy, load_program
+    from mlx_audio_tpu.models.stt.whisper import api, transcribe as T
+    from mlx_audio_tpu.models.stt.whisper.decoding import DecodingOptions
+    from mlx_audio_tpu.models.stt.whisper.tokenizer import Tokenizer
+
+    tok = Tokenizer(encoding=tiny_encoding(), num_languages=4,
+                    language="en", task="transcribe")
+    m = T.Model(tiny_dims(tok))
+    m._tokenizer = lambda language=None, task=None: tok
+
+    path = tmp_path / "whisper.jaxexp"
+    info = export_whisper_greedy(m, path, batch=2, sample_len=8,
+                                 platforms=("cpu",))
+    meta = json.load(open(f"{path}.meta.json"))
+    sb = meta["finalize"]["sample_begin"]
+
+    mel = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 200, 80)) * 0.1,
+        jnp.float32)
+    live = api.decode(m, mel, DecodingOptions(language="en", sample_len=8,
+                                              temperature=0.0),
+                      tokenizer=tok)
+
+    toks, t_end, sum_lp, ns = load_program(path)(mel)
+    toks = np.asarray(toks)
+    for i, r in enumerate(live):
+        seq = toks[i, sb: int(t_end)].tolist()
+        if meta["finalize"]["eot"] in seq:
+            seq = seq[: seq.index(meta["finalize"]["eot"])]
+        assert seq == r.tokens
