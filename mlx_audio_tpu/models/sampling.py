@@ -11,11 +11,14 @@ import jax
 import jax.numpy as jnp
 
 
-# Above this vocab size the O(V log^2 V) on-device sort dominates a decode
-# step and the O(48 V) bisection wins; below it the 48 sequential bisection
-# iterations are pure latency in the scan and the sort is cheaper (measured:
-# bisection at CSM's V=2051 cost ~25% of end-to-end decode, while sort at
-# Spark's V=166k cost ~ms/token).
+# Above this vocab size the O(V log^2 V) on-device full sort dominates a
+# decode step; below it the small sort is cheapest (measured: sort at
+# Spark's V=166k cost ~ms/token, while at CSM's V=2051 the alternatives
+# are pure latency in the scan).  Large-vocab top-k now routes through
+# lax.top_k + categorical over the k kept values (round-3 probe,
+# scripts/opt_causal_probe.py: 889 us/step vs 1139 for the 48-iteration
+# value bisection and 2587 for top_k+full-vocab categorical at V=166k);
+# large-vocab top-p keeps the bisection (nucleus needs a mass threshold).
 _BISECT_MIN_VOCAB = 16384
 
 
@@ -57,14 +60,18 @@ def sample_top_k(key: jax.Array, logits: jax.Array, temp: float = 1.0,
     v = logits.shape[-1]
     if top_k > 0 and top_k < v:
         if v < _BISECT_MIN_VOCAB:
+            # sorted-filter semantics: ties at the k-th value all kept
             tau = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
-        else:  # tau = k-th largest value, sort-free
-            tau = _bisect_threshold(
-                logits,
-                lambda t: jnp.sum(logits >= t, axis=-1,
-                                  keepdims=True) >= top_k,
-            )
-        logits = jnp.where(logits < tau, -jnp.inf, logits)
+            logits = jnp.where(logits < tau, -jnp.inf, logits)
+        else:
+            # large vocab: categorical over the k kept values only — a
+            # full-vocab Gumbel draw at 150k-class vocabs costs more than
+            # the whole filter (probe numbers above).  Ties at the k-th
+            # value break by index here (measure-zero for real logits).
+            vals, idx = jax.lax.top_k(logits, top_k)
+            pick = jax.random.categorical(key, vals, axis=-1)
+            return jnp.take_along_axis(
+                idx, pick[..., None], axis=-1)[..., 0].astype(jnp.int32)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 

@@ -239,24 +239,20 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
     fin_len0 = jnp.zeros((a, n_cand), dtype=jnp.int32)
     fin_scores0 = jnp.full((a, n_cand), neg)
 
-    def gather_caches(caches_s, src):
-        """src: [A, K] source beam per new beam; reindex row dim A*K."""
-        flat_src = (jnp.arange(a)[:, None] * k_beam + src).reshape(-1)
-
-        def g(x):
-            return jnp.take(x, flat_src, axis=0) if x.ndim > 0 else x
-
-        return [c._replace(k=g(c.k), v=g(c.v)) for c in caches_s]
-
     def cond(state):
-        t, _, _, _, _, _, fin_scores, n_done = state
+        t, _, _, _, _, _, _, fin_scores, n_done = state
         return (t < t0 + sample_len) & (t < l) & ~jnp.all(n_done >= n_cand)
 
     def body(state):
-        (t, tokens, caches_s, alive_scores, fin_tokens, fin_len, fin_scores,
-         n_done) = state
+        (t, tokens, caches_s, origins, alive_scores, fin_tokens, fin_len,
+         fin_scores, n_done) = state
         last = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(ab, 0), axis=1)
-        logits, caches_s = model.decoder.step(caches_s, last, cross_kv)
+        # position t-1's K/V is written by each CURRENT row for itself this
+        # step — record that before the lazy-gather attention read
+        origins = jax.lax.dynamic_update_slice(
+            origins, jnp.arange(ab, dtype=jnp.int32)[:, None], (0, t - 1))
+        logits, caches_s = model.decoder.step(caches_s, last, cross_kv,
+                                              origins=origins)
         logits = logits.astype(jnp.float32)
         logits = apply_filters(logits, tokens, t, sample_begin, params,
                                suppress_mask, blank_mask)
@@ -303,15 +299,24 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         new_tokens = jnp.where(
             jnp.arange(l)[None, None, :] == t, new_tok[..., None], new_tokens
         ).reshape(ab, l)
-        caches_s = gather_caches(caches_s, new_src)
+        # lazy beam reorder: compose the [AB, L] origin map instead of
+        # physically copying the whole KV cache (VERDICT r2 #3 — the
+        # per-step reorder moved ~2x the cache per step; attention now
+        # gathers rows at read time, reading the same bytes it always did)
+        flat_src = (jnp.arange(a)[:, None] * k_beam + new_src).reshape(-1)
+        origins = jnp.take(origins, flat_src, axis=0)
 
-        return (t + 1, new_tokens, caches_s, new_scores, fin_tokens, fin_len,
-                fin_scores, n_done)
+        return (t + 1, new_tokens, caches_s, origins, new_scores, fin_tokens,
+                fin_len, fin_scores, n_done)
 
-    state = (t0, tokens_buf, caches, alive_scores0, fin_tokens0, fin_len0,
-             fin_scores0, jnp.zeros((a,), dtype=jnp.int32))
-    (t_end, tokens, caches, alive_scores, fin_tokens, fin_len, fin_scores,
-     n_done) = jax.lax.while_loop(cond, body, state)
+    origins0 = jnp.broadcast_to(
+        jnp.arange(ab, dtype=jnp.int32)[:, None],
+        (ab, caches[0].k.shape[-2]),
+    )
+    state = (t0, tokens_buf, caches, origins0, alive_scores0, fin_tokens0,
+             fin_len0, fin_scores0, jnp.zeros((a,), dtype=jnp.int32))
+    (t_end, tokens, caches, origins, alive_scores, fin_tokens, fin_len,
+     fin_scores, n_done) = jax.lax.while_loop(cond, body, state)
 
     # backfill: audios with unfinished beams take the best alive beams,
     # truncated at t_end with a forced EOT

@@ -88,14 +88,25 @@ class WhisperAttention(Module):
         q, k, v = self._split(self.query(x)), self._split(self.key(x)), self._split(self.value(x))
         return self._attend(q, k, v, mask)[0]
 
-    def self_cached(self, cache: KVCache, x, mask):
+    def self_cached(self, cache: KVCache, x, mask, origins=None):
         """Append x's keys/values to the cache and attend with the given
-        additive mask over the full buffer."""
+        additive mask over the full buffer.
+
+        origins [B, max_len] (beam search): per (row, position) index of
+        the physical row whose K/V holds this row's history at that
+        position.  Beam reorders then cost ONE [B, L] int map instead of a
+        full physical cache copy per step — the attention read gathers
+        lazily (reading the same bytes it would read anyway)."""
         q = self._split(self.query(x))
         k = self._split(self.key(x))
         v = self._split(self.value(x))
         cache = cache.update(k, v)
-        out, _ = self._attend(q, cache.k, cache.v, mask)
+        kk, vv = cache.k, cache.v
+        if origins is not None:
+            idx = origins[:, None, :, None]
+            kk = jnp.take_along_axis(kk, idx, axis=0)
+            vv = jnp.take_along_axis(vv, idx, axis=0)
+        out, _ = self._attend(q, kk, vv, mask)
         return out, cache
 
     def cross(self, x, k, v, return_qk=False):
@@ -121,8 +132,10 @@ class ResidualAttentionBlock(Module):
         x = x + self.mlp2(jax.nn.gelu(self.mlp1(self.mlp_ln(x)), approximate=False))
         return x
 
-    def decoder_call(self, x, cache, mask, cross_k, cross_v, return_qk=False):
-        y, cache = self.attn.self_cached(cache, self.attn_ln(x), mask)
+    def decoder_call(self, x, cache, mask, cross_k, cross_v, return_qk=False,
+                     origins=None):
+        y, cache = self.attn.self_cached(cache, self.attn_ln(x), mask,
+                                         origins=origins)
         x = x + y
         y, qk = self.cross_attn.cross(self.cross_attn_ln(x), cross_k, cross_v,
                                       return_qk)
@@ -220,8 +233,10 @@ class TextDecoder(Module):
             )
         return self.ln(x), new_caches
 
-    def step(self, caches: list, tokens: jax.Array, cross_kv: list):
-        """One decode step: tokens [B, 1] at position caches.idx."""
+    def step(self, caches: list, tokens: jax.Array, cross_kv: list,
+             origins=None):
+        """One decode step: tokens [B, 1] at position caches.idx.  origins
+        [B, max_len]: lazy beam-reorder map (see self_cached)."""
         pos = caches[0].idx
         x = self.token_embedding(tokens) + jax.lax.dynamic_slice(
             self.positional_embedding, (pos, 0), (1, self.positional_embedding.shape[1])
@@ -231,7 +246,8 @@ class TextDecoder(Module):
         mask = jnp.where(j <= pos, 0.0, -1e9).astype(jnp.float32)
         new_caches = []
         for block, cache, (ck, cv) in zip(self.blocks, caches, cross_kv):
-            x, cache, _ = block.decoder_call(x, cache, mask, ck, cv)
+            x, cache, _ = block.decoder_call(x, cache, mask, ck, cv,
+                                             origins=origins)
             new_caches.append(cache)
         x = self.ln(x)
         return self.token_embedding.as_linear(x)[:, -1], new_caches

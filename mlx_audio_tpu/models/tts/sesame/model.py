@@ -498,7 +498,7 @@ class Model(Module):
                 mimi_state = self._mimi.init_state(1)
                 for part in self._generate_frame_chunks(
                     prompt_tokens, prompt_mask, max_audio_frames, chunk,
-                    temperature, top_k, gen_key,
+                    temperature, top_k, gen_key, ramp=True,
                 ):
                     codes = jnp.asarray(np.stack(part, axis=-1))[None]  # [1,nc,T]
                     audio, mimi_state = self._mimi.decode_frames_stateful(
@@ -608,11 +608,10 @@ class Model(Module):
             tokens_j, mask_j, pad_len = dp.shard_batch(tokens_j, mask_j,
                                                        pad_len)
         key = jax.random.PRNGKey(seed)
-        key, k0 = jax.random.split(key)
         with mesh_cm:
             frame, caches = _prefill_and_first_frame(
                 lm, caches, pad_len, tokens_j, mask_j,
-                k0, temperature, top_k,
+                key, temperature, top_k,
             )
         first = np.asarray(frame)             # [Bn, nc]
         all_frames = [first]
@@ -622,11 +621,11 @@ class Model(Module):
         produced = 1
         while produced < max_frames and not done.all():
             n = min(chunk, max_frames - produced)
-            key, kc = jax.random.split(key)
             with mesh_cm:
                 out, caches = _frame_chunk(
                     lm, caches, pad_len, last,
-                    kc, temperature, top_k, jnp.zeros((n,), dtype=jnp.int32),
+                    key, temperature, top_k, jnp.zeros((n,), dtype=jnp.int32),
+                    frame0=produced,
                 )
             out_np = np.asarray(out)          # [n, Bn, nc]
             for f in out_np:
@@ -661,9 +660,15 @@ class Model(Module):
         return results
 
     def _generate_frame_chunks(self, prompt_tokens, prompt_mask, max_frames,
-                               chunk, temp, top_k, key):
+                               chunk, temp, top_k, key, ramp=False):
         """Host driver: prefill then chunked scans until EOS/max; yields
-        lists of [nc] frame-code arrays as they are produced."""
+        lists of [nc] frame-code arrays as they are produced.
+
+        ramp=True (streaming): the first chunks are 2 then 4 frames before
+        settling on `chunk`, so the first audio bytes leave ~4 frames
+        (~320 ms of audio, tens of ms of compute) earlier.  Per-frame
+        fold_in keys make the emitted frames identical for ANY chunk
+        schedule, so the ramp changes latency, not content."""
         t = prompt_tokens.shape[0]
         bucket = _prompt_bucket(t)
         pad = bucket - t
@@ -681,11 +686,10 @@ class Model(Module):
         wdtype = self.model.lm_dtype()
         caches = lm.backbone.init_cache(1, max_len=cache_len, dtype=wdtype)
 
-        key, k0 = jax.random.split(key)
         with mesh_cm:
             frame, caches = _prefill_and_first_frame(
                 lm, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
-                k0, temp, top_k,
+                key, temp, top_k,
             )
         frame_np = np.asarray(frame)[0]
         if (frame_np == 0).all():
@@ -694,14 +698,16 @@ class Model(Module):
         produced = 1
         last_frame = frame_np
 
+        ramp_sizes = [s for s in (2, 4) if ramp and s < chunk]
         done = False
         while produced < max_frames and not done:
-            n = min(chunk, max_frames - produced)
-            key, kc = jax.random.split(key)
+            n = min(ramp_sizes.pop(0) if ramp_sizes else chunk,
+                    max_frames - produced)
             with mesh_cm:
                 out_frames, caches = _frame_chunk(
                     lm, caches, pad_len, jnp.asarray(last_frame)[None],
-                    kc, temp, top_k, jnp.zeros((n,), dtype=jnp.int32),
+                    key, temp, top_k, jnp.zeros((n,), dtype=jnp.int32),
+                    frame0=produced,
                 )
             out_np = np.asarray(out_frames)[:, 0]  # [n, nc]
             for f in out_np:
@@ -733,13 +739,17 @@ def _prompt_bucket(n: int) -> int:
     return -(-n // 128) * 128
 
 
-@partial(jax.jit, static_argnames=("temp", "top_k"))
+@partial(jax.jit, static_argnames=("temp", "top_k"), donate_argnums=(1,))
 def _prefill_and_first_frame(model, caches, pad_len, tokens, mask, key,
                              temp, top_k):
     embeds = model.embed_tokens(tokens, mask)
     h, caches = model.backbone.prefill(caches, embeds, pad_len)
     last_h = h[:, -1, :]
-    k0, k_rest = jax.random.split(key)
+    # frame keys fold on the ABSOLUTE frame index (frame 0 here), so the
+    # sampled frames are independent of how the host chunks the loop —
+    # streaming chunk schedules (including the latency ramp) are exactly
+    # the batch run
+    k0, k_rest = jax.random.split(jax.random.fold_in(key, 0))
     c0 = sample_top_k_rows(k0, model.codebook0_head(last_h), temp, top_k)[:, None]
     if (getattr(model, "spec_decode", False) and last_h.shape[0] == 1
             and getattr(model, "_spec_packed", None) is not None):
@@ -749,10 +759,13 @@ def _prefill_and_first_frame(model, caches, pad_len, tokens, mask, key,
     return frame, caches
 
 
-@partial(jax.jit, static_argnames=("temp", "top_k"))
-def _frame_chunk(model, caches, pad_len, last_frame, key, temp, top_k, n_arr):
+@partial(jax.jit, static_argnames=("temp", "top_k"), donate_argnums=(1,))
+def _frame_chunk(model, caches, pad_len, last_frame, key, temp, top_k, n_arr,
+                 frame0=0):
     """Generate n frames via lax.scan.  last_frame: [B, nc] codes of the
-    previously emitted frame (its embedding is this chunk's first input)."""
+    previously emitted frame (its embedding is this chunk's first input).
+    frame0: absolute index of this chunk's first frame — per-frame sampling
+    keys are fold_in(key, frame index), so chunking doesn't change draws."""
     n = n_arr.shape[0]
     nc1 = model.audio_num_codebooks + 1
 
@@ -772,7 +785,8 @@ def _frame_chunk(model, caches, pad_len, last_frame, key, temp, top_k, n_arr):
         )
         return (caches, frame), frame
 
-    keys = jax.random.split(key, n)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, frame0 + jnp.arange(n))
     (caches, _), frames = jax.lax.scan(body, (caches, last_frame), keys)
     return frames, caches
 

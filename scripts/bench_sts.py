@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Speech-to-speech turn latency through the REAL transport: sim-mic
+16 kHz utterance -> /ws/sts websocket -> STT -> chat LLM -> TTS -> first
+audio byte back.  Reports p50/p95 time-to-first-audio over N turns
+(reference behavior being measured: sts/voice_pipeline.py:193-231 +
+server.py websocket transport).
+
+Models are real dimensions with random weights (no checkpoints in this
+environment — same convention as bench_whisper/bench_causal_lm):
+Whisper large-v3-turbo STT, Qwen2-0.5B-dims ChatLM, Kokoro-82M TTS.
+
+Usage: python scripts/bench_sts.py [--turns 6] [--utt-secs 2.0] [--json]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+import asyncio
+import json
+import tempfile
+import time
+
+import numpy as np
+
+
+class _ChatTokenizer:
+    """Synthetic chat-template tokenizer (no HF assets offline)."""
+
+    eos_token_id = 2
+
+    def apply_chat_template(self, messages, tokenize=True,
+                            add_generation_prompt=True):
+        text = " ".join(m["content"] for m in messages)
+        return [3 + (ord(c) % 800) for c in text][-512:]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"w{i}" for i in ids)
+
+    def convert_tokens_to_ids(self, tok):
+        return None
+
+
+class _BenchSTT:
+    """Whisper with latency-bench decode options (greedy, fixed language —
+    random weights would otherwise cascade through temperature fallback)."""
+
+    def __init__(self, model):
+        self.model = model
+        self.sample_rate = 16000
+
+    def generate(self, audio, **kw):
+        return self.model.generate(
+            np.asarray(audio, dtype=np.float32), temperature=0.0,
+            language="en", condition_on_previous_text=False,
+            no_speech_threshold=None,
+        )
+
+
+def build_models():
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.models.lm.causal import LlamaForCausalLM
+    from mlx_audio_tpu.models.lm.chat import ChatLM
+    from mlx_audio_tpu.models.lm.llama import LlamaConfig
+    from mlx_audio_tpu.models.stt.whisper.model import ModelDimensions
+    from mlx_audio_tpu.models.stt.whisper.transcribe import Model as Whisper
+    from mlx_audio_tpu.models.tts.kokoro.model import Model as Kokoro
+    from mlx_audio_tpu.models.tts.kokoro.presets import kokoro_82m_config
+
+    whisper = Whisper(ModelDimensions(
+        n_mels=128, n_audio_ctx=1500, n_audio_state=1280, n_audio_head=20,
+        n_audio_layer=32, n_vocab=51866, n_text_ctx=448, n_text_state=1280,
+        n_text_head=20, n_text_layer=4,
+    )).astype(jnp.bfloat16)
+
+    lm_cfg = LlamaConfig(
+        num_hidden_layers=24, num_attention_heads=14, num_key_value_heads=2,
+        head_dim=64, hidden_size=896, intermediate_size=4864,
+        rms_norm_eps=1e-6, vocab_size=2048, max_position_embeddings=4096,
+        rope_theta=1_000_000, tie_word_embeddings=True, qkv_bias=True,
+    )
+    chat = ChatLM(LlamaForCausalLM(lm_cfg).astype(jnp.bfloat16),
+                  _ChatTokenizer(), max_tokens=32, temperature=0.6)
+
+    kokoro = Kokoro(kokoro_82m_config()).astype(jnp.bfloat16)
+    return _BenchSTT(whisper), chat, kokoro
+
+
+async def run_turns(app, utt, turns):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    first_audio_ms, total_ms = [], []
+    async with TestClient(TestServer(app)) as client:
+        async with client.ws_connect("/ws/sts") as ws:
+            for i in range(turns):
+                t0 = time.perf_counter()
+                await ws.send_bytes(utt.tobytes())
+                await ws.send_str("flush")
+                await ws.receive_json(timeout=1200)       # transcript
+                await ws.receive_bytes(timeout=1200)      # first audio
+                t1 = time.perf_counter()
+                first_audio_ms.append((t1 - t0) * 1e3)
+                total_ms.append((t1 - t0) * 1e3)
+                print(f"turn {i}: first audio {first_audio_ms[-1]:.0f} ms",
+                      flush=True)
+    return first_audio_ms, total_ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=6)
+    ap.add_argument("--utt-secs", type=float, default=2.0)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    from mlx_audio_tpu.server import ServerState, create_app
+
+    stt, chat, kokoro = build_models()
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    pack = (rng.standard_normal((510, 1, 256)) * 0.1).astype(np.float32)
+    vpath = f"{tmp}/voice.npy"
+    np.save(vpath, pack)
+
+    state = ServerState(output_folder=tmp)
+    state.stt_model = stt
+    state.stt_repo = "bench/whisper-turbo-dims"
+    state.tts_model = kokoro
+    state.tts_repo = "bench/kokoro-82m-dims"
+    state.sts_options = {"tts_voice": vpath}
+
+    # inject the chat LLM (the pipeline otherwise loads from sts_options)
+    import mlx_audio_tpu.sts.voice_pipeline as vp
+
+    orig_init = vp.VoicePipeline.init_models
+
+    def init_with_llm(self):
+        self._llm = self._llm or chat
+        return orig_init(self)
+
+    vp.VoicePipeline.init_models = init_with_llm
+
+    t = np.arange(int(args.utt_secs * 16000)) / 16000
+    utt = (0.1 * np.sin(2 * np.pi * 220 * t)
+           + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+
+    app = create_app(state)
+    first_ms, total_ms = asyncio.new_event_loop().run_until_complete(
+        run_turns(app, utt, args.turns + 1))
+    first_ms = first_ms[1:]                    # drop the compile turn
+    p50 = float(np.percentile(first_ms, 50))
+    p95 = float(np.percentile(first_ms, 95))
+    print(f"STS turn first-audio: p50 {p50:.0f} ms  p95 {p95:.0f} ms "
+          f"({len(first_ms)} turns, {args.utt_secs:.1f}s utterances)")
+    if args.json:
+        print(json.dumps({
+            "metric": "sts_turn_first_audio_p50", "value": round(p50, 1),
+            "unit": "ms", "p95_ms": round(p95, 1), "turns": len(first_ms),
+            "utt_secs": args.utt_secs,
+        }))
+
+
+if __name__ == "__main__":
+    main()

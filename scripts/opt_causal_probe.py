@@ -132,6 +132,25 @@ def main():
 
     probes["samp_approx"] = scan(b_approx, logits_f)
 
+    def tau_sample(k, lg, temp, kk):
+        """Exact sorted-filter semantics: tau = kth largest via lax.top_k,
+        ties at tau kept, then full-vocab categorical."""
+        z = lg / temp
+        vals, _ = jax.lax.top_k(z, kk)
+        tau = vals[..., -1:]
+        z = jnp.where(z < tau, -jnp.inf, z)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            k, jnp.arange(lg.shape[0]))
+        return jax.vmap(lambda kr, zz: jax.random.categorical(kr, zz)
+                        )(keys, z).astype(jnp.int32)
+
+    def b_tau(carry, k):
+        lg = carry
+        t = tau_sample(k, lg, 0.8, 50)
+        return lg + t[:, None] * 1e-9, t
+
+    probes["samp_tau"] = scan(b_tau, logits_f)
+
     # -- lm head -----------------------------------------------------------
     W = lm.model.embed_tokens.weight                      # [V, D] bf16
     WT = jnp.asarray(np.asarray(W).T)                     # [D, V] copy
@@ -249,6 +268,91 @@ def main():
         lambda k, lg: topk_sample(k, lg, 0.8, 50).astype(jnp.int32))
     probes["full_greedy"] = make_full(
         lambda k, lg: jnp.argmax(lg, axis=-1).astype(jnp.int32))
+    probes["full_tau"] = make_full(lambda k, lg: tau_sample(k, lg, 0.8, 50))
+
+    # -- full 24-layer step with per-layer FUSED qkv + gate_up GEMMs -------
+    # (the isolated layer probes are distorted by per-scan overhead; this
+    # is the end-to-end comparison that decides the production change)
+    import numpy as _np
+
+    fused = []
+    for lyr in lm.model.layers:
+        at = lyr.self_attn
+        fused.append(dict(
+            ln1=lyr.input_layernorm.weight,
+            ln2=lyr.post_attention_layernorm.weight,
+            wqkv=jnp.concatenate([at.q_proj.weight, at.k_proj.weight,
+                                  at.v_proj.weight], axis=0),
+            bqkv=jnp.concatenate([at.q_proj.bias, at.k_proj.bias,
+                                  at.v_proj.bias], axis=0),
+            wo=at.o_proj.weight,
+            wgu=jnp.concatenate([lyr.mlp.gate_proj.weight,
+                                 lyr.mlp.up_proj.weight], axis=0),
+            wdown=lyr.mlp.down_proj.weight,
+        ))
+    fused_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fused)
+    norm_w = lm.model.norm.weight
+    cos, sin = lm.model.rope_cos, lm.model.rope_sin
+    Wemb = lm.model.embed_tokens.weight
+    eps = 1e-6
+
+    def rms(x, w):
+        x32 = x.astype(jnp.float32)
+        x32 = x32 * jax.lax.rsqrt(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+        return (x32 * w).astype(x.dtype)
+
+    @jax.jit
+    def full_fused(params, wemb, nw, kcs, vcs, tok, key):
+        def body(carry, k):
+            kcs, vcs, prev, pos = carry
+            hh = wemb[prev]                      # [1, D] embed row
+            def layer_body(h_kv, p):
+                h, kc, vc = h_kv
+                x = rms(h, p["ln1"])[:, None]
+                qkv = x @ p["wqkv"].T + p["bqkv"]
+                q = qkv[..., :896].reshape(1, 1, 14, HD).transpose(0, 2, 1, 3)
+                kx = qkv[..., 896:1024].reshape(1, 1, HKV, HD).transpose(0, 2, 1, 3)
+                vx = qkv[..., 1024:].reshape(1, 1, HKV, HD).transpose(0, 2, 1, 3)
+                q = apply_rope(q, cos, sin, pos[None])
+                kx = apply_rope(kx, cos, sin, pos[None])
+                kc = jax.lax.dynamic_update_slice(kc, kx, (0, 0, pos, 0))
+                vc = jax.lax.dynamic_update_slice(vc, vx, (0, 0, pos, 0))
+                mask = jnp.where(
+                    jnp.arange(kc.shape[-2])[None, None, None, :] <= pos,
+                    0.0, -1e9)
+                o = scaled_dot_product_attention(q, kc, vc, mask)
+                h = h + (o.transpose(0, 2, 1, 3).reshape(1, 14 * HD)
+                         @ p["wo"].T)
+                x2 = rms(h, p["ln2"])
+                gu = x2 @ p["wgu"].T
+                h = h + (jax.nn.silu(gu[..., :I]) * gu[..., I:]) @ p["wdown"].T
+                return (h, kc, vc), None
+
+            # manual python loop over layers (weights are a stacked pytree;
+            # index per layer keeps each GEMM a separate op like production)
+            h = hh
+            new_k, new_v = [], []
+            for li in range(24):
+                p = jax.tree_util.tree_map(lambda x: x[li], params)
+                (h, kc, vc), _ = layer_body((h, kcs[li], vcs[li]), p)
+                new_k.append(kc)
+                new_v.append(vc)
+            h = rms(h, nw)
+            logits = (h @ wemb.T).astype(jnp.float32)
+            nxt = topk_sample(k, logits, 0.8, 50).astype(jnp.int32)
+            return (new_k, new_v, nxt, pos + 1), nxt
+
+        keys = jax.random.split(key, steps)
+        (_, _, _, _), toks = jax.lax.scan(
+            body, (kcs, vcs, tok, jnp.asarray(0, jnp.int32)), keys)
+        return toks
+
+    kcs0 = [jnp.zeros((1, HKV, 1024, HD), jnp.bfloat16) for _ in range(24)]
+    vcs0 = [jnp.zeros((1, HKV, 1024, HD), jnp.bfloat16) for _ in range(24)]
+    tok0f = jnp.ones((1,), jnp.int32)
+    probes["full_fused"] = lambda: full_fused(
+        fused_stack, Wemb, norm_w, kcs0, vcs0, tok0f, key)
 
     # int8 weight-only head: does XLA stream half the bytes?
     Wq = jnp.asarray(
