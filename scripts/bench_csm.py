@@ -136,9 +136,11 @@ def main():
         return audio[0]
 
     if args.ttfa:
-        # streaming latency: prefill + first frame + a streaming_interval
-        # chunk (6 frames = 0.48 s audio) + stateful Mimi decode + watermark
-        n_first = 6
+        # streaming latency: prefill + first frame + the FIRST RAMP chunk
+        # (2 frames — the production stream schedule ramps 2,4,chunk,
+        # sesame/model.py) + stateful Mimi decode + watermark => the first
+        # 3 frames (0.24 s) of audible output
+        n_first = 3
 
         def run_ttfa(seed):
             key = jax.random.PRNGKey(seed)
