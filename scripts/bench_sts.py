@@ -127,10 +127,13 @@ def main():
     np.save(vpath, pack)
 
     state = ServerState(output_folder=tmp)
+    # repo ids must match the VoicePipelineConfig defaults so get_tts/
+    # get_stt return the injected random-weight models instead of
+    # attempting an HF load
     state.stt_model = stt
-    state.stt_repo = "bench/whisper-turbo-dims"
+    state.stt_repo = "mlx-community/whisper-large-v3-turbo"
     state.tts_model = kokoro
-    state.tts_repo = "bench/kokoro-82m-dims"
+    state.tts_repo = "prince-canuma/Kokoro-82M"
     state.sts_options = {"tts_voice": vpath}
 
     # inject the chat LLM (the pipeline otherwise loads from sts_options)
