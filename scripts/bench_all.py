@@ -55,7 +55,7 @@ def run_json(cmd: list, timeout: int = 3600):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench_report.json")
-    ap.add_argument("--families", default="kokoro,csm,whisper,lm,sts")
+    ap.add_argument("--families", default="kokoro,csm,whisper,lm,sts,parakeet")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     fams = set(args.families.split(","))
@@ -87,6 +87,9 @@ def main():
     if "sts" in fams:
         report["sts"] = run_json(
             ["scripts/bench_sts.py", "--json", "--turns", it])
+    if "parakeet" in fams:
+        report["parakeet"] = run_json(
+            ["scripts/bench_parakeet.py", "--json", "--iters", it])
 
     out = ROOT / args.out
     out.write_text(json.dumps(report, indent=2))

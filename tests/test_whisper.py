@@ -369,6 +369,19 @@ def test_hallucination_silence_skipping(model, tokenizer, monkeypatch):
     assert len(out.segments) < n_plain
 
 
+def test_iter_top_k_matches_lax_top_k():
+    """The beam loop's iterative (argmax, mask) selection must match
+    lax.top_k values exactly (indices may differ only on exact ties)."""
+    from mlx_audio_tpu.models.stt.whisper.decoding import _iter_top_k
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 5000)).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(x, 10)
+    v_got, i_got = _iter_top_k(x, 10)
+    np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+
+
 def test_beam_search_patience(model, tokenizer):
     """patience > 1 keeps searching for round(beam*patience) finished
     candidates (previously silently ignored); result stays a valid decode."""
