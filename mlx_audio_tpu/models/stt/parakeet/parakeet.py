@@ -73,68 +73,85 @@ def _joint_args(d: dict) -> JointArgs:
 def _transducer_greedy_loop(model, features, max_length, durations,
                             vocab_size: int, max_symbols: int, max_out: int,
                             tdt: bool):
-    """Greedy TDT/RNNT label loop as lax.while_loop.
+    """Greedy TDT/RNNT label loop as ONE batched lax.while_loop.
 
-    features: [1, T, D]; durations: [n_dur] (TDT) or unused.
-    Returns (tokens [max_out], times [max_out], durs [max_out], count).
+    features: [B, T, D]; max_length: [B]; durations: [n_dur] (TDT) or
+    unused.  All rows step in lockstep with their OWN time cursor and
+    prediction state; finished rows freeze.  This is what makes chunked
+    long audio fast: the per-label step is latency-bound (one tiny LSTM +
+    joint matvec), so B chunks in one loop cost the same wall time as one
+    (round-3 fix — the loop used to run per chunk sequentially).
+    Returns (tokens [B, max_out], times, durs, counts [B]).
     """
-    h0, c0 = model.decoder.init_state(1)
+    b = features.shape[0]
+    h0, c0 = model.decoder.init_state(b)
     blank = vocab_size
 
     def cond(s):
         time, count = s[0], s[8]
-        return (time < max_length) & (count < max_out)
+        return jnp.any((time < max_length) & (count < max_out))
 
     def body(s):
         (time, last_tok, use_emb, h, c, toks, times, durs, count, new_syms) = s
-        feature = jax.lax.dynamic_slice(
-            features, (0, time, 0), (1, 1, features.shape[2])
-        )[0]
-        dec_out, (h2, c2) = model.decoder.step(
-            last_tok[None], (h, c), use_emb[None]
-        )
-        joint = model.joint(feature, dec_out)[0].astype(jnp.float32)
-        pred = jnp.argmax(joint[: vocab_size + 1]).astype(jnp.int32)
+        active = (time < max_length) & (count < max_out)          # [B]
+        t_idx = jnp.clip(time, 0, features.shape[1] - 1)
+        feature = jnp.take_along_axis(
+            features, t_idx[:, None, None], axis=1)[:, 0]         # [B, D]
+        dec_out, (h2, c2) = model.decoder.step(last_tok, (h, c), use_emb)
+        joint = model.joint(feature, dec_out).astype(jnp.float32)  # [B, C]
+        pred = jnp.argmax(joint[:, : vocab_size + 1], axis=-1).astype(jnp.int32)
         if tdt:
-            decision = jnp.argmax(joint[vocab_size + 1:]).astype(jnp.int32)
+            decision = jnp.argmax(joint[:, vocab_size + 1:],
+                                  axis=-1).astype(jnp.int32)
             dur = durations[decision]
         else:
             dur = jnp.where(pred == blank, 1, 0).astype(jnp.int32)
-        emit = pred != blank
+        emit = (pred != blank) & active
 
-        toks = jnp.where(jnp.arange(max_out) == count, pred, toks)
-        times = jnp.where(jnp.arange(max_out) == count, time, times)
-        durs = jnp.where(jnp.arange(max_out) == count,
-                         jnp.where(tdt, dur, 1), durs)
+        # B-element scatters, not full [B, max_out] where-rewrites (the
+        # emission buffers are ~MB-scale; rewriting them every label step
+        # dominated the loop body)
+        rows = jnp.arange(b)
+        slot = jnp.minimum(count, max_out - 1)
+        toks = toks.at[rows, slot].set(
+            jnp.where(emit, pred, toks[rows, slot]))
+        times = times.at[rows, slot].set(
+            jnp.where(emit, time, times[rows, slot]))
+        durs = durs.at[rows, slot].set(
+            jnp.where(emit, jnp.where(tdt, dur, 1), durs[rows, slot]))
         count = count + emit.astype(jnp.int32)
         last_tok = jnp.where(emit, pred, last_tok)
         use_emb = use_emb | emit
-        h = jnp.where(emit, h2, h)
-        c = jnp.where(emit, c2, c)
+        gate = emit[None, :, None]
+        h = jnp.where(gate, h2, h)
+        c = jnp.where(gate, c2, c)
 
+        dur = jnp.where(active, dur, 0)
         time = time + dur
         if tdt:
-            new_syms = jnp.where(dur != 0, 0, new_syms + 1)
-            bump = (max_symbols > 0) & (new_syms >= max_symbols)
+            new_syms = jnp.where(dur != 0, 0,
+                                 new_syms + active.astype(jnp.int32))
+            bump = active & (max_symbols > 0) & (new_syms >= max_symbols)
             time = time + bump.astype(jnp.int32)
             new_syms = jnp.where(bump, 0, new_syms)
         else:
-            new_syms = jnp.where(emit, new_syms + 1, 0)
+            new_syms = jnp.where(emit, new_syms + 1,
+                                 jnp.where(active, 0, new_syms))
             bump = emit & (max_symbols > 0) & (new_syms >= max_symbols)
             time = time + bump.astype(jnp.int32)
             new_syms = jnp.where(bump, 0, new_syms)
         return (time, last_tok, use_emb, h, c, toks, times, durs, count, new_syms)
 
     init = (
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(blank, jnp.int32),
-        jnp.asarray(False),
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), blank, jnp.int32),
+        jnp.zeros((b,), bool),
         h0, c0,
-        jnp.zeros((max_out,), jnp.int32),
-        jnp.zeros((max_out,), jnp.int32),
-        jnp.zeros((max_out,), jnp.int32),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
+        jnp.zeros((b, max_out), jnp.int32),
+        jnp.zeros((b, max_out), jnp.int32),
+        jnp.zeros((b, max_out), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
     return out[5], out[6], out[7], out[8]
@@ -355,35 +372,38 @@ class ParakeetTDT(BaseParakeet):
         if mel.ndim == 2:
             mel = mel[None]
         features, lengths = _encode_jit(self, jnp.asarray(mel))
-        results = []
         scale = self._time_scale()
+        lengths_np = np.asarray(lengths)
+        # worst case: max_symbols emissions per frame before the forced
+        # time advance (reference parakeet.py:384-386,477-480) — a smaller
+        # buffer would silently truncate the transcript.  One buffer size
+        # for the whole batch (one compile per bucket).
+        max_out = max(16, (int(self.max_symbols) + 1) * int(lengths_np.max()))
+        toks, times, durs, counts = _transducer_greedy_loop(
+            self, features, jnp.asarray(lengths_np.astype(np.int32)),
+            jnp.asarray(self.durations, jnp.int32),
+            vocab_size=len(self.vocabulary),
+            max_symbols=int(self.max_symbols), max_out=max_out,
+            tdt=self.is_tdt,
+        )
+        toks_np = np.asarray(toks)       # one transfer each, not per token
+        times_np = np.asarray(times)
+        durs_np = np.asarray(durs)
+        counts_np = np.asarray(counts)
+        results = []
         for b in range(features.shape[0]):
-            max_len = int(lengths[b])
-            # worst case: max_symbols emissions per frame before the forced
-            # time advance (reference parakeet.py:384-386,477-480) — a
-            # smaller buffer would silently truncate the transcript
-            max_out = max(16, (int(self.max_symbols) + 1) * max_len)
-            toks, times, durs, count = _transducer_greedy_loop(
-                self, features[b: b + 1], jnp.asarray(max_len, jnp.int32),
-                jnp.asarray(self.durations, jnp.int32),
-                vocab_size=len(self.vocabulary),
-                max_symbols=int(self.max_symbols), max_out=max_out,
-                tdt=self.is_tdt,
-            )
-            n = int(count)
-            toks_np = np.asarray(toks)   # one transfer each, not 3 per token
-            times_np = np.asarray(times)
-            durs_np = np.asarray(durs)
             hypothesis = [
                 al.AlignedToken(
-                    int(toks_np[i]),
-                    start=float(times_np[i]) * scale,
-                    duration=float(durs_np[i]) * scale,
-                    text=al.decode_tokens([int(toks_np[i])], self.vocabulary),
+                    int(toks_np[b, i]),
+                    start=float(times_np[b, i]) * scale,
+                    duration=float(durs_np[b, i]) * scale,
+                    text=al.decode_tokens([int(toks_np[b, i])],
+                                          self.vocabulary),
                 )
-                for i in range(n)
+                for i in range(int(counts_np[b]))
             ]
-            results.append(al.sentences_to_result(al.tokens_to_sentences(hypothesis)))
+            results.append(
+                al.sentences_to_result(al.tokens_to_sentences(hypothesis)))
         return results
 
 

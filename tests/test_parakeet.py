@@ -212,18 +212,34 @@ def test_transducer_while_loop_matches_eager_oracle(tdt):
     max_len = int(lengths[0])
 
     toks, times, durs, count = _transducer_greedy_loop(
-        model, features[:1], jnp.asarray(max_len, jnp.int32),
+        model, features[:1], jnp.asarray([max_len], jnp.int32),
         jnp.asarray(model.durations, jnp.int32),
         vocab_size=len(model.vocabulary),
         max_symbols=int(model.max_symbols),
         max_out=max(16, (int(model.max_symbols) + 1) * max_len),
         tdt=tdt,
     )
-    got = [(int(toks[i]), int(times[i]), int(durs[i]))
-           for i in range(int(count))]
+    got = [(int(toks[0, i]), int(times[0, i]), int(durs[0, i]))
+           for i in range(int(count[0]))]
     want = _eager_transducer_oracle(model, features, max_len, tdt)
     assert got == want
     assert len(want) > 0  # random weights must emit something non-trivial
+
+    # batched rows must reproduce the single-row decode exactly (the loop
+    # runs all rows in lockstep with per-row cursors)
+    feats2 = jnp.concatenate([features[:1], features[:1]], axis=0)
+    t2, tm2, d2, c2 = _transducer_greedy_loop(
+        model, feats2, jnp.asarray([max_len, max_len], jnp.int32),
+        jnp.asarray(model.durations, jnp.int32),
+        vocab_size=len(model.vocabulary),
+        max_symbols=int(model.max_symbols),
+        max_out=max(16, (int(model.max_symbols) + 1) * max_len),
+        tdt=tdt,
+    )
+    for row in range(2):
+        got2 = [(int(t2[row, i]), int(tm2[row, i]), int(d2[row, i]))
+                for i in range(int(c2[row]))]
+        assert got2 == want
 
 
 def test_ctc_collapse_keeps_repeats_across_blank():
