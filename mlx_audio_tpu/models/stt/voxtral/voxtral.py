@@ -20,7 +20,10 @@ import numpy as np
 
 from mlx_audio_tpu.models.base import BaseModelArgs
 from mlx_audio_tpu.models.lm.llama import LlamaConfig, LlamaModel
-from mlx_audio_tpu.models.sampling import sample_top_k, sample_top_p
+from mlx_audio_tpu.models.sampling import (
+    sample_top_k_rows,
+    sample_top_p_rows,
+)
 from mlx_audio_tpu.nn import Conv1d, Embedding, LayerNorm, Linear, Module
 
 
@@ -160,9 +163,9 @@ def _decode_chunk(model, caches, pad_len, last_token, key, chunk: int,
         if temperature == 0:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         elif top_p < 1.0:
-            tok = sample_top_p(k, logits, temperature, top_p)
+            tok = sample_top_p_rows(k, logits, temperature, top_p)
         else:
-            tok = sample_top_k(k, logits, temperature, top_k)
+            tok = sample_top_k_rows(k, logits, temperature, top_k)
         return (caches_s, tok), tok
 
     keys = jax.random.split(key, chunk)
@@ -246,8 +249,9 @@ class Model(Module):
 
             audio = load_audio(audio, 16000)
         if mel is None and input_ids is None and audio is not None:
-            # long audio: transcribe per encoder window and concatenate
-            # (HF's processor likewise chunks into 30 s windows)
+            # long audio: all encoder windows share one prompt layout, so
+            # they decode as ONE batched AR loop (HF's processor likewise
+            # chunks into 30 s windows but runs them serially)
             from mlx_audio_tpu.models.stt.whisper.audio import (
                 log_mel_spectrogram,
             )
@@ -257,67 +261,113 @@ class Model(Module):
             )
             window = 2 * self.audio_cfg.max_source_positions
             if full_mel.shape[0] > window:
-                texts, tokens, segs = [], [], []
-                for start in range(0, int(full_mel.shape[0]), window):
-                    out = self.generate(
-                        None, mel=self._pad_window(full_mel[start:start + window]),
-                        input_ids=self._ids_for_window(),
-                        max_tokens=max_tokens, temperature=temperature,
-                        top_p=top_p, top_k=top_k,
-                        eos_token_ids=eos_token_ids, seed=seed, **kwargs,
-                    )
-                    texts.append(out.text)
-                    segs.extend(out.segments or [])
+                mels = jnp.stack([
+                    self._pad_window(full_mel[s: s + window])
+                    for s in range(0, int(full_mel.shape[0]), window)
+                ])
+                rows = self._decode_window_rows(
+                    mels, self._ids_for_window(), max_tokens=max_tokens,
+                    temperature=temperature, top_p=top_p, top_k=top_k,
+                    eos_token_ids=eos_token_ids, seed=seed,
+                )
+                texts = [self._tokenizer.decode(r)
+                         if self._tokenizer is not None else ""
+                         for r in rows]
                 return STTOutput(text=" ".join(t for t in texts if t),
-                                 segments=segs,
+                                 segments=[{"tokens": r} for r in rows],
                                  language=kwargs.get("language", "en"))
 
         if mel is None or input_ids is None:
             mel, input_ids = self._prepare_inputs(audio, **kwargs)
 
-        input_ids = np.asarray(input_ids).reshape(1, -1)
-        t = input_ids.shape[1]
-        bucket = max(64, -(-t // 64) * 64)
-        pad = bucket - t
-        padded = np.zeros((1, bucket), dtype=np.int32)
-        padded[0, pad:] = input_ids
-        pad_len = jnp.asarray([pad], dtype=jnp.int32)
-
-        embeds = self.merge_input_embeddings(
-            jnp.asarray(padded), jnp.asarray(mel, jnp.float32)[None]
-        )
-        caches = self.language_model.init_cache(1, max_len=bucket + max_tokens)
-        h, caches = self.language_model.prefill(caches, embeds, pad_len)
-        logits = self.lm_logits(h[:, -1]).astype(jnp.float32)
-        key = jax.random.PRNGKey(seed)
-        key, k0 = jax.random.split(key)
-        if temperature == 0:
-            tok = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
-        else:
-            tok = int(np.asarray(sample_top_p(k0, logits, temperature, top_p))[0])
-        generated = []
-        last = jnp.asarray([tok], dtype=jnp.int32)
-        if tok not in eos_token_ids:
-            generated.append(tok)
-            while len(generated) < max_tokens:
-                n = min(32, max_tokens - len(generated))
-                key, kc = jax.random.split(key)
-                toks, caches, last = _decode_chunk(
-                    self, caches, pad_len, last, kc, chunk=n,
-                    temperature=temperature, top_k=top_k, top_p=top_p,
-                )
-                done = False
-                for tk in np.asarray(toks)[:, 0]:
-                    if int(tk) in eos_token_ids:
-                        done = True
-                        break
-                    generated.append(int(tk))
-                if done or n < 32:
-                    break
+        generated = self._decode_window_rows(
+            jnp.asarray(mel, jnp.float32)[None], input_ids,
+            max_tokens=max_tokens, temperature=temperature, top_p=top_p,
+            top_k=top_k, eos_token_ids=eos_token_ids, seed=seed,
+        )[0]
         text = (self._tokenizer.decode(generated)
                 if self._tokenizer is not None else "")
         return STTOutput(text=text, segments=[{"tokens": generated}],
                          language=kwargs.get("language", "en"))
+
+    def _decode_window_rows(self, mels, input_ids, *, max_tokens: int,
+                            temperature: float, top_p: float, top_k: int,
+                            eos_token_ids, seed: int):
+        """Batched window decode: mels [W, frames, bins], one shared prompt
+        [T] -> per-window generated token lists.  Per-row EOS tracked on
+        host between scan chunks; under an active mesh with dp > 1 the
+        window batch pads to a dp multiple and shards over 'data' (the
+        same embarrassingly-parallel shape as Whisper windows)."""
+        import contextlib
+
+        from mlx_audio_tpu.parallel.context import active_mesh
+
+        w = mels.shape[0]
+        ctx = active_mesh()
+        dp = ctx if (ctx is not None and ctx.dp > 1 and w > 1) else None
+        if dp is not None and w % dp.dp:
+            wn = -(-w // dp.dp) * dp.dp
+            mels = jnp.concatenate(
+                [mels, jnp.repeat(mels[-1:], wn - w, axis=0)], axis=0)
+        wn = mels.shape[0]
+        ids = np.asarray(input_ids).reshape(-1)
+        t = len(ids)
+        bucket = max(64, -(-t // 64) * 64)
+        pad = bucket - t
+        padded = np.zeros((wn, bucket), dtype=np.int32)
+        padded[:, pad:] = ids
+
+        run = dp.place_replicated(self) if dp is not None else self
+        mesh_cm = dp.mesh if dp is not None else contextlib.nullcontext()
+        caches = run.language_model.init_cache(wn, max_len=bucket + max_tokens)
+        pad_len = jnp.full((wn,), pad, dtype=jnp.int32)
+        padded_j = jnp.asarray(padded)
+        mels_j = jnp.asarray(mels, jnp.float32)
+        if dp is not None:
+            caches = dp.shard_batch_tree(caches, wn)
+            padded_j, pad_len, mels_j = dp.shard_batch(padded_j, pad_len,
+                                                       mels_j)
+        key = jax.random.PRNGKey(seed)
+        with mesh_cm:
+            embeds = run.merge_input_embeddings(padded_j, mels_j)
+            h, caches = run.language_model.prefill(caches, embeds, pad_len)
+            logits = run.lm_logits(h[:, -1]).astype(jnp.float32)
+            key, k0 = jax.random.split(key)
+            if temperature == 0:
+                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                first = sample_top_p_rows(k0, logits, temperature, top_p)
+        first_np = np.asarray(first)
+
+        out = [[] for _ in range(w)]
+        done = np.zeros((w,), dtype=bool)
+        for i in range(w):
+            if int(first_np[i]) in eos_token_ids:
+                done[i] = True
+            else:
+                out[i].append(int(first_np[i]))
+        last = first
+        produced = 1
+        while produced < max_tokens and not done.all():
+            n = min(32, max_tokens - produced)
+            key, kc = jax.random.split(key)
+            with mesh_cm:
+                toks, caches, last = _decode_chunk(
+                    run, caches, pad_len, last, kc, chunk=n,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                )
+            toks_np = np.asarray(toks)          # [n, Wn]
+            for step in range(toks_np.shape[0]):
+                for i in range(w):
+                    if done[i]:
+                        continue
+                    tk = int(toks_np[step, i])
+                    if tk in eos_token_ids:
+                        done[i] = True
+                    else:
+                        out[i].append(tk)
+            produced += toks_np.shape[0]
+        return out
 
     def _pad_window(self, mel):
         window = 2 * self.audio_cfg.max_source_positions
