@@ -181,6 +181,22 @@ class Model(Module):
                  repetition_context_size: int = 20, seed: int = 0, **kwargs):
         prompt = text.replace("\\n", "\n").replace("\\t", "\t")
         prompts = prompt.split(split_pattern)
+
+        # multi-segment text under a dp>1 mesh: one batched DP pass over
+        # the segments (the Kokoro multi-segment contract) instead of a
+        # sequential per-segment loop
+        from mlx_audio_tpu.parallel.context import active_mesh
+
+        ctx = active_mesh()
+        if (ctx is not None and ctx.dp > 1 and len(prompts) > 1
+                and ref_audio is None):
+            yield from self.generate_batch(
+                prompts, voice=voice, temperature=temperature, top_p=top_p,
+                max_tokens=max_tokens, repetition_penalty=repetition_penalty,
+                repetition_context_size=repetition_context_size, seed=seed,
+            )
+            return
+
         rows = self.prepare_input_ids(prompts, voice, ref_audio, ref_text)
 
         for seg_idx, input_ids in enumerate(rows):

@@ -133,7 +133,23 @@ class Model(Module):
                                   add_special_tokens=False)
         stop = tuple(eos_id[-1:])
 
-        for seg_idx, prompt in enumerate(self.chunk_text(text)):
+        chunks = self.chunk_text(text)
+        # multi-chunk text under a dp>1 mesh (non-streaming): one batched
+        # DP pass instead of the sequential chunk loop
+        from mlx_audio_tpu.parallel.context import active_mesh
+
+        ctx = active_mesh()
+        if (ctx is not None and ctx.dp > 1 and len(chunks) > 1
+                and not stream and ref_audio is None):
+            for r in self.generate_batch(
+                chunks, voice=voice, temperature=temperature, top_p=top_p,
+                max_tokens=max_tokens, repetition_penalty=repetition_penalty,
+                repetition_context_size=repetition_context_size, seed=seed,
+            ):
+                yield r
+            return
+
+        for seg_idx, prompt in enumerate(chunks):
             completion = prompt_processor.get_completion_prompt(prompt, speaker)
             input_ids = np.asarray(
                 tokenizer.encode(completion, add_special_tokens=False)

@@ -464,6 +464,22 @@ class Model(Module):
         if isinstance(text, str):
             text = re.split(split_pattern, text.strip()) if split_pattern else [text]
 
+        # multi-segment non-streaming text under a dp>1 mesh: one batched
+        # DP pass over the segments instead of the sequential loop
+        from mlx_audio_tpu.parallel.context import active_mesh
+
+        mesh_ctx = active_mesh()
+        if (not stream and mesh_ctx is not None and mesh_ctx.dp > 1
+                and len(text) > 1):
+            for r in self.generate_batch(
+                list(text), speaker=speaker, context=context,
+                max_audio_length_ms=max_audio_length_ms,
+                voice_match=voice_match, temperature=temperature,
+                top_k=top_k, seed=seed,
+            ):
+                yield r
+            return
+
         key = jax.random.PRNGKey(seed)
         for seg_idx, prompt in enumerate(text):
             start_time = time.perf_counter()

@@ -144,6 +144,21 @@ class Model(Module):
         if ref_audio is not None:  # voice cloning overrides control attrs
             gender = None
 
+        # multi-segment control-mode text under a dp>1 mesh: one batched
+        # DP pass instead of the sequential segment loop
+        from mlx_audio_tpu.parallel.context import active_mesh
+
+        segments = [s for s in text.split(split_pattern) if s.strip()]
+        ctx = active_mesh()
+        if (ctx is not None and ctx.dp > 1 and len(segments) > 1
+                and ref_audio is None and gender is not None):
+            yield from self.generate_batch(
+                segments, gender=gender, pitch=pitch, speed=speed,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                max_tokens=max_tokens, seed=seed, **kwargs,
+            )
+            return
+
         # tokenize the reference ONCE; every segment reuses the tokens
         ref_tokens = (self._audio_tokenizer.tokenize(ref_audio)
                       if ref_audio is not None and gender is None else None)

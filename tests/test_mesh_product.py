@@ -274,6 +274,41 @@ def test_causal_lm_dp_padding_is_exact():
     assert [r.tolist() for r in dp] == [r.tolist() for r in base]
 
 
+def test_generate_routes_multisegment_through_dp_batch():
+    """Under a dp>1 mesh a multi-segment (non-streaming) generate call must
+    route through the batched DP pass and yield the same audio as
+    generate_batch (the Kokoro multi-segment contract, now on the causal
+    families and CSM)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_orpheus import tiny_model
+
+    m = tiny_model()
+    activate_mesh("dp=4")
+    routed = list(m.generate("one\ntwo\nthree", voice="tara", max_tokens=21))
+    batch = m.generate_batch(["one", "two", "three"], voice="tara",
+                             max_tokens=21)
+    assert len(routed) == len(batch) == 3
+    for a, b in zip(routed, batch):
+        np.testing.assert_array_equal(np.asarray(a.audio), np.asarray(b.audio))
+
+
+def test_csm_generate_routes_multisegment_through_dp_batch(csm):
+    ref = np.random.default_rng(0).standard_normal(1920).astype(np.float32) * 0.1
+    activate_mesh("dp=4")
+    routed = list(csm.generate("hello there\nsecond segment", ref_audio=ref,
+                               ref_text="hi", max_audio_length_ms=800,
+                               seed=3))
+    batch = csm.generate_batch(["hello there", "second segment"],
+                               ref_audio=ref, ref_text="hi",
+                               max_audio_length_ms=800, seed=3)
+    assert len(routed) == len(batch) == 2
+    for a, b in zip(routed, batch):
+        np.testing.assert_array_equal(np.asarray(a.audio), np.asarray(b.audio))
+
+
 def test_orpheus_generate_batch_under_dp(monkeypatch):
     """The family surface: Orpheus generate_batch routes through the
     dp-sharded token loop and still returns per-text audio."""
