@@ -82,34 +82,60 @@ class WordTiming:
     probability: float
 
 
-def find_alignment(model, tokenizer, text_tokens: List[int], mel, num_frames: int,
-                   *, medfilt_width: int = 7, qk_scale: float = 1.0):
-    """Cross-attention DTW alignment for one window (reference timing.py:112)."""
+@jax.jit
+def _alignment_forward_jit(model, tokens, features):
+    """Teacher-forced decoder pass for alignment, jitted with the model as
+    a pytree argument (an eager full_forward re-traced per call with the
+    WEIGHTS baked in as constants — seconds per window over the device
+    tunnel; the eager-codec trap, docs/PERF.md)."""
+    return model.decoder.full_forward(tokens, features, return_cross_qk=True)
+
+
+@jax.jit
+def _encode_for_alignment(model, mel):
+    return model.encoder(mel)
+
+
+def find_alignment(model, tokenizer, text_tokens: List[int], mel,
+                   num_frames: int, *, medfilt_width: int = 7,
+                   qk_scale: float = 1.0, features=None):
+    """Cross-attention DTW alignment for one window (reference
+    timing.py:112).  ``features``: precomputed encoder output [T, D] —
+    the transcribe loop already encoded the window for decoding, so
+    word-timestamp mode need not run the encoder twice."""
     if len(text_tokens) == 0:
         return []
-    tokens = jnp.asarray(
-        [
-            *tokenizer.sot_sequence,
-            tokenizer.no_timestamps,
-            *text_tokens,
-            tokenizer.eot,
-        ],
-        dtype=jnp.int32,
-    )[None]
-    features = model.encoder(jnp.asarray(mel, dtype=jnp.float32)[None])
-    logits, cross_qks = model.decoder.full_forward(tokens, features,
-                                                   return_cross_qk=True)
-    logits = np.asarray(logits[0]).astype(np.float32)
+    row = [
+        *tokenizer.sot_sequence,
+        tokenizer.no_timestamps,
+        *text_tokens,
+        tokenizer.eot,
+    ]
+    # bucket the token length (pad with EOT) so the jit compiles per
+    # bucket, not per transcript length; padded positions are causal-
+    # masked futures of the real rows and are sliced off below
+    n_real = len(row)
+    bucket = max(32, -(-n_real // 32) * 32)
+    tokens = jnp.asarray(row + [tokenizer.eot] * (bucket - n_real),
+                         dtype=jnp.int32)[None]
+    if features is None:
+        features = _encode_for_alignment(
+            model, jnp.asarray(mel, dtype=jnp.float32)[None])
+    else:
+        features = jnp.asarray(features)[None]
+    logits, cross_qks = _alignment_forward_jit(model, tokens, features)
+    logits = np.asarray(logits[0, :n_real]).astype(np.float32)
     sample_begin = len(tokenizer.sot_sequence) + 1
 
     probs = _softmax(logits, axis=-1)
     text_token_probs = probs[np.arange(sample_begin - 1, sample_begin - 1 + len(text_tokens)),
                              list(text_tokens)]
 
-    # stack selected alignment heads: [H_sel, T_text_total, audio_ctx]
+    # stack selected alignment heads: [H_sel, T_text_total, audio_ctx];
+    # drop the bucket-pad rows BEFORE the across-token normalization
     heads = np.asarray(model.alignment_heads)
     qk = np.stack([np.asarray(cross_qks[l][0, h]) for l, h in heads])
-    qk = qk[:, :, : num_frames // 2]
+    qk = qk[:, :n_real, : num_frames // 2]
     qk = _softmax(qk * qk_scale, axis=-1)
     mean = qk.mean(axis=-2, keepdims=True)
     std = qk.std(axis=-2, keepdims=True) + 1e-9
@@ -194,6 +220,7 @@ def add_word_timestamps(
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     last_speech_timestamp: float = 0.0,
+    audio_features=None,
 ):
     """Attach per-word timing dicts to segments (reference timing.py:220)."""
     if len(segments) == 0:
@@ -202,7 +229,8 @@ def add_word_timestamps(
         [t for t in segment["tokens"] if t < tokenizer.eot] for segment in segments
     ]
     text_tokens = list(itertools.chain.from_iterable(text_tokens_per_segment))
-    alignment = find_alignment(model, tokenizer, text_tokens, mel, num_frames)
+    alignment = find_alignment(model, tokenizer, text_tokens, mel, num_frames,
+                               features=audio_features)
     word_durations = np.array([t.end - t.start for t in alignment])
     word_durations = word_durations[word_durations.nonzero()]
     median_duration = float(np.median(word_durations)) if len(word_durations) else 0.0

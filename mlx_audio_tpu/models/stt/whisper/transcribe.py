@@ -305,6 +305,9 @@ class _SeekLoop:
             prepend_punctuations=self.prepend_punctuations,
             append_punctuations=self.append_punctuations,
             last_speech_timestamp=self.last_speech_s,
+            # the decode pass already encoded this window — no second
+            # encoder run for word timing
+            audio_features=win.result.audio_features,
         )
 
     def drop_hallucinations(self, win: Window, segments: List[dict],
