@@ -72,6 +72,37 @@ def _cat_rows(key, logits, temperature):
     )(keys, logits).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("max_steps", "temperature"))
+def _semantic_prefill(model, encoded, hist, k0, max_steps: int,
+                      temperature: float):
+    """Jitted semantic-stage prefill: merged text+history embeddings +
+    infer token -> (first sampled token [B], feed token [B], caches).
+    One compiled graph per batch size (eager execution dispatched the
+    whole prompt pass op-by-op over the device tunnel)."""
+    emb = (model.semantic.input_embeds_layer(encoded)
+           + model.semantic.input_embeds_layer(hist)[None])
+    b = encoded.shape[0]
+    infer = jnp.broadcast_to(
+        model.semantic.input_embeds_layer(
+            jnp.asarray([SEMANTIC_INFER_TOKEN]))[None],
+        (b, 1, emb.shape[-1]),
+    )
+    prompt_emb = jnp.concatenate([emb, infer], axis=1)   # [B, 257, D]
+    n = prompt_emb.shape[1]
+    caches = model.semantic.init_cache(b, n + max_steps)
+    logits, caches = model.semantic.prefill(
+        caches, prompt_emb, jnp.asarray(n, dtype=jnp.int32))
+    relevant = jnp.concatenate(
+        [logits.astype(jnp.float32)[:, :SEMANTIC_VOCAB_SIZE],
+         logits.astype(jnp.float32)[
+             :, SEMANTIC_PAD_TOKEN:SEMANTIC_PAD_TOKEN + 1]],
+        axis=-1,
+    )
+    tok0 = _cat_rows(k0, relevant, temperature)
+    feed = jnp.where(tok0 >= SEMANTIC_VOCAB_SIZE, SEMANTIC_PAD_TOKEN, tok0)
+    return tok0, feed, caches
+
+
 @partial(jax.jit, static_argnames=("chunk", "temperature"))
 def _semantic_chunk(model, caches, last_token, key, chunk: int,
                     temperature: float):
@@ -250,40 +281,16 @@ class Model(Module):
             hist = np.full(256, SEMANTIC_PAD_TOKEN)
 
         mesh_cm = dp.mesh if dp is not None else _null_cm()
-        # merged context: emb(text) + emb(history), then the infer token
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
         with mesh_cm:
             enc_dev = jnp.asarray(encoded)
             if dp is not None:
                 enc_dev = dp.shard_batch(enc_dev)
-            emb = (
-                self.semantic.input_embeds_layer(enc_dev)
-                + self.semantic.input_embeds_layer(jnp.asarray(hist))[None]
+            tok0, last, caches = _semantic_prefill(
+                self, enc_dev, jnp.asarray(hist), k0,
+                max_steps=max_steps, temperature=temperature,
             )
-            infer = jnp.broadcast_to(
-                self.semantic.input_embeds_layer(
-                    jnp.asarray([SEMANTIC_INFER_TOKEN]))[None],
-                (b, 1, emb.shape[-1]),
-            )
-            prompt_emb = jnp.concatenate([emb, infer], axis=1)  # [B, 257, D]
-            n = prompt_emb.shape[1]
-
-            caches = self.semantic.init_cache(b, n + max_steps)
-            if dp is not None:
-                caches = dp.shard_batch_tree(caches, b)
-            logits, caches = self.semantic.prefill(
-                caches, prompt_emb, jnp.asarray(n, dtype=jnp.int32)
-            )
-            key = jax.random.PRNGKey(seed)
-            key, k0 = jax.random.split(key)
-            relevant = jnp.concatenate(
-                [logits.astype(jnp.float32)[:, :SEMANTIC_VOCAB_SIZE],
-                 logits.astype(jnp.float32)[
-                     :, SEMANTIC_PAD_TOKEN:SEMANTIC_PAD_TOKEN + 1]],
-                axis=-1,
-            )
-            tok0 = _cat_rows(k0, relevant, temperature)
-            last = jnp.where(tok0 >= SEMANTIC_VOCAB_SIZE,
-                             SEMANTIC_PAD_TOKEN, tok0)
         tok0_np = np.asarray(tok0)
         out = [[] for _ in range(b)]
         done = tok0_np >= SEMANTIC_VOCAB_SIZE
