@@ -369,6 +369,34 @@ def test_hallucination_silence_skipping(model, tokenizer, monkeypatch):
     assert len(out.segments) < n_plain
 
 
+def test_merge_punctuations_semantics():
+    """Pin the openai-whisper punctuation-merge contract: prepended marks
+    (leading-space word in the prepend set) fold INTO the following word;
+    appended marks fold into the preceding word; merged slots empty out
+    but keep their place (token totals preserved)."""
+    from mlx_audio_tpu.models.stt.whisper.timing import (
+        WordTiming,
+        merge_punctuations,
+    )
+
+    def wt(word, toks):
+        return WordTiming(word, toks, 0.0, 0.0, 1.0)
+
+    a = [wt(" “", [1]), wt(" hello", [2]), wt(",", [3]), wt(" world", [4]),
+         wt("!", [5])]
+    merge_punctuations(a, prepended="\"'“¿([{-", appended="\"'.。,，!！?？:：”)]}、")
+    rendered = [(w.word, w.tokens) for w in a]
+    assert rendered == [
+        ("", []),
+        (" “ hello,", [1, 2, 3]),
+        ("", []),
+        (" world!", [4, 5]),
+        ("", []),
+    ]
+    # token order and totals survive the merge
+    assert [t for w in a for t in w.tokens] == [1, 2, 3, 4, 5]
+
+
 def test_iter_top_k_matches_lax_top_k():
     """The beam loop's iterative (argmax, mask) selection must match
     lax.top_k values exactly (indices may differ only on exact ties)."""
