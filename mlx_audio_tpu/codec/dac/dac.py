@@ -256,6 +256,35 @@ class DAC(Module):
     def decode_codes(self, codes: jax.Array) -> jax.Array:
         return self.decode(self.quantizer.from_codes(codes))
 
+    # -- chunked compression (reference descript/base.py:16-228) ----------
+
+    @property
+    def delay(self) -> int:
+        from mlx_audio_tpu.codec.dac.chunked import get_delay
+
+        return get_delay(self)
+
+    def get_output_length(self, input_length: int) -> int:
+        from mlx_audio_tpu.codec.dac.chunked import get_output_length
+
+        return get_output_length(self, input_length)
+
+    def compress(self, audio, win_duration: float = 1.0,
+                 normalize_db: Optional[float] = -16,
+                 n_quantizers: Optional[int] = None):
+        """audio (array or path) -> DACFile (windowed valid-conv encode;
+        all windows batched through one jitted call)."""
+        from mlx_audio_tpu.codec.dac.chunked import compress
+
+        return compress(self, audio, win_duration=win_duration,
+                        normalize_db=normalize_db, n_quantizers=n_quantizers)
+
+    def decompress(self, obj, normalize_db: Optional[float] = -16):
+        """DACFile (or .dac path) -> waveform [1, T]."""
+        from mlx_audio_tpu.codec.dac.chunked import decompress
+
+        return decompress(self, obj, normalize_db=normalize_db)
+
     def __call__(self, audio: jax.Array, n_quantizers: Optional[int] = None):
         length = audio.shape[-1]
         z, codes, latents = self.encode(audio, n_quantizers)

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Voxtral-Mini benchmark, real dimensions, random weights.
+
+Long-audio transcription through the public `Model.generate`: mel ->
+32x1280 Whisper-style audio tower -> 4-frame grouping + projector ->
+token splice -> 30x3072 Llama decode over all 30 s windows as ONE
+batched AR loop.  Random weights never emit EOS, so every window runs
+the full `max_tokens` budget — a fixed-budget lower bound (real audio
+EOTs much earlier).
+
+Reference loop being matched: /root/reference/mlx_audio/stt/models/
+voxtral/voxtral.py (per-window serial decode).
+
+Usage: python scripts/bench_voxtral.py [--secs 120] [--max-tokens 128]
+       [--iters 3] [--dtype bf16|f32] [--json]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--secs", type=float, default=120.0)
+    ap.add_argument("--max-tokens", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.models.stt.voxtral.voxtral import Model, ModelConfig
+
+    # ModelConfig defaults ARE mistralai/Voxtral-Mini-3B dims
+    model = Model(ModelConfig(), tokenizer=None)
+    if args.dtype == "bf16":
+        model = model.astype(jnp.bfloat16)
+    print(f"params: {model.num_params()/1e6:.0f}M  dtype={args.dtype}  "
+          f"audio={args.secs:.0f}s max_tokens={args.max_tokens}")
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(args.secs * 16000)) * 0.05
+             ).astype(np.float32)
+
+    def run():
+        out = model.generate(audio, max_tokens=args.max_tokens,
+                             temperature=0.0)
+        return sum(len(s["tokens"]) for s in out.segments)
+
+    for i in range(2):
+        t0 = time.perf_counter()
+        n = run()
+        print(f"warmup {i}: {time.perf_counter()-t0:.1f}s ({n} tokens)")
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        n = run()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print(f"iter {i}: {dt:.3f}s  {args.secs/dt:.1f} audio-sec/s "
+              f"({n} tokens)")
+    med = sorted(times)[len(times) // 2]
+    print(f"median: {med:.3f}s => {args.secs/med:.1f} audio-sec/s")
+    if args.json:
+        print(json.dumps({
+            "metric": "voxtral_audio_sec_per_s",
+            "value": round(args.secs / med, 1), "unit": "audio-sec/s",
+            "dtype": args.dtype, "secs": args.secs,
+            "max_tokens": args.max_tokens,
+        }))
+
+
+if __name__ == "__main__":
+    main()

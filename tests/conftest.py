@@ -22,6 +22,18 @@ import numpy as _np
 import pytest as _pytest
 
 
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between modules.  A full one-process suite
+    run accumulates hundreds of XLA:CPU programs and eventually segfaults
+    inside backend_compile_and_load on a later large compile (reproduced
+    at tests/test_mesh_product.py:466 after ~230 tests, jax 0.9); dropping
+    the executable caches at module boundaries keeps the compiler's
+    resident state bounded."""
+    yield
+    jax.clear_caches()
+
+
 @_pytest.fixture(autouse=True)
 def _deterministic_layer_init():
     """Model construction draws from a module-global RNG

@@ -156,3 +156,113 @@ def test_snac_from_pretrained_roundtrip(tmp_path):
     got = [np.asarray(c) for c in loaded.encode(jnp.asarray(audio))]
     for r, g in zip(ref, got):
         assert (r == g).all()
+
+
+# -- chunked compress/decompress (reference descript/base.py:16-228) -------
+
+
+def test_dac_output_length_matches_model():
+    """get_output_length must equal the actual valid-conv chain output."""
+    from mlx_audio_tpu.codec.dac.chunked import (
+        get_output_length,
+        unpadded_twin,
+    )
+
+    model = small_dac()
+    twin = unpadded_twin(model)
+    n = 64 * model.hop_length  # must exceed the valid-conv receptive field
+    z, codes, _ = twin.encode(jnp.zeros((1, 1, n)))
+    out = twin.decode(z)
+    assert out.shape[-1] == get_output_length(model, n)
+    # and the original model still pads (twin is a separate pytree);
+    # 'same' mode may come a few samples short of n (odd strides pad
+    # asymmetrically) but must stay within one hop
+    z2, _, _ = model.encode(jnp.zeros((1, 1, n)))
+    assert n - model.hop_length < model.decode(z2).shape[-1] <= n
+
+
+def test_dac_compress_roundtrip_long(tmp_path):
+    """Audio longer than the window: chunked valid-conv encode, .dac file
+    save/load, decompress trims to the original sample count."""
+    model = small_dac()
+    sr = model.sample_rate
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(4.0 * sr)) * 0.3).astype(np.float32)
+
+    f = model.compress(audio, win_duration=1.3)
+    assert f.padding is False
+    assert f.codes.shape[1] == model.n_codebooks
+    assert f.codes.shape[-1] % f.chunk_length == 0
+
+    path = f.save(tmp_path / "clip")
+    assert path.suffix == ".dac"
+    from mlx_audio_tpu.codec.dac import DACFile
+
+    loaded = DACFile.load(path)
+    assert (np.asarray(loaded.codes) == np.asarray(f.codes)).all()
+    assert loaded.original_length == audio.shape[-1]
+
+    wav = model.decompress(loaded)
+    assert wav.shape == (1, audio.shape[-1])
+    assert np.isfinite(wav).all()
+
+
+def test_dac_compress_short_clip():
+    """Clips <= win_duration take the single padded-encode path."""
+    model = small_dac()
+    sr = model.sample_rate
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(int(0.3 * sr)) * 0.3).astype(np.float32)
+    f = model.compress(audio, win_duration=1.0)
+    assert f.padding is True
+    wav = model.decompress(f)
+    assert wav.shape == (1, audio.shape[-1])
+
+
+def test_dac_chunked_matches_serial_windows():
+    """The batched window encode must equal encoding each window alone
+    (the reference's serial loop, base.py:167-175)."""
+    from mlx_audio_tpu.codec.dac.chunked import (
+        get_delay,
+        get_output_length,
+        unpadded_twin,
+    )
+
+    model = small_dac()
+    sr = model.sample_rate
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(int(3.0 * sr)) * 0.3).astype(np.float32)
+    f = model.compress(audio, win_duration=1.3, normalize_db=None)
+
+    twin = unpadded_twin(model)
+    delay = get_delay(model)
+    n_samples = int(
+        np.ceil(1.3 * sr / model.hop_length) * model.hop_length)
+    hop = get_output_length(model, n_samples)
+    padded = np.pad(audio, (delay, delay))
+    serial = []
+    for start in range(0, audio.shape[-1], hop):
+        piece = padded[start: start + n_samples]
+        piece = np.pad(piece, (0, n_samples - piece.shape[-1]))
+        serial.append(np.asarray(
+            twin.encode(jnp.asarray(piece)[None, None, :])[1]))
+    serial = np.concatenate(serial, axis=-1)
+    assert (np.asarray(f.codes) == serial).all()
+
+
+def test_dac_decompress_reference_style_seconds(tmp_path):
+    """Files written by the reference store original_length in float
+    seconds — decompress must convert, not truncate to int samples."""
+    from mlx_audio_tpu.codec.dac import DACFile
+
+    model = small_dac()
+    sr = model.sample_rate
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(int(0.4 * sr)) * 0.3).astype(np.float32)
+    f = model.compress(audio, win_duration=1.0)
+    ref_style = DACFile(
+        codes=f.codes, chunk_length=f.chunk_length,
+        original_length=audio.shape[-1] / sr, input_db=f.input_db,
+        channels=1, sample_rate=sr, padding=True)
+    wav = model.decompress(ref_style)
+    assert wav.shape == (1, audio.shape[-1])
