@@ -274,6 +274,7 @@ def export_csm_session(model, out_prefix, prompt_bucket: int = 256,
         "prompt_bucket": prompt_bucket,
         "chunk_frames": chunk_frames,
         "batch": batch,
+        "rng": "prefill and each chunk call take a PRNG key; pass a FRESH key per call, e.g. jax.random.fold_in(session_key, call_index) — reusing one key replays the identical per-step key schedule every chunk (repetitive audio at temp>0)",
         "cache_shapes": [list(x.shape) for x in flat],
         "cache_dtypes": [str(x.dtype) for x in flat],
         "eos": "all-zero frame",
@@ -375,6 +376,7 @@ def export_causal_session(lm, out_prefix, prompt_bucket: int = 128,
         "prompt_bucket": prompt_bucket,
         "chunk_tokens": chunk_tokens,
         "batch": batch,
+        "rng": "prefill and each chunk call take a PRNG key; pass a FRESH key per call, e.g. jax.random.fold_in(session_key, call_index) — reusing one key replays the identical per-step key schedule every chunk (repetitive audio at temp>0)",
         "cache_shapes": [list(x.shape) for x in flat],
         "cache_dtypes": [str(x.dtype) for x in flat],
         **(extra_meta or {}),

@@ -10,9 +10,12 @@ checkpoints in the standard HF layout.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional
 
 import numpy as np
+
+logger = logging.getLogger("mlx_audio_tpu.chat")
 
 from mlx_audio_tpu.models.lm.causal import LlamaForCausalLM, generate_tokens_batch
 from mlx_audio_tpu.models.lm.llama import LlamaConfig
@@ -171,6 +174,16 @@ class ChatLM:
         while len(ids) > budget and history:
             history.pop(0)           # drop-oldest eviction
             ids = self._tokenize_messages(build())
+        if len(ids) > budget:
+            # system + current user message alone overflow the context:
+            # keep the TAIL (the user's text matters most) rather than
+            # letting positions run past the RoPE table, and say so
+            logger.warning(
+                "chat prompt (%d tokens) exceeds the %d-token context "
+                "budget even with empty history; truncating to the tail",
+                len(ids), budget,
+            )
+            ids = ids[-budget:]
         out = generate_tokens_batch(
             self.model, [np.asarray(ids, dtype=np.int32)],
             max_tokens=self.max_tokens, temperature=self.temperature,

@@ -4,8 +4,10 @@ this build's dependency set; the HTTP surface is identical).
 
 Endpoints: POST /tts, GET /audio/{filename}, POST /play, POST /stop,
 GET /languages, GET /models, POST /open_output_folder, POST /stt,
-WS /ws/sts (speech-to-speech streaming; replaces the reference's
-fastrtc/WebRTC path with a websocket transport).
+WS /ws/sts (speech-to-speech streaming over websocket), and POST
+/webrtc/offer (aiortc SDP signaling for browser-native STS — the
+reference's fastrtc path, server.py:66-90; gated on aiortc being
+installed, with /ws/sts as the always-available fallback).
 
 Model serving is hot-swapped per repo id (server.py:169-178); generation
 runs on the jitted TPU graphs and batches per request.
@@ -234,7 +236,7 @@ class DynamicBatcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self._cond = threading.Condition()
-        self._pending: list = []   # (key, text, Future)
+        self._pending: list = []   # (key, text, Future, arrival_time)
         self._stop = False
         self.last_batch_size = 0   # observability / tests
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -244,10 +246,12 @@ class DynamicBatcher:
                speed: str, language: str):
         from concurrent.futures import Future
 
+        import time as _time
+
         fut: Future = Future()
         key = (model_repo, voice or "", str(speed), language or "a")
         with self._cond:
-            self._pending.append((key, text, fut))
+            self._pending.append((key, text, fut, _time.monotonic()))
             self._cond.notify_all()
         return fut
 
@@ -265,13 +269,17 @@ class DynamicBatcher:
                 while not self._pending and not self._stop:
                     self._cond.wait()
                 if self._stop:
-                    for _, _, fut in self._pending:
+                    for _, _, fut, _arr in self._pending:
                         fut.set_exception(RuntimeError("server shutting down"))
                     self._pending.clear()
                     return
                 key0 = self._pending[0][0]
-                deadline = _time.monotonic() + self.max_wait
-                while (sum(1 for k, _, _ in self._pending if k == key0)
+                # the wait window anchors to the request's ARRIVAL, not to
+                # when this round starts: a remainder left by a dp-multiple
+                # trim flushes at its original deadline instead of paying a
+                # fresh max_wait with no new arrivals (ADVICE r3)
+                deadline = self._pending[0][3] + self.max_wait
+                while (sum(1 for k, _, _, _ in self._pending if k == key0)
                        < self.max_batch and not self._stop):
                     remaining = deadline - _time.monotonic()
                     if remaining <= 0:
@@ -295,8 +303,8 @@ class DynamicBatcher:
 
     def _run_group(self, key, group):
         model_repo, voice, speed, language = key
-        texts = [t for _, t, _ in group]
-        futs = [f for _, _, f in group]
+        texts = [t for _, t, _, _ in group]
+        futs = [f for _, _, f, _ in group]
         self.last_batch_size = len(group)
         try:
             speed_value, err = _parse_speed(model_repo, speed)
@@ -552,8 +560,18 @@ def create_app(state: Optional[ServerState] = None):
     app.router.add_get("/languages", languages)
     app.router.add_get("/models", models)
     app.router.add_post("/open_output_folder", open_output_folder)
+    async def webrtc_offer_route(request):
+        """WebRTC STS signaling (reference server.py:66-90 fastrtc):
+        POST an SDP offer, receive the answer; the peer's mic track runs
+        the same VAD/endpointing/barge-in pipeline as /ws/sts.  Responds
+        501 with an install hint when aiortc is absent."""
+        from mlx_audio_tpu.sts.webrtc import webrtc_offer
+
+        return await webrtc_offer(request, state)
+
     app.router.add_post("/speech_to_speech_input", speech_to_speech_input)
     app.router.add_get("/ws/sts", sts_ws)
+    app.router.add_post("/webrtc/offer", webrtc_offer_route)
 
     ui = Path(__file__).parent / "tts" / "audio_player.html"
     if ui.exists():

@@ -305,3 +305,49 @@ def test_whisper_greedy_export_roundtrip(tmp_path):
         if meta["finalize"]["eot"] in seq:
             seq = seq[: seq.index(meta["finalize"]["eot"])]
         assert seq == r.tokens
+
+
+def test_causal_session_sampled_key_contract(tmp_path):
+    """temp>0 sessions: the meta records the fresh-key-per-call contract,
+    and two chunk calls from the same state with DISTINCT keys must draw
+    different continuations while the same key replays identically
+    (ADVICE r3: a host reusing one key loops the per-step schedule)."""
+    import json
+
+    from mlx_audio_tpu.export import export_causal_session, load_program
+    from mlx_audio_tpu.models.lm.causal import LlamaForCausalLM
+    from mlx_audio_tpu.models.lm.llama import LlamaConfig
+
+    cfg = LlamaConfig(
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=8, hidden_size=16, intermediate_size=32, rms_norm_eps=1e-5,
+        vocab_size=64, max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    lm = LlamaForCausalLM(cfg)
+    # temp high enough to flatten the tiny random-init model's peaked
+    # logits — the test needs the draw to actually depend on the key
+    export_causal_session(lm, str(tmp_path / "lm"), prompt_bucket=16,
+                          max_tokens=32, chunk_tokens=16, temp=4.0,
+                          platforms=("cpu",))
+    meta = json.load(open(tmp_path / "lm.meta.json"))
+    assert "fold_in" in meta["rng"]
+
+    prompt = np.zeros((1, 16), np.int32)
+    prompt[0, 11:] = np.arange(5)
+    pad_len = jnp.asarray([11], jnp.int32)
+    session_key = jax.random.PRNGKey(7)
+    flat = [jnp.zeros(s, dtype=d) for s, d in
+            zip(meta["cache_shapes"], meta["cache_dtypes"])]
+    pre = load_program(tmp_path / "lm.prefill")(
+        jnp.asarray(prompt), pad_len, jax.random.fold_in(session_key, 0),
+        *flat)
+    last, flat = pre[0], list(pre[1:])
+
+    chunk = load_program(tmp_path / "lm.chunk")
+    k1 = jax.random.fold_in(session_key, 1)
+    k2 = jax.random.fold_in(session_key, 2)
+    out_same = np.asarray(chunk(last, pad_len, k1, *flat)[0])
+    out_same2 = np.asarray(chunk(last, pad_len, k1, *flat)[0])
+    out_fresh = np.asarray(chunk(last, pad_len, k2, *flat)[0])
+    np.testing.assert_array_equal(out_same, out_same2)
+    assert (out_same != out_fresh).any()

@@ -371,3 +371,107 @@ def test_ws_sts_end_to_end_with_llm(monkeypatch, tmp_path):
     # transcript is the LLM reply, not the raw STT echo
     assert msg["transcript"] == llm.respond("hello there")
     assert len(audio) == 2400 * 4  # FakeTTSModel emits 2400 f32 samples
+
+
+# -- WebRTC transport (reference server.py:66-90 fastrtc) ------------------
+
+
+class _BridgeSTT:
+    def generate(self, audio, **kw):
+        class R:
+            text = "bridge hello"
+
+        return R()
+
+
+def _bridge_pipeline():
+    cfg = VoicePipelineConfig(silence_duration=0.2, silence_threshold=0.015)
+    return VoicePipeline(config=cfg, stt_model=_BridgeSTT(), llm=None,
+                         tts_model=FakeTTSModel())
+
+
+def test_webrtc_bridge_resample_normalizes_input():
+    from mlx_audio_tpu.sts.webrtc import PcmAssistantBridge
+
+    b = PcmAssistantBridge(_bridge_pipeline(), in_rate=48000)
+    stereo = (np.ones((2, 4800)) * 16384).astype(np.int16)
+    out = b._to_pipeline_rate(stereo)
+    assert out.dtype == np.float32
+    assert out.shape == (1600,)  # 48k -> 16k
+    assert abs(float(out[800]) - 0.5) < 0.01
+
+
+def test_webrtc_bridge_end_to_end_turn():
+    """48 kHz speech + silence through feed() must run a full STS turn and
+    expose the synthesized reply via pull() at the peer clock."""
+    from mlx_audio_tpu.sts.webrtc import PcmAssistantBridge
+
+    async def run():
+        pipeline = _bridge_pipeline()
+        texts = []
+        b = PcmAssistantBridge(pipeline, in_rate=48000, out_rate=48000,
+                               on_transcript=texts.append)
+        rng = np.random.default_rng(0)
+        speech = (rng.standard_normal(48000 // 2) * 0.3).astype(np.float32)
+        silence = np.zeros(48000 // 2, dtype=np.float32)
+        await b.feed(speech)
+        for _ in range(3):
+            await b.feed(silence)
+        assert b._turn_task is not None
+        await b._turn_task
+        assert texts == ["bridge hello"]
+        # FakeTTS emits 2400 zeros @ 24k -> 4800 samples @ 48k
+        assert b.pending_samples == 4800
+        first = await b.pull(960)
+        assert first.shape == (960,)
+        # pull past the end zero-fills
+        rest = await b.pull(48000)
+        assert rest.shape == (48000,)
+        assert b.pending_samples == 0
+
+    asyncio.run(run())
+
+
+def test_webrtc_bridge_barge_in_flushes_output():
+    from mlx_audio_tpu.sts.webrtc import PcmAssistantBridge
+
+    async def run():
+        pipeline = _bridge_pipeline()
+        b = PcmAssistantBridge(pipeline, in_rate=48000)
+        # a finished turn left reply audio queued
+        b._out = np.ones(9600, dtype=np.float32)
+        done = asyncio.get_event_loop().create_future()
+        done.set_result(None)
+        pipeline._speak_task = done  # pretend the assistant is speaking
+        pipeline._speak_task = asyncio.create_task(asyncio.sleep(10))
+        rng = np.random.default_rng(1)
+        speech = (rng.standard_normal(48000 // 4) * 0.3).astype(np.float32)
+        await b.feed(speech)  # new speech -> barge-in
+        assert b.pending_samples == 0
+        pipeline._speak_task.cancel()
+
+    asyncio.run(run())
+
+
+def test_webrtc_offer_501_without_aiortc(tmp_path):
+    """This build has no aiortc: signaling must fail loudly with the
+    install hint, not crash (docs/PARITY.md serving row)."""
+    from mlx_audio_tpu.sts.webrtc import have_aiortc
+
+    if have_aiortc():
+        pytest.skip("aiortc installed; 501 path not reachable")
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mlx_audio_tpu.server import create_app
+
+    async def run():
+        app = create_app(ServerState(output_folder=str(tmp_path)))
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.post("/webrtc/offer",
+                                     json={"sdp": "x", "type": "offer"})
+            assert resp.status == 501
+            body = await resp.json()
+            assert "aiortc" in body["error"]
+
+    asyncio.run(run())
