@@ -226,6 +226,9 @@ def _decode_impl(
     blank_mask = np.zeros((n_vocab,), np.float32)
     if options.suppress_blank:
         blank_mask[tokenizer.encode(" ") + [tokenizer.eot]] = -np.inf
+    if options.logit_bias:
+        for tid, bias in options.logit_bias.items():
+            suppress_mask[int(tid)] += float(bias)
     suppress_mask = jnp.asarray(suppress_mask)
     blank_mask = jnp.asarray(blank_mask)
 

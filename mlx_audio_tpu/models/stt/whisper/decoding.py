@@ -51,6 +51,10 @@ class DecodingOptions:
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
     fp16: bool = False
+    # additive per-token logit bias applied at every decode step
+    # ({token_id: bias}); steers decoding (e.g. encourage/penalize EOT or
+    # domain tokens) — applied inside the jitted loops at no extra cost
+    logit_bias: Optional[Dict[int, float]] = None
 
 
 @dataclass(frozen=True)
@@ -224,20 +228,20 @@ def _iter_top_k(x: jax.Array, k: int):
     return jnp.stack(vals, -1), jnp.stack(idxs, -1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("sample_len", "beam_size", "params",
+@partial(jax.jit, static_argnames=("chunk", "beam_size", "params",
                                    "patience"))
-def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
-                     suppress_mask, blank_mask, sample_len: int,
-                     beam_size: int, params: FilterConfig,
-                     patience: float = 1.0):
-    """Batched beam search over [n_audio * beam] rows.
+def _beam_chunk(model, caches, cross_kv, tokens_buf, origins, alive_scores,
+                fin_tokens, fin_len, fin_scores, n_done, t_in, budget_end,
+                sample_begin, suppress_mask, blank_mask, chunk: int,
+                beam_size: int, params: FilterConfig, patience: float):
+    """Up to `chunk` beam steps over [n_audio * beam] rows (full state in,
+    full state out — the host loop around it retires and compacts finished
+    audios between chunks).
 
-    tokens_buf/caches/cross_kv are already tiled to n_audio*beam rows with
-    identical prompts per audio.  ``patience`` keeps searching until
-    round(beam * patience) candidates finish (original Whisper
-    BeamSearchDecoder semantics).  Returns (finished_tokens [A, Kc, L],
-    finished_lengths [A, Kc], finished_scores [A, Kc]).
-    """
+    Per-audio freeze: once an audio has n_cand finished candidates its
+    pool stops updating (HF early_stopping=True / original Whisper
+    max_candidates semantics) — which is what makes compacting it out of
+    the batch exact."""
     ab, l = tokens_buf.shape
     k_beam = beam_size
     n_cand = max(k_beam, int(round(k_beam * (patience or 1.0))))
@@ -245,23 +249,15 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
     eot = params.eot
     neg = jnp.float32(-1e30)
 
-    # alive beams: scores; first step must only expand beam 0 (all beams are
-    # identical after prefill), so initialize others to -inf.
-    alive_scores0 = jnp.tile(
-        jnp.concatenate([jnp.zeros((1,)), jnp.full((k_beam - 1,), neg)])[None, :],
-        (a, 1),
-    )
-    fin_tokens0 = jnp.zeros((a, n_cand, l), dtype=tokens_buf.dtype)
-    fin_len0 = jnp.zeros((a, n_cand), dtype=jnp.int32)
-    fin_scores0 = jnp.full((a, n_cand), neg)
-
     def cond(state):
-        t, _, _, _, _, _, _, fin_scores, n_done = state
-        return (t < t0 + sample_len) & (t < l) & ~jnp.all(n_done >= n_cand)
+        t, steps, _, _, _, _, _, _, _, n_done = state
+        return ((t < budget_end) & (t < l) & (steps < chunk)
+                & ~jnp.all(n_done >= n_cand))
 
     def body(state):
-        (t, tokens, caches_s, origins, alive_scores, fin_tokens, fin_len,
-         fin_scores, n_done) = state
+        (t, steps, tokens, caches_s, origins, alive_scores, fin_tokens,
+         fin_len, fin_scores, n_done) = state
+        was_done = n_done >= n_cand
         last = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(ab, 0), axis=1)
         # position t-1's K/V is written by each CURRENT row for itself this
         # step — record that before the lazy-gather attention read
@@ -289,7 +285,9 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
 
         is_eot = tok == eot
         # --- finished harvest: merge EOT candidates into the finished set
-        eot_scores = jnp.where(is_eot, top_scores, neg)  # [A, 2K]
+        # (audios whose pool was already full at step start are frozen)
+        eot_scores = jnp.where(is_eot & ~was_done[:, None], top_scores,
+                               neg)  # [A, 2K]
         # candidate finished sequences: tokens of src beam + eot at t
         merged_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)  # [A, Kc+2K]
         keep_scores, keep_idx = jax.lax.top_k(merged_scores, n_cand)
@@ -326,33 +324,149 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         flat_src = (jnp.arange(a)[:, None] * k_beam + new_src).reshape(-1)
         origins = jnp.take(origins, flat_src, axis=0)
 
-        return (t + 1, new_tokens, caches_s, origins, new_scores, fin_tokens,
-                fin_len, fin_scores, n_done)
+        return (t + 1, steps + 1, new_tokens, caches_s, origins, new_scores,
+                fin_tokens, fin_len, fin_scores, n_done)
 
-    origins0 = jnp.broadcast_to(
+    state = (t_in, jnp.zeros((), jnp.int32), tokens_buf, caches, origins,
+             alive_scores, fin_tokens, fin_len, fin_scores, n_done)
+    out = jax.lax.while_loop(cond, body, state)
+    (t_end, _steps, tokens, caches, origins, alive_scores, fin_tokens,
+     fin_len, fin_scores, n_done) = out
+    return (t_end, tokens, caches, origins, alive_scores, fin_tokens,
+            fin_len, fin_scores, n_done)
+
+
+def _pow2_bucket(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
+                     suppress_mask, blank_mask, sample_len: int,
+                     beam_size: int, params: FilterConfig,
+                     patience: float = 1.0, chunk: int = 48):
+    """Batched beam search over [n_audio * beam] rows with finished-audio
+    compaction (docs/PERF.md beam roofline: the cost IS the rows).
+
+    tokens_buf/caches/cross_kv are already tiled to n_audio*beam rows with
+    identical prompts per audio.  ``patience`` keeps searching until
+    round(beam * patience) candidates finish per audio (original Whisper
+    BeamSearchDecoder semantics; its pool freezes once full — HF
+    early_stopping=True).  The jitted loop runs in `chunk`-step pieces;
+    between pieces, audios whose pools are full RETIRE: their candidates
+    move to host and the remaining rows re-gather into the next
+    power-of-two audio bucket, so late finishers stop paying for early
+    ones.  Candidate sets are step-for-step identical to the unchunked
+    loop (freeze makes retirement exact; the golden HF beam-parity test
+    gates it).  Returns (finished_tokens [A, Kc, L], finished_lengths
+    [A, Kc], finished_scores [A, Kc]) as numpy, in input audio order.
+    """
+    ab, l = tokens_buf.shape
+    k_beam = beam_size
+    n_cand = max(k_beam, int(round(k_beam * (patience or 1.0))))
+    a = ab // k_beam
+    eot = params.eot
+    neg = np.float32(-1e30)
+    t0i = int(np.asarray(t0))
+    budget_end = jnp.asarray(min(t0i + sample_len, l), jnp.int32)
+
+    # alive beams: scores; first step must only expand beam 0 (all beams
+    # are identical after prefill), so initialize others to -inf.
+    alive_scores = jnp.tile(
+        jnp.concatenate(
+            [jnp.zeros((1,)), jnp.full((k_beam - 1,), neg)])[None, :],
+        (a, 1),
+    )
+    fin_tokens = jnp.zeros((a, n_cand, l), dtype=tokens_buf.dtype)
+    fin_len = jnp.zeros((a, n_cand), dtype=jnp.int32)
+    fin_scores = jnp.full((a, n_cand), neg)
+    n_done = jnp.zeros((a,), dtype=jnp.int32)
+    origins = jnp.broadcast_to(
         jnp.arange(ab, dtype=jnp.int32)[:, None],
         (ab, caches[0].k.shape[-2]),
     )
-    state = (t0, tokens_buf, caches, origins0, alive_scores0, fin_tokens0,
-             fin_len0, fin_scores0, jnp.zeros((a,), dtype=jnp.int32))
-    (t_end, tokens, caches, origins, alive_scores, fin_tokens, fin_len,
-     fin_scores, n_done) = jax.lax.while_loop(cond, body, state)
+    tokens = tokens_buf
+    t = jnp.asarray(t0i, jnp.int32)
 
-    # backfill: audios with unfinished beams take the best alive beams,
-    # truncated at t_end with a forced EOT
-    need = fin_scores <= neg / 2
-    alive_tokens = tokens.reshape(a, k_beam, l)
-    alive_tokens = jnp.where(
-        jnp.arange(l)[None, None, :] == t_end, eot, alive_tokens
-    )
-    # with patience > 1 the finished pool is wider than the beam: pad the
-    # alive side with neg-score fillers so unfilled extra slots stay inert
+    out_tokens = np.zeros((a, n_cand, l), dtype=np.int32)
+    out_len = np.zeros((a, n_cand), dtype=np.int32)
+    out_scores = np.full((a, n_cand), neg, dtype=np.float32)
+    live = np.arange(a)          # original audio index per current row-group
+
+    while True:
+        (t, tokens, caches, origins, alive_scores, fin_tokens, fin_len,
+         fin_scores, n_done) = _beam_chunk(
+            model, caches, cross_kv, tokens, origins, alive_scores,
+            fin_tokens, fin_len, fin_scores, n_done, t, budget_end,
+            sample_begin, suppress_mask, blank_mask, chunk=chunk,
+            beam_size=k_beam, params=params, patience=patience,
+        )
+        n_done_np = np.asarray(n_done)
+        done = n_done_np >= n_cand
+        t_now = int(np.asarray(t))
+        exhausted = t_now >= min(t0i + sample_len, l)
+        if exhausted or done.all():
+            break
+        # retire finished audios (their pools are frozen: exact), keep the
+        # rest, re-bucketed to the next power of two to bound recompiles
+        n_live = int((~done).sum())
+        bucket = _pow2_bucket(n_live)
+        if bucket >= len(done):
+            continue      # nothing would shrink
+        ft = np.asarray(fin_tokens)
+        fl = np.asarray(fin_len)
+        fs = np.asarray(fin_scores)
+        for local in np.nonzero(done)[0]:
+            orig = live[local]
+            if orig < 0:          # a pad slot from an earlier compaction
+                continue
+            out_tokens[orig] = ft[local]
+            out_len[orig] = fl[local]
+            out_scores[orig] = fs[local]
+        keep = list(np.nonzero(~done)[0])
+        pad_src = int(np.nonzero(done)[0][0])   # frozen filler audio
+        sel = np.asarray(keep + [pad_src] * (bucket - n_live), np.int32)
+        live = live[sel[:]]                     # pads map to a retired
+        live = np.where(np.arange(bucket) < n_live, live, -1)
+        rows = (sel[:, None] * k_beam
+                + np.arange(k_beam)[None, :]).reshape(-1)
+        rows = jnp.asarray(rows)
+        sel_j = jnp.asarray(sel)
+        take_a = lambda x: jnp.take(x, sel_j, axis=0)
+        take_r = lambda x: jnp.take(x, rows, axis=0)
+        tokens = take_r(tokens)
+        origins = take_r(origins)
+        caches = [c._replace(k=take_r(c.k), v=take_r(c.v)) for c in caches]
+        cross_kv = [(take_r(ck), take_r(cv)) for ck, cv in cross_kv]
+        alive_scores = take_a(alive_scores)
+        fin_tokens = take_a(fin_tokens)
+        fin_len = take_a(fin_len)
+        fin_scores = take_a(fin_scores)
+        n_done = take_a(n_done)
+
+    # final harvest + backfill: audios still in flight take their best
+    # alive beams, truncated at t_end with a forced EOT (per-slot, same as
+    # the single-shot loop did)
+    t_end = int(np.asarray(t))
+    ft = np.asarray(fin_tokens)
+    fl = np.asarray(fin_len)
+    fs = np.asarray(fin_scores)
+    toks = np.asarray(tokens).reshape(len(fs), k_beam, l)
+    asc = np.asarray(alive_scores)
+    alive_tokens = toks.copy()
+    if t_end < l:
+        alive_tokens[:, :, t_end] = eot
     pad_n = n_cand - k_beam
-    alive_tokens = jnp.pad(alive_tokens, ((0, 0), (0, pad_n), (0, 0)),
-                           constant_values=eot)
-    alive_scores = jnp.pad(alive_scores, ((0, 0), (0, pad_n)),
-                           constant_values=neg)
-    fin_tokens = jnp.where(need[..., None], alive_tokens, fin_tokens)
-    fin_len = jnp.where(need, t_end + 1, fin_len)
-    fin_scores = jnp.where(need, alive_scores, fin_scores)
-    return fin_tokens, fin_len, fin_scores
+    alive_tokens = np.pad(alive_tokens, ((0, 0), (0, pad_n), (0, 0)),
+                          constant_values=eot)
+    asc = np.pad(asc, ((0, 0), (0, pad_n)), constant_values=neg)
+    need = fs <= neg / 2
+    ft = np.where(need[..., None], alive_tokens, ft)
+    fl = np.where(need, t_end + 1, fl)
+    fs = np.where(need, asc, fs)
+    for local, orig in enumerate(live):
+        if orig < 0:
+            continue
+        out_tokens[orig] = ft[local]
+        out_len[orig] = fl[local]
+        out_scores[orig] = fs[local]
+    return out_tokens, out_len, out_scores

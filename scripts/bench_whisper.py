@@ -75,6 +75,13 @@ def main():
     ap.add_argument("--json", action="store_true",
                     help="print one final JSON result line (bench_all)")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--eot-bias", type=float, default=0.0,
+                    help="additive EOT logit bias: random weights never "
+                         "emit EOT, so the default bench decodes the full "
+                         "budget (worst case); a bias of ~4-6 makes rows "
+                         "finish at realistic staggered lengths, "
+                         "exercising early-stop (greedy) and finished-"
+                         "audio compaction (beam)")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +107,8 @@ def main():
     options = DecodingOptions(
         language="en", sample_len=args.sample_len,
         beam_size=args.beam or None, without_timestamps=False,
+        logit_bias=({tokenizer.eot: args.eot_bias} if args.eot_bias else
+                    None),
     )
 
     def run():
@@ -116,10 +125,13 @@ def main():
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        run()
+        res = run()
         dt = time.perf_counter() - t0
         times.append(dt)
-        print(f"iter {i}: {dt:.3f}s  {audio_sec/dt:.1f} audio-sec/s")
+        lens = [len(r.tokens) for r in (res if isinstance(res, list)
+                                        else [res])]
+        print(f"iter {i}: {dt:.3f}s  {audio_sec/dt:.1f} audio-sec/s  "
+              f"(len mean {np.mean(lens):.0f} max {max(lens)})")
 
     med = sorted(times)[len(times) // 2]
     tok_s = args.batch * args.sample_len / med

@@ -447,3 +447,63 @@ def test_bundled_tiktoken_assets_load_out_of_box(monkeypatch):
     finally:
         tok_mod.get_encoding.cache_clear()
         tok_mod.get_tokenizer.cache_clear()
+
+
+def test_beam_compaction_chunk_invariance(model, tokenizer):
+    """The chunked beam loop with finished-audio compaction must produce
+    candidate pools IDENTICAL to one uninterrupted run, with audios
+    finishing at staggered times (an EOT logit boost makes random-weight
+    rows actually finish inside the budget)."""
+    from mlx_audio_tpu.models.stt.whisper.api import _prefill_jit
+    from mlx_audio_tpu.models.stt.whisper.decoding import (
+        FilterConfig,
+        beam_search_loop,
+    )
+
+    n_audio, beam, sample_len = 5, 3, 40
+    rng = np.random.default_rng(17)
+    mel = jnp.asarray(rng.standard_normal((n_audio, 200, 80)) * 0.3,
+                      dtype=jnp.float32)
+    features = model.encoder(mel)
+    buf_len = 8 + sample_len + 1
+    tokens0 = np.full((n_audio, buf_len), tokenizer.eot, dtype=np.int32)
+    tokens0[:, 0] = tokenizer.sot
+    tokens0 = jnp.asarray(tokens0)
+    cross_kv = model.decoder.compute_cross_kv(features)
+    caches = model.decoder.init_cache(n_audio, buf_len,
+                                      dtype=features.dtype)
+    _, caches = _prefill_jit(model, caches, cross_kv, tokens0[:, :8],
+                             jnp.asarray(1, jnp.int32), 0)
+    tile = lambda x: jnp.repeat(x, beam, axis=0)
+    caches_b = [c._replace(k=tile(c.k), v=tile(c.v)) for c in caches]
+    cross_b = [(tile(ck), tile(cv)) for ck, cv in cross_kv]
+    cfg = FilterConfig(eot=tokenizer.eot, timestamp_begin=10**9,
+                       no_timestamps=10**9 + 1,
+                       max_initial_timestamp_index=-1,
+                       apply_timestamp_rules=False)
+    n_vocab = model.dims.n_vocab
+    boost = np.zeros((n_vocab,), np.float32)
+    boost[tokenizer.eot] = 2.0          # makes rows finish, staggered
+    boost = jnp.asarray(boost)
+    zeros = jnp.zeros((n_vocab,), jnp.float32)
+
+    def run(chunk):
+        return beam_search_loop(
+            model, [c._replace() for c in caches_b], list(cross_b),
+            tile(tokens0), jnp.asarray(1, jnp.int32),
+            jnp.asarray(1, jnp.int32), boost, zeros,
+            sample_len=sample_len, beam_size=beam, params=cfg,
+            chunk=chunk,
+        )
+
+    tok_a, len_a, sc_a = run(4)        # many compaction opportunities
+    tok_b, len_b, sc_b = run(10_000)   # effectively one shot
+    np.testing.assert_array_equal(len_a, len_b)
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-6)
+    # compare token content only within each candidate's length
+    for i in range(n_audio):
+        for c in range(tok_a.shape[1]):
+            n = len_a[i, c]
+            np.testing.assert_array_equal(tok_a[i, c, :n], tok_b[i, c, :n])
+    # sanity: the boost actually finished some audios early (pools full)
+    assert (sc_a > -1e29).sum() > 0
