@@ -528,17 +528,31 @@ def create_app(state: Optional[ServerState] = None):
             VoicePipelineConfig,
         )
 
+        from mlx_audio_tpu.sts.voice_pipeline import SpeculativeTranscriber
+
         cfg = VoicePipelineConfig(**state.sts_options)
         pipeline = VoicePipeline(config=cfg, server_state=state)
+        # overlap STT with the client's endpointing silence window: by the
+        # time the client decides the user stopped (~1.2 s of silence) and
+        # sends "flush", the transcript is usually already computed
+        spec = SpeculativeTranscriber(
+            pipeline.transcribe, sample_rate=cfg.sample_rate,
+            silence_threshold=cfg.silence_threshold,
+        )
         buffer = []
+        loop = asyncio.get_event_loop()
         async for msg in ws:
             if msg.type == WSMsgType.BINARY:
-                buffer.append(np.frombuffer(msg.data, dtype=np.float32))
+                frames = np.frombuffer(msg.data, dtype=np.float32)
+                buffer.append(frames)
+                spec.feed(frames, loop=loop)
             elif msg.type == WSMsgType.TEXT and msg.data == "flush":
                 if buffer:
                     audio_in = np.concatenate(buffer)
                     buffer = []
-                    text, audio_out = await pipeline.process_turn(audio_in)
+                    pre_text = await spec.take(audio_in)
+                    text, audio_out = await pipeline.process_turn(
+                        audio_in, text=pre_text)
                     await ws.send_json({
                         "transcript": text,
                         "sample_rate": getattr(pipeline._tts, "sample_rate",

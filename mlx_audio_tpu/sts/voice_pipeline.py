@@ -63,6 +63,105 @@ class EnergyVAD:
         return False
 
 
+class SpeculativeTranscriber:
+    """Hide STT latency inside the endpointing silence window.
+
+    Every STS client (ours included, audio_player.html ~1.2 s; the
+    reference's ReplyOnPause likewise) must observe a silence window
+    before deciding the user finished — during which the server
+    traditionally idles.  This tracker watches the incoming frame stream
+    and, once `spec_silence` seconds of trailing silence follow speech,
+    LAUNCHES transcription of the audio-so-far in an executor.  If no
+    speech arrives afterwards, the endpoint's transcription is already
+    done (or in flight) when the turn is committed; if speech resumes,
+    the speculative result is discarded and the watcher re-arms.
+
+    The result is used only when the committed audio differs from the
+    speculated snapshot purely by trailing sub-threshold samples, so the
+    quality contract is unchanged (silence pads to the same 30 s STT
+    window).  New capability vs the reference, whose pipeline starts STT
+    only after endpointing (sts/voice_pipeline.py:108-165).
+    """
+
+    def __init__(self, transcribe_fn, sample_rate: int = 16000,
+                 silence_threshold: float = 0.015,
+                 spec_silence: float = 0.25,
+                 frame_duration_ms: int = 30):
+        self.transcribe_fn = transcribe_fn
+        self.sample_rate = sample_rate
+        self.threshold = silence_threshold
+        self.spec_silence = spec_silence
+        self.frame_len = int(sample_rate * frame_duration_ms / 1000)
+        self.reset()
+
+    def reset(self):
+        self._n_fed = 0
+        self._buffer: list = []
+        self._silent_run = 0.0       # trailing silence seconds
+        self._seen_speech = False
+        self._task = None
+        self._cov = 0                # samples covered by the launched task
+        self.launches = 0            # observability / tests
+
+    def _frame_energy(self, frame: np.ndarray) -> float:
+        return float(np.sqrt(np.mean(frame.astype(np.float64) ** 2)))
+
+    def feed(self, frames: np.ndarray, loop=None):
+        """Track the stream; launch/invalidate the speculative task."""
+        frames = np.asarray(frames, dtype=np.float32).reshape(-1)
+        self._buffer.append(frames)
+        self._n_fed += len(frames)
+        for start in range(0, len(frames) - self.frame_len + 1,
+                           self.frame_len):
+            e = self._frame_energy(frames[start:start + self.frame_len])
+            if e > self.threshold:
+                self._seen_speech = True
+                self._silent_run = 0.0
+                if self._task is not None:
+                    # speech after the speculated snapshot: result invalid
+                    self._task = None
+                    self._cov = 0
+            else:
+                self._silent_run += self.frame_len / self.sample_rate
+        if (self._task is None and self._seen_speech
+                and self._silent_run >= self.spec_silence):
+            snapshot = np.concatenate(self._buffer)
+            self._cov = len(snapshot)
+            lp = loop or asyncio.get_event_loop()
+            self._task = lp.run_in_executor(None, self.transcribe_fn,
+                                            snapshot)
+            self.launches += 1
+
+    async def take(self, audio: np.ndarray) -> Optional[str]:
+        """Return the speculative transcript for `audio` if it is valid
+        (covers a prefix and the remainder is sub-threshold), else None.
+        Resets the tracker either way (turn committed)."""
+        task, cov = self._task, self._cov
+        self.reset()
+        if task is None:
+            return None
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        if cov > len(audio):
+            return None
+        tail = audio[cov:]
+        if len(tail) and self._frame_energy(tail) > self.threshold:
+            return None
+        return await task
+
+    async def take_latest(self) -> Optional[str]:
+        """Like take(), for callers whose utterance buffer excludes
+        leading silence (the VoicePipeline endpointer): feed()'s
+        invalidate-on-speech logic already guarantees a live task's
+        snapshot is followed only by silence, and an endpointer-closed
+        utterance shares that same silence run — so no prefix check is
+        possible or needed."""
+        task = self._task
+        self.reset()
+        if task is None:
+            return None
+        return await task
+
+
 class VoicePipeline:
     def __init__(self, config: Optional[VoicePipelineConfig] = None,
                  stt_model=None, llm=None, tts_model=None, player=None,
@@ -156,10 +255,14 @@ class VoicePipeline:
                 break
             yield np.asarray(result.audio).reshape(-1)
 
-    async def process_turn(self, audio: np.ndarray):
-        """One full STS turn (used by the websocket transport)."""
+    async def process_turn(self, audio: np.ndarray,
+                           text: Optional[str] = None):
+        """One full STS turn (used by the websocket transport).  `text`
+        short-circuits the STT stage when a SpeculativeTranscriber already
+        produced the transcript during the endpoint silence window."""
         loop = asyncio.get_event_loop()
-        text = await loop.run_in_executor(None, self.transcribe, audio)
+        if text is None:
+            text = await loop.run_in_executor(None, self.transcribe, audio)
         if not text:
             return "", None
         response = await loop.run_in_executor(None, self.respond, text)

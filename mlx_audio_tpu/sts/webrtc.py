@@ -58,6 +58,8 @@ class PcmAssistantBridge:
     def __init__(self, pipeline, in_rate: int = OUT_RATE,
                  out_rate: int = OUT_RATE,
                  on_transcript=None):
+        from mlx_audio_tpu.sts.voice_pipeline import SpeculativeTranscriber
+
         self.pipeline = pipeline
         self.in_rate = in_rate
         self.out_rate = out_rate
@@ -65,6 +67,13 @@ class PcmAssistantBridge:
         self._out = np.zeros(0, dtype=np.float32)
         self._lock = asyncio.Lock()
         self._turn_task: Optional[asyncio.Task] = None
+        # STT launches during the endpointing silence window instead of
+        # after it (same trick as the websocket transport)
+        self._spec = SpeculativeTranscriber(
+            pipeline.transcribe,
+            sample_rate=pipeline.config.sample_rate,
+            silence_threshold=pipeline.config.silence_threshold,
+        )
 
     # -- incoming ----------------------------------------------------------
 
@@ -84,7 +93,9 @@ class PcmAssistantBridge:
         """Push incoming mic samples; runs endpointing and, when an
         utterance closes, processes the turn in the background so the
         media loop is never blocked."""
-        utterance = self.pipeline.feed_frames(self._to_pipeline_rate(samples))
+        pcm16k = self._to_pipeline_rate(samples)
+        self._spec.feed(pcm16k)
+        utterance = self.pipeline.feed_frames(pcm16k)
         if self.pipeline.cancel_event.is_set():
             # barge-in detected by the endpointer: drop queued reply audio
             # and abandon any in-flight turn
@@ -103,7 +114,9 @@ class PcmAssistantBridge:
 
     async def _run_turn(self, utterance: np.ndarray):
         try:
-            text, audio = await self.pipeline.process_turn(utterance)
+            pre_text = await self._spec.take_latest()
+            text, audio = await self.pipeline.process_turn(utterance,
+                                                           text=pre_text)
         except asyncio.CancelledError:
             raise
         except Exception:  # pragma: no cover - model failure path

@@ -475,3 +475,118 @@ def test_webrtc_offer_501_without_aiortc(tmp_path):
             assert "aiortc" in body["error"]
 
     asyncio.run(run())
+
+
+# -- speculative STT during the endpoint silence window --------------------
+
+
+def _frames(kind, secs, rng=None, sr=16000):
+    if kind == "speech":
+        rng = rng or np.random.default_rng(0)
+        return (rng.standard_normal(int(secs * sr)) * 0.3).astype(np.float32)
+    return np.zeros(int(secs * sr), dtype=np.float32)
+
+
+def test_speculative_transcriber_launch_and_take():
+    from mlx_audio_tpu.sts.voice_pipeline import SpeculativeTranscriber
+
+    calls = []
+
+    def fake_stt(audio):
+        calls.append(len(audio))
+        return "spec text"
+
+    async def run():
+        spec = SpeculativeTranscriber(fake_stt, spec_silence=0.25)
+        speech = _frames("speech", 0.5)
+        spec.feed(speech)
+        assert spec.launches == 0          # still speaking
+        spec.feed(_frames("silence", 0.3))
+        assert spec.launches == 1          # launched during silence
+        full = np.concatenate([speech, _frames("silence", 1.2)])
+        text = await spec.take(full)
+        assert text == "spec text"
+        assert len(calls) == 1             # transcribed exactly once
+        # tracker reset: next turn starts clean
+        assert spec.launches == 0
+
+    asyncio.run(run())
+
+
+def test_speculative_transcriber_invalidated_by_resumed_speech():
+    from mlx_audio_tpu.sts.voice_pipeline import SpeculativeTranscriber
+
+    async def run():
+        spec = SpeculativeTranscriber(lambda a: "stale", spec_silence=0.25)
+        spec.feed(_frames("speech", 0.5))
+        spec.feed(_frames("silence", 0.3))
+        assert spec.launches == 1
+        spec.feed(_frames("speech", 0.3, np.random.default_rng(1)))
+        full = _frames("speech", 1.1, np.random.default_rng(2))
+        assert await spec.take(full) is None   # speech resumed: discard
+
+    asyncio.run(run())
+
+
+def test_speculative_transcriber_take_rejects_speech_tail():
+    from mlx_audio_tpu.sts.voice_pipeline import SpeculativeTranscriber
+
+    async def run():
+        spec = SpeculativeTranscriber(lambda a: "stale", spec_silence=0.25)
+        spec.feed(_frames("speech", 0.5))
+        spec.feed(_frames("silence", 0.3))
+        # committed audio contains speech the tracker never saw
+        full = np.concatenate([
+            _frames("speech", 0.5), _frames("silence", 0.3),
+            _frames("speech", 0.4, np.random.default_rng(3)),
+        ])
+        assert await spec.take(full) is None
+
+    asyncio.run(run())
+
+
+def test_ws_sts_uses_speculative_transcript(monkeypatch, tmp_path):
+    """Streaming speech + endpoint silence to /ws/sts must transcribe ONCE
+    (during the silence window) and reuse it at flush."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mlx_audio_tpu.server import create_app
+
+    stt_calls = []
+
+    class CountingSTT:
+        sample_rate = 16000
+
+        def generate(self, audio, **kw):
+            stt_calls.append(len(np.asarray(audio).reshape(-1)))
+            import time as _t
+            _t.sleep(0.05)      # make overlap observable
+
+            class R:
+                text = "counted hello"
+
+            return R()
+
+    state = ServerState(output_folder=str(tmp_path))
+    state.stt_model = CountingSTT()
+    state.stt_repo = "mlx-community/whisper-large-v3-turbo"
+    state.tts_model = FakeTTSModel()
+    state.tts_repo = "prince-canuma/Kokoro-82M"
+
+    async def run():
+        app = create_app(state)
+        async with TestClient(TestServer(app)) as client:
+            async with client.ws_connect("/ws/sts") as ws:
+                await ws.send_bytes(_frames("speech", 0.6).tobytes())
+                # endpoint silence streamed like the real browser client
+                for _ in range(4):
+                    await ws.send_bytes(_frames("silence", 0.15).tobytes())
+                    await asyncio.sleep(0.05)
+                await asyncio.sleep(0.2)   # let the spec task finish
+                await ws.send_str("flush")
+                msg = await ws.receive_json(timeout=30)
+                assert msg["transcript"]
+                await ws.receive_bytes(timeout=30)
+        assert len(stt_calls) == 1         # spec result reused at flush
+
+    asyncio.run(run())
