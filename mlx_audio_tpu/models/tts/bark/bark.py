@@ -493,7 +493,8 @@ class Model(Module):
 
         target = dp.place_replicated(self) if dp is not None else self
         sems = target.generate_text_semantic_batch(
-            run_texts, voice, temperature, seed, dp=dp)
+            run_texts, voice, temperature, seed,
+            max_steps=kwargs.get("max_steps", 768), dp=dp)
         coarse = target.generate_coarse_batch(
             sems, voice, temperature, seed=seed, dp=dp)
         fines = target.generate_fine_batch(
