@@ -233,23 +233,34 @@ class Model(Module):
             stop_tokens=(self.config.eos_token_id, END_OF_SPEECH), seed=seed,
         )
         elapsed = time.time() - t0
-        results = []
-        for i, generated in enumerate(outs):
+        # parse every row, then detokenize rows with matching
+        # (semantic, global) lengths as ONE batched BiCodec call — full-
+        # budget rows (and served batches of similar texts) collapse to a
+        # single vocoder dispatch instead of B (docs/PERF.md Spark e2e)
+        parsed = []
+        for generated in outs:
             predicts = self.tokenizer.decode(generated.tolist(),
                                              skip_special_tokens=False)
-            semantic_ids, global_ids = parse_generated_tokens(predicts)
-            # one result per text even on empty rows (batched servers match
-            # results to requests by index)
-            if len(semantic_ids) == 0:
-                audio = np.zeros((0,), dtype=np.float32)
+            parsed.append(parse_generated_tokens(predicts))
+        audios: dict = {}
+        groups: dict = {}
+        for i, (sem, glo) in enumerate(parsed):
+            if len(sem) == 0:
+                audios[i] = np.zeros((0,), dtype=np.float32)
             else:
-                audio = np.asarray(self._audio_tokenizer.detokenize(
-                    np.asarray(global_ids, dtype=np.int32)[None],
-                    np.asarray(semantic_ids, dtype=np.int32)[None],
-                )).reshape(-1)
+                groups.setdefault((len(sem), len(glo)), []).append(i)
+        for (ls, lg), idxs in groups.items():
+            sem = np.asarray([parsed[i][0] for i in idxs], dtype=np.int32)
+            glo = np.asarray([parsed[i][1] for i in idxs], dtype=np.int32)
+            wavs = np.asarray(self._audio_tokenizer.detokenize(glo, sem))
+            wavs = wavs.reshape(len(idxs), -1)
+            for row, i in enumerate(idxs):
+                audios[i] = wavs[row]
+        results = []
+        for i in range(len(outs)):
             results.append(make_generation_result(
-                audio, self.config.sample_rate,
-                i, len(semantic_ids), elapsed / max(len(texts), 1),
+                audios[i], self.config.sample_rate,
+                i, len(parsed[i][0]), elapsed / max(len(texts), 1),
             ))
         return results
 

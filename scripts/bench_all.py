@@ -55,7 +55,10 @@ def run_json(cmd: list, timeout: int = 3600):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench_report.json")
-    ap.add_argument("--families", default="kokoro,csm,whisper,lm,sts,parakeet")
+    ap.add_argument(
+        "--families",
+        default="kokoro,csm,whisper,lm,sts,parakeet,bark,dia,indextts,"
+                "spark,voxtral")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     fams = set(args.families.split(","))
@@ -90,6 +93,24 @@ def main():
     if "parakeet" in fams:
         report["parakeet"] = run_json(
             ["scripts/bench_parakeet.py", "--json", "--iters", it])
+    if "bark" in fams:
+        report["bark"] = run_json(
+            ["scripts/bench_bark.py", "--json", "--iters", "3"])
+    if "dia" in fams:
+        report["dia"] = run_json(
+            ["scripts/bench_dia.py", "--json", "--iters", "3"])
+    if "indextts" in fams:
+        report["indextts"] = run_json(
+            ["scripts/bench_indextts.py", "--json", "--iters", "3"])
+    if "spark" in fams:
+        report["spark"] = run_json(
+            ["scripts/bench_spark.py", "--json", "--iters", "3"])
+        report["spark"] += run_json(
+            ["scripts/bench_spark.py", "--json", "--iters", "3",
+             "--batch", "8"])
+    if "voxtral" in fams:
+        report["voxtral"] = run_json(
+            ["scripts/bench_voxtral.py", "--json", "--iters", "3"])
 
     out = ROOT / args.out
     out.write_text(json.dumps(report, indent=2))

