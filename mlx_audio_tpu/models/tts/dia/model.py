@@ -98,6 +98,25 @@ def _dia_chunk(model, sa_caches, cross_kvs, ca_mask, last_tokens, step0,
     return preds, sa_caches, last
 
 
+def _trim_cross(cross_kvs, pad2, step: int = 64):
+    """Slice the cross-attention keys down to a `step`-bucket covering the
+    longest REAL text in the batch.
+
+    The data config pads every text to text_length=1024 (training-time
+    fixed shape); at decode the pad keys are masked to -1e9, whose f32
+    softmax contribution underflows to exactly 0.0 — so dropping them is
+    bit-exact while removing the dominant per-step HBM read at batch > 1
+    (18 layers x 2B rows x 1024 keys of masked cross-KV; docs/PERF.md Dia
+    section)."""
+    s_len = pad2.shape[-1]
+    s_real = int(np.asarray(jnp.sum(pad2, axis=-1)).max())
+    sl = min(s_len, max(step, -(-s_real // step) * step))
+    if sl >= s_len:
+        return cross_kvs, pad2[:, None, None, :]
+    cross_kvs = [(k[:, :, :sl], v[:, :, :sl]) for k, v in cross_kvs]
+    return cross_kvs, pad2[:, None, None, :sl]
+
+
 def _eos_tail(c: int, eos: int, pad_tok: int, delay) -> list:
     """Per-channel EOS/PAD countdown rows appended after the EOS frame
     (dia.py:545-573); the delay revert discards this tail region."""
@@ -199,8 +218,9 @@ class Model(Module):
         encoder_out, cross_kvs = _encode_text_jit(
             self.model, src2, src_pos2, enc_mask2
         )
-        # decode-step cross mask: query (generated, non-pad) attends non-pad keys
-        ca_mask = pad2[:, None, None, :]  # [2,1,1,S]
+        # decode-step cross mask: query (generated, non-pad) attends
+        # non-pad keys — with the masked pad tail sliced away (bit-exact)
+        cross_kvs, ca_mask = _trim_cross(cross_kvs, pad2)
 
         generated = [np.full((c,), bos, dtype=np.int32)]  # BOS frame
         current_step = 0
@@ -338,7 +358,7 @@ class Model(Module):
         with mesh_cm:
             encoder_out, cross_kvs = _encode_text_jit(
                 run_model, src2, src_pos2, enc_mask2)
-        ca_mask = pad2[:, None, None, :]
+            cross_kvs, ca_mask = _trim_cross(cross_kvs, pad2)
 
         key = jax.random.PRNGKey(seed)
         first = np.full((c,), bos, dtype=np.int32)
