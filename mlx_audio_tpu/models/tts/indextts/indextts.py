@@ -330,16 +330,28 @@ class Model(Module):
                     done[i] = True
 
         elapsed = time.perf_counter() - t0
+        # BigVGAN synthesis: rows with equal latent counts batch into ONE
+        # vocoder call (exact — identical ops, stacked); ragged rows fall
+        # into per-length groups.  Full-budget/served batches of similar
+        # texts collapse to a single dispatch (docs/PERF.md IndexTTS).
+        lengths = [len(latents[i][: max_tokens + 1]) for i in range(b)]
+        groups: Dict[int, list] = {}
+        for i in range(b):
+            groups.setdefault(lengths[i], []).append(i)
+        audios: Dict[int, np.ndarray] = {}
+        for n, idxs in groups.items():
+            stack = jnp.asarray(
+                np.stack([np.stack(latents[i][:n]) for i in idxs]),
+                dtype=jnp.float32)                      # [G, n, D]
+            mel_g = jnp.broadcast_to(
+                ref_mel, (len(idxs),) + tuple(ref_mel.shape[1:]))
+            wavs = np.asarray(self.bigvgan(stack, mel_g))
+            for row, i in enumerate(idxs):
+                audios[i] = wavs[row].reshape(-1)
         results = []
         for i in range(b):
-            latent_states = jnp.asarray(
-                np.stack(latents[i][: max_tokens + 1])[None],
-                dtype=jnp.float32)
-            audio = np.asarray(
-                self.bigvgan(latent_states, ref_mel)).reshape(-1)
             results.append(make_generation_result(
-                audio, self.sample_rate, i, latent_states.shape[1],
-                elapsed / b,
+                audios[i], self.sample_rate, i, lengths[i], elapsed / b,
             ))
         return results
 
