@@ -319,7 +319,9 @@ class Model(Module):
 
         run = dp.place_replicated(self) if dp is not None else self
         mesh_cm = dp.mesh if dp is not None else contextlib.nullcontext()
-        caches = run.language_model.init_cache(wn, max_len=bucket + max_tokens)
+        wdtype = run.language_model.embed_tokens.weight.dtype
+        caches = run.language_model.init_cache(
+            wn, max_len=bucket + max_tokens, dtype=wdtype)
         pad_len = jnp.full((wn,), pad, dtype=jnp.int32)
         padded_j = jnp.asarray(padded)
         mels_j = jnp.asarray(mels, jnp.float32)

@@ -89,7 +89,11 @@ def _semantic_prefill(model, encoded, hist, k0, max_steps: int,
     )
     prompt_emb = jnp.concatenate([emb, infer], axis=1)   # [B, 257, D]
     n = prompt_emb.shape[1]
-    caches = model.semantic.init_cache(b, n + max_steps)
+    # KV cache follows the weight dtype (a f32 cache under bf16 weights
+    # doubled the per-step HBM reads — the coarse stage was cache-read
+    # bound, docs/PERF.md Bark section)
+    caches = model.semantic.init_cache(
+        b, n + max_steps, dtype=model.semantic.input_embeds_layer.weight.dtype)
     logits, caches = model.semantic.prefill(
         caches, prompt_emb, jnp.asarray(n, dtype=jnp.int32))
     relevant = jnp.concatenate(
@@ -135,7 +139,9 @@ def _coarse_window(model, x_in, n_valid, parity0, key, steps: int,
     padded contexts (lockstep rows share n_valid) then scan `steps` token
     generations with alternating codebook logit ranges."""
     b = x_in.shape[0]
-    caches = model.coarse_acoustics.init_cache(b, x_in.shape[1] + steps)
+    caches = model.coarse_acoustics.init_cache(
+        b, x_in.shape[1] + steps,
+        dtype=model.coarse_acoustics.input_embeds_layer.weight.dtype)
     emb = model.coarse_acoustics.input_embeds_layer(x_in)
     logits0, caches = model.coarse_acoustics.prefill(caches, emb, n_valid)
 
@@ -477,9 +483,9 @@ class Model(Module):
         host).  Under an active mesh with dp > 1 the batch pads to a dp
         multiple and every stage shards its rows over 'data' with the
         weights replicated; per-row fold_in sampling keys keep real rows
-        exact vs the unsharded run.  EnCodec decode runs per row (ragged
-        lengths).  New capability vs the reference (strictly single-text,
-        bark.py:393)."""
+        exact vs the unsharded run.  EnCodec decode batches equal-length
+        rows into one codec call.  New capability vs the reference
+        (strictly single-text, bark.py:393)."""
         from mlx_audio_tpu.parallel.context import active_mesh
 
         start = time.perf_counter()
@@ -500,14 +506,28 @@ class Model(Module):
         fines = target.generate_fine_batch(
             coarse, temperature, seed=seed, dp=dp)
         elapsed = time.perf_counter() - start
-        results = []
+        # EnCodec decode: rows with equal fine lengths batch into ONE
+        # codec call (exact — same ops, stacked); ragged rows fall into
+        # per-length groups
+        audios = {}
+        groups = {}
         for i in range(b):
             if fines[i].shape[1] == 0:
-                audio = np.zeros((0,), dtype=np.float32)
+                audios[i] = np.zeros((0,), dtype=np.float32)
             else:
-                audio = self.codec_decode(fines[i])[0]
+                groups.setdefault(fines[i].shape[1], []).append(i)
+        codec = self._get_codec()
+        for _, idxs in groups.items():
+            codes = jnp.asarray(
+                np.stack([fines[i] for i in idxs]), dtype=jnp.int32
+            )[None]                                     # [1, G, 8, T]
+            wavs = np.asarray(codec.decode(codes, [None]))  # [G, T, C]
+            for row, i in enumerate(idxs):
+                audios[i] = wavs[row, :, 0]
+        results = []
+        for i in range(b):
             results.append(make_generation_result(
-                audio, self.config.sample_rate, i, int(len(sems[i])),
+                audios[i], self.config.sample_rate, i, int(len(sems[i])),
                 elapsed / b,
             ))
         return results

@@ -237,7 +237,11 @@ class Model(Module):
         # longer than the slack)
         n_prompt = 0 if prompt_np is None else prompt_np.shape[0]
         cache_len = max_tokens + n_prompt + 64
-        sa_caches = self.model.decoder.init_cache(2, cache_len)
+        # cache follows the weight dtype (f32 cache under bf16 weights
+        # doubles per-step HBM reads)
+        wdtype = jax.tree_util.tree_leaves(self.model.decoder)[0].dtype
+        sa_caches = self.model.decoder.init_cache(2, cache_len,
+                                                  dtype=wdtype)
 
         if ref_audio is not None:
             frames = np.concatenate([generated[0][None], prompt_np], axis=0)
@@ -350,7 +354,9 @@ class Model(Module):
         run_model = dp.place_replicated(self.model) if dp is not None \
             else self.model
         mesh_cm = dp.mesh if dp is not None else _null_cm()
-        sa_caches = run_model.decoder.init_cache(2 * bn, cache_len)
+        wdtype = jax.tree_util.tree_leaves(run_model.decoder)[0].dtype
+        sa_caches = run_model.decoder.init_cache(2 * bn, cache_len,
+                                                 dtype=wdtype)
         if dp is not None:
             src2, src_pos2, pad2, enc_mask2 = dp.shard_batch(
                 src2, src_pos2, pad2, enc_mask2)

@@ -288,7 +288,9 @@ class Model(Module):
 
         run_model = dp.place_replicated(self) if dp is not None else self
         mesh_cm = dp.mesh if dp is not None else _null_cm()
-        caches = run_model.gpt.init_cache(bn, max_len=bucket + max_tokens)
+        wdtype = run_model.mel_embedding.weight.dtype
+        caches = run_model.gpt.init_cache(bn, max_len=bucket + max_tokens,
+                                          dtype=wdtype)
         if dp is not None:
             caches = dp.shard_batch_tree(caches, bn)
             padded_j, pad_len, prompt_len = dp.shard_batch(

@@ -94,14 +94,9 @@ def main():
              for i in range(args.batch)]
 
     def run():
-        sems = model.generate_text_semantic_batch(
-            texts, temperature=0.7, seed=0, max_steps=args.steps)
-        coarse = model.generate_coarse_batch(sems, temperature=0.7, seed=0)
-        fines = model.generate_fine_batch(coarse, temperature=0.7, seed=0)
-        audio_sec = 0.0
-        for f in fines:
-            audio_sec += model.codec_decode(f).shape[-1] / 24000.0
-        return audio_sec
+        results = model.generate_batch(texts, temperature=0.7, seed=0,
+                                       max_steps=args.steps)
+        return sum(r.audio.size / 24000.0 for r in results)
 
     for i in range(2):
         t0 = time.perf_counter()

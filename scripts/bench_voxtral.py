@@ -36,14 +36,19 @@ def main():
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from mlx_audio_tpu.models.stt.voxtral.voxtral import Model, ModelConfig
 
-    # ModelConfig defaults ARE mistralai/Voxtral-Mini-3B dims
-    model = Model(ModelConfig(), tokenizer=None)
-    if args.dtype == "bf16":
-        model = model.astype(jnp.bfloat16)
+    # ModelConfig defaults ARE mistralai/Voxtral-Mini-3B dims.  Build on
+    # the host: 3.6B random-init f32 params (14.6 GB) would OOM the chip
+    # before the bf16 cast; the cast copy ships 7.3 GB to HBM instead.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        model = Model(ModelConfig(), tokenizer=None)
+        if args.dtype == "bf16":
+            model = model.astype(jnp.bfloat16)
+    model = jax.device_put(model, jax.devices()[0])
     print(f"params: {model.num_params()/1e6:.0f}M  dtype={args.dtype}  "
           f"audio={args.secs:.0f}s max_tokens={args.max_tokens}")
 
