@@ -232,11 +232,17 @@ def _iter_top_k(x: jax.Array, k: int):
                                    "patience"))
 def _beam_chunk(model, caches, cross_kv, tokens_buf, origins, alive_scores,
                 fin_tokens, fin_len, fin_scores, n_done, t_in, budget_end,
-                sample_begin, suppress_mask, blank_mask, chunk: int,
+                n_ret0, sample_begin, suppress_mask, blank_mask, chunk: int,
                 beam_size: int, params: FilterConfig, patience: float):
-    """Up to `chunk` beam steps over [n_audio * beam] rows (full state in,
-    full state out — the host loop around it retires and compacts finished
-    audios between chunks).
+    """Beam steps over [n_audio * beam] rows until a RETIREMENT EVENT
+    (full state in, full state out — the host loop around it retires and
+    compacts finished audios between calls).
+
+    The loop exits when the number of fully-finished audios exceeds
+    `n_ret0` (the count at entry), the budget runs out, or `chunk` steps
+    elapse (a dispatch-size safeguard).  When nothing finishes this is
+    ONE dispatch for the whole decode — the host pays a queue-drain sync
+    only when there is actually something to compact.
 
     Per-audio freeze: once an audio has n_cand finished candidates its
     pool stops updating (HF early_stopping=True / original Whisper
@@ -251,8 +257,9 @@ def _beam_chunk(model, caches, cross_kv, tokens_buf, origins, alive_scores,
 
     def cond(state):
         t, steps, _, _, _, _, _, _, _, n_done = state
+        n_ret = jnp.sum(n_done >= n_cand)
         return ((t < budget_end) & (t < l) & (steps < chunk)
-                & ~jnp.all(n_done >= n_cand))
+                & (n_ret <= n_ret0) & (n_ret < a))
 
     def body(state):
         (t, steps, tokens, caches_s, origins, alive_scores, fin_tokens,
@@ -343,7 +350,7 @@ def _pow2_bucket(n: int) -> int:
 def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
                      suppress_mask, blank_mask, sample_len: int,
                      beam_size: int, params: FilterConfig,
-                     patience: float = 1.0, chunk: int = 48):
+                     patience: float = 1.0, chunk: int = 100_000):
     """Batched beam search over [n_audio * beam] rows with finished-audio
     compaction (docs/PERF.md beam roofline: the cost IS the rows).
 
@@ -392,13 +399,15 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
     out_scores = np.full((a, n_cand), neg, dtype=np.float32)
     live = np.arange(a)          # original audio index per current row-group
 
+    n_ret0 = 0
     while True:
         (t, tokens, caches, origins, alive_scores, fin_tokens, fin_len,
          fin_scores, n_done) = _beam_chunk(
             model, caches, cross_kv, tokens, origins, alive_scores,
             fin_tokens, fin_len, fin_scores, n_done, t, budget_end,
-            sample_begin, suppress_mask, blank_mask, chunk=chunk,
-            beam_size=k_beam, params=params, patience=patience,
+            jnp.asarray(n_ret0, jnp.int32), sample_begin, suppress_mask,
+            blank_mask, chunk=chunk, beam_size=k_beam, params=params,
+            patience=patience,
         )
         n_done_np = np.asarray(n_done)
         done = n_done_np >= n_cand
@@ -411,7 +420,10 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         n_live = int((~done).sum())
         bucket = _pow2_bucket(n_live)
         if bucket >= len(done):
-            continue      # nothing would shrink
+            # nothing would shrink: raise the event threshold so the next
+            # dispatch runs until ANOTHER audio finishes
+            n_ret0 = int(done.sum())
+            continue
         ft = np.asarray(fin_tokens)
         fl = np.asarray(fin_len)
         fs = np.asarray(fin_scores)
@@ -442,6 +454,8 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         fin_len = take_a(fin_len)
         fin_scores = take_a(fin_scores)
         n_done = take_a(n_done)
+        # pads are retired fillers: the next event is a NEW finisher
+        n_ret0 = bucket - n_live
 
     # final harvest + backfill: audios still in flight take their best
     # alive beams, truncated at t_end with a forced EOT (per-slot, same as
