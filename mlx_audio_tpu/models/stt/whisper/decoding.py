@@ -409,10 +409,12 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
             blank_mask, chunk=chunk, beam_size=k_beam, params=params,
             patience=patience,
         )
-        n_done_np = np.asarray(n_done)
+        # ONE host transfer per event (each fetch is a full queue-drain
+        # round trip on the tunneled runtime — separate np.asarray calls
+        # here cost ~100 ms each)
+        t_now, n_done_np = jax.device_get((t, n_done))
         done = n_done_np >= n_cand
-        t_now = int(np.asarray(t))
-        exhausted = t_now >= min(t0i + sample_len, l)
+        exhausted = int(t_now) >= min(t0i + sample_len, l)
         if exhausted or done.all():
             break
         # retire finished audios (their pools are frozen: exact), keep the
@@ -424,9 +426,7 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
             # dispatch runs until ANOTHER audio finishes
             n_ret0 = int(done.sum())
             continue
-        ft = np.asarray(fin_tokens)
-        fl = np.asarray(fin_len)
-        fs = np.asarray(fin_scores)
+        ft, fl, fs = jax.device_get((fin_tokens, fin_len, fin_scores))
         for local in np.nonzero(done)[0]:
             orig = live[local]
             if orig < 0:          # a pad slot from an earlier compaction
@@ -460,12 +460,10 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
     # final harvest + backfill: audios still in flight take their best
     # alive beams, truncated at t_end with a forced EOT (per-slot, same as
     # the single-shot loop did)
-    t_end = int(np.asarray(t))
-    ft = np.asarray(fin_tokens)
-    fl = np.asarray(fin_len)
-    fs = np.asarray(fin_scores)
-    toks = np.asarray(tokens).reshape(len(fs), k_beam, l)
-    asc = np.asarray(alive_scores)
+    t_np, ft, fl, fs, toks, asc = jax.device_get(
+        (t, fin_tokens, fin_len, fin_scores, tokens, alive_scores))
+    t_end = int(t_np)
+    toks = toks.reshape(len(fs), k_beam, l)
     alive_tokens = toks.copy()
     if t_end < l:
         alive_tokens[:, :, t_end] = eot

@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--json", action="store_true",
                     help="print one final JSON result line (bench_all)")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--without-timestamps", action="store_true",
+                    help="disable timestamp rules (they gate EOT, so the "
+                         "--eot-bias finish-length profile is rule-bound "
+                         "with them on)")
     ap.add_argument("--eot-bias", type=float, default=0.0,
                     help="additive EOT logit bias: random weights never "
                          "emit EOT, so the default bench decodes the full "
@@ -106,7 +110,8 @@ def main():
 
     options = DecodingOptions(
         language="en", sample_len=args.sample_len,
-        beam_size=args.beam or None, without_timestamps=False,
+        beam_size=args.beam or None,
+        without_timestamps=args.without_timestamps,
         logit_bias=({tokenizer.eot: args.eot_bias} if args.eot_bias else
                     None),
     )

@@ -507,3 +507,43 @@ def test_beam_compaction_chunk_invariance(model, tokenizer):
             np.testing.assert_array_equal(tok_a[i, c, :n], tok_b[i, c, :n])
     # sanity: the boost actually finished some audios early (pools full)
     assert (sc_a > -1e29).sum() > 0
+
+
+def test_logit_bias_steers_decode(model, tokenizer):
+    """DecodingOptions.logit_bias must reach the jitted loops: a large
+    positive EOT bias ends greedy decoding immediately, and a large bias
+    toward an arbitrary token makes greedy emit it."""
+    mel = jnp.asarray(
+        np.random.default_rng(8).standard_normal((1, 200, 80)) * 0.1,
+        dtype=jnp.float32,
+    )
+    res = api.decode(
+        model, mel[0],
+        DecodingOptions(language="en", sample_len=12,
+                        without_timestamps=True,
+                        logit_bias={tokenizer.eot: 1e4}),
+        tokenizer=tokenizer,
+    )
+    # suppress_blank blocks EOT at the very first sample position, so
+    # at most ONE token precedes the forced EOT
+    assert len(res.tokens) <= 1
+
+    target = 7
+    res2 = api.decode(
+        model, mel[0],
+        DecodingOptions(language="en", sample_len=6,
+                        without_timestamps=True,
+                        logit_bias={target: 1e4}),
+        tokenizer=tokenizer,
+    )
+    assert res2.tokens and all(t == target for t in res2.tokens)
+
+    # beam path: EOT bias finishes every audio right away
+    res3 = api.decode(
+        model, mel[0],
+        DecodingOptions(language="en", sample_len=12, beam_size=3,
+                        without_timestamps=True,
+                        logit_bias={tokenizer.eot: 1e4}),
+        tokenizer=tokenizer,
+    )
+    assert len(res3.tokens) <= 1
