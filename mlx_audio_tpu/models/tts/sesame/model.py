@@ -511,10 +511,42 @@ class Model(Module):
             key, gen_key = jax.random.split(key)
 
             if stream:
+                # FUSED first audio: prefill + the first 3 frames + the
+                # stateful Mimi decode run as ONE dispatch — on the
+                # tunneled runtime each separate jit call paid a ~35-45 ms
+                # round trip, and the first-chunk path had four of them
+                # (docs/PERF.md TTFA decomposition).  Per-frame fold_in
+                # keys keep the emitted frames identical to any chunk
+                # schedule.
+                n_first = min(3, max_audio_frames)
+                (lm, mesh_cm, tokens_j, mask_j, pad_len,
+                 caches) = self._prep_prompt(prompt_tokens, prompt_mask,
+                                             max_audio_frames)
                 mimi_state = self._mimi.init_state(1)
-                for part in self._generate_frame_chunks(
-                    prompt_tokens, prompt_mask, max_audio_frames, chunk,
-                    temperature, top_k, gen_key, ramp=True,
+                with mesh_cm:
+                    audio0, frames3, caches, mimi_state = _first_audio_fused(
+                        lm, self._mimi, caches, pad_len, tokens_j, mask_j,
+                        gen_key, mimi_state, temperature, top_k,
+                        n_first=n_first,
+                    )
+                frames_np = np.asarray(frames3)[:, 0]        # [n_first, nc]
+                eos_rows = np.nonzero((frames_np == 0).all(axis=1))[0]
+                n_valid = int(eos_rows[0]) if len(eos_rows) else n_first
+                spf = int(round(self._sample_rate / 12.5))   # samples/frame
+                if n_valid:
+                    audio_np = self._watermark(
+                        np.asarray(audio0)[0, 0][: n_valid * spf])
+                    yield make_generation_result(
+                        audio_np, self._sample_rate, seg_idx, n_valid,
+                        time.perf_counter() - start_time,
+                    )
+                    start_time = time.perf_counter()
+                if len(eos_rows) or n_valid >= max_audio_frames:
+                    continue
+                for part in self._frame_loop(
+                    lm, mesh_cm, caches, pad_len, gen_key,
+                    frames_np[-1], n_first, max_audio_frames, chunk,
+                    temperature, top_k, ramp_sizes=[4],
                 ):
                     codes = jnp.asarray(np.stack(part, axis=-1))[None]  # [1,nc,T]
                     audio, mimi_state = self._mimi.decode_frames_stateful(
@@ -675,16 +707,9 @@ class Model(Module):
             ))
         return results
 
-    def _generate_frame_chunks(self, prompt_tokens, prompt_mask, max_frames,
-                               chunk, temp, top_k, key, ramp=False):
-        """Host driver: prefill then chunked scans until EOS/max; yields
-        lists of [nc] frame-code arrays as they are produced.
-
-        ramp=True (streaming): the first chunks are 2 then 4 frames before
-        settling on `chunk`, so the first audio bytes leave ~4 frames
-        (~320 ms of audio, tens of ms of compute) earlier.  Per-frame
-        fold_in keys make the emitted frames identical for ANY chunk
-        schedule, so the ramp changes latency, not content."""
+    def _prep_prompt(self, prompt_tokens, prompt_mask, max_frames):
+        """Bucket/pad the prompt and build the KV caches (dtype follows
+        the LM weights: a bf16-cast model halves every per-step HBM read)."""
         t = prompt_tokens.shape[0]
         bucket = _prompt_bucket(t)
         pad = bucket - t
@@ -693,28 +718,18 @@ class Model(Module):
         tokens[0, pad:] = prompt_tokens
         mask[0, pad:] = prompt_mask
         pad_len = jnp.asarray([pad], dtype=jnp.int32)
-
-        cache_len = bucket + max_frames
-        # KV cache dtype follows the LM weights: with a bf16-cast model
-        # (`model.cast_lm(jnp.bfloat16)`) the whole decode loop — params,
-        # activations, cache reads — moves half the HBM bytes per step
         lm, mesh_cm, _ = self._decode_placement()
         wdtype = self.model.lm_dtype()
-        caches = lm.backbone.init_cache(1, max_len=cache_len, dtype=wdtype)
+        caches = lm.backbone.init_cache(1, max_len=bucket + max_frames,
+                                        dtype=wdtype)
+        return (lm, mesh_cm, jnp.asarray(tokens), jnp.asarray(mask),
+                pad_len, caches)
 
-        with mesh_cm:
-            frame, caches = _prefill_and_first_frame(
-                lm, caches, pad_len, jnp.asarray(tokens), jnp.asarray(mask),
-                key, temp, top_k,
-            )
-        frame_np = np.asarray(frame)[0]
-        if (frame_np == 0).all():
-            return
-        pending = [frame_np]
-        produced = 1
-        last_frame = frame_np
-
-        ramp_sizes = [s for s in (2, 4) if ramp and s < chunk]
+    def _frame_loop(self, lm, mesh_cm, caches, pad_len, key, last_frame,
+                    produced, max_frames, chunk, temp, top_k, ramp_sizes):
+        """Chunked scans from an existing decode state until EOS/max;
+        yields lists of [nc] frame-code arrays."""
+        pending = []
         done = False
         while produced < max_frames and not done:
             n = min(ramp_sizes.pop(0) if ramp_sizes else chunk,
@@ -740,6 +755,32 @@ class Model(Module):
                 pending = []
         if pending:
             yield pending
+
+    def _generate_frame_chunks(self, prompt_tokens, prompt_mask, max_frames,
+                               chunk, temp, top_k, key, ramp=False):
+        """Host driver: prefill then chunked scans until EOS/max; yields
+        lists of [nc] frame-code arrays as they are produced.
+
+        ramp=True (streaming): the first chunks are 2 then 4 frames before
+        settling on `chunk`, so the first audio bytes leave ~4 frames
+        (~320 ms of audio, tens of ms of compute) earlier.  Per-frame
+        fold_in keys make the emitted frames identical for ANY chunk
+        schedule, so the ramp changes latency, not content."""
+        (lm, mesh_cm, tokens_j, mask_j, pad_len,
+         caches) = self._prep_prompt(prompt_tokens, prompt_mask, max_frames)
+        with mesh_cm:
+            frame, caches = _prefill_and_first_frame(
+                lm, caches, pad_len, tokens_j, mask_j, key, temp, top_k,
+            )
+        frame_np = np.asarray(frame)[0]
+        if (frame_np == 0).all():
+            return
+        yield [frame_np]
+        ramp_sizes = [s for s in (2, 4) if ramp and s < chunk]
+        yield from self._frame_loop(
+            lm, mesh_cm, caches, pad_len, key, frame_np, 1, max_frames,
+            chunk, temp, top_k, ramp_sizes,
+        )
 
     # -- weights -----------------------------------------------------------
 
@@ -773,6 +814,37 @@ def _prefill_and_first_frame(model, caches, pad_len, tokens, mask, key,
     else:
         frame = model._depth_decode(last_h, c0, k_rest, temp, top_k)
     return frame, caches
+
+
+@partial(jax.jit, static_argnames=("temp", "top_k", "n_first"),
+         donate_argnums=(2,))
+def _first_audio_fused(model, mimi, caches, pad_len, tokens, mask, key,
+                       mimi_state, temp, top_k, n_first: int):
+    """Prefill + the first `n_first` frames + stateful Mimi decode as ONE
+    program: the streaming first-chunk path previously dispatched four
+    jits with a host hop between each — on the tunneled runtime that is
+    ~4 x 35-45 ms of pure round-trip latency (docs/PERF.md TTFA
+    decomposition).  Frames use the same absolute-index fold_in keys as
+    the unfused path, so emitted content is identical; Mimi's causal
+    streaming decode means the first j frames' samples are unaffected by
+    any post-EOS frames the host later truncates.
+
+    Returns (audio [1, 1, samples], frames [n_first, 1, nc], caches,
+    mimi_state)."""
+    frame, caches = _prefill_and_first_frame(
+        model, caches, pad_len, tokens, mask, key, temp, top_k)
+    if n_first > 1:
+        out, caches = _frame_chunk(
+            model, caches, pad_len, frame, key, temp, top_k,
+            jnp.zeros((n_first - 1,), dtype=jnp.int32), frame0=1)
+        codes = jnp.concatenate(
+            [frame[:, :, None], jnp.moveaxis(out, 0, 2)], axis=2)
+        frames_all = jnp.concatenate([frame[None], out], axis=0)
+    else:
+        codes = frame[:, :, None]
+        frames_all = frame[None]
+    audio, mimi_state = mimi._decode_frames_stateful_impl(codes, mimi_state)
+    return audio, frames_all, caches, mimi_state
 
 
 @partial(jax.jit, static_argnames=("temp", "top_k"), donate_argnums=(1,))

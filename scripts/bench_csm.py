@@ -228,7 +228,12 @@ def main():
         # 3 frames (0.24 s) of audible output
         n_first = 3
 
+        from mlx_audio_tpu.models.tts.sesame.model import _first_audio_fused
+
         def run_ttfa(seed):
+            """The round-4 production first-chunk path: prefill + 3 frames
+            + stateful Mimi decode fused into ONE dispatch (one host
+            round trip + one fetch instead of four; docs/PERF.md)."""
             key = jax.random.PRNGKey(seed)
             bucket = _prompt_bucket(t)
             pad = bucket - t
@@ -241,20 +246,12 @@ def main():
                 b, max_len=bucket + max_frames, dtype=model.model.lm_dtype()
             )
             key, k0 = jax.random.split(key)
-            frame, caches = _prefill_and_first_frame(
-                model.model, caches, pad_len, jnp.asarray(tokens),
-                jnp.asarray(mask), k0, temp, top_k,
-            )
-            key, kc = jax.random.split(key)
-            out, caches = _frame_chunk(
-                model.model, caches, pad_len, frame, kc, temp, top_k,
-                jnp.zeros((n_first - 1,), dtype=jnp.int32),
-            )
-            codes = jnp.concatenate(
-                [frame[:, :, None], jnp.moveaxis(out, 0, 2)], axis=2
-            )
             state = model.mimi.init_state(b)
-            audio, _ = model.mimi.decode_frames_stateful(codes, state)
+            audio, frames, caches, state = _first_audio_fused(
+                model.model, model.mimi, caches, pad_len,
+                jnp.asarray(tokens), jnp.asarray(mask), k0, state,
+                temp, top_k, n_first=n_first,
+            )
             audio_np = np.asarray(audio)[0, 0]
             if not args.no_watermark:
                 audio_np = model._watermark(audio_np)
