@@ -138,18 +138,36 @@ class DiaAttention(Module):
         q = self._rope(self.q_proj(xq), q_positions).transpose(0, 2, 1, 3)
         k = self._rope(self.k_proj(xq), q_positions).transpose(0, 2, 1, 3)
         v = self.v_proj(xq).transpose(0, 2, 1, 3)
-        if self.num_gqa_groups > 1:
-            k = jnp.repeat(k, self.num_gqa_groups, axis=1)
-            v = jnp.repeat(v, self.num_gqa_groups, axis=1)
         q_len = xq.shape[1]
         max_len = cache.k.shape[-2]
         j = jnp.arange(max_len)[None, None, None, :]
         i = jnp.arange(q_len)[None, None, :, None]
         valid = j < (cache.idx + i + 1)  # pre-update frontier, causal
         mask = valid if mask is None else (mask & valid)
+        # cache stores the UNEXPANDED num_kv_heads (the reference
+        # pre-repeats to all query heads — 4x the cache bytes and 4x the
+        # per-step reads for the 16q/4kv decoder); queries group at read
         cache = cache.update(k, v)
-        out = self._attend(q, cache.k, cache.v, mask)
+        out = self._attend_gqa(q, cache.k, cache.v, mask)
         return out, cache
+
+    def _attend_gqa(self, q, k, v, mask):
+        """Grouped-query attention without materializing K/V repeats:
+        q [B, N, T, H] vs k/v [B, Kv, S, H]; bit-identical to repeating
+        (each query head multiplies the same K/V rows either way)."""
+        b, n, t, h = q.shape
+        kv = k.shape[1]
+        g = n // kv
+        if g == 1:
+            return self._attend(q, k, v, mask)
+        qg = q.reshape(b, kv, g, t, h)
+        scores = jnp.einsum("bkgth,bksh->bkgts", qg, k).astype(jnp.float32)
+        if mask is not None:
+            m = mask if mask.ndim == 5 else mask[:, :, None]
+            scores = jnp.where(m, scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bkgts,bksh->bkgth", probs, v).reshape(b, n, t, h)
+        return self.o_proj(out.transpose(0, 2, 1, 3))
 
 
 class EncoderLayer(Module):
@@ -225,6 +243,7 @@ class DiaDecoder(Module):
         self.num_channels = data.channels
         self.num_layers = dec.n_layer
         self.num_query_heads = dec.gqa_query_heads
+        self.num_kv_heads = dec.kv_heads
         self.head_dim = dec.gqa_head_dim
         self.embeddings = [
             Embedding(cfg.model.tgt_vocab_size, dec.n_embd)
@@ -244,9 +263,11 @@ class DiaDecoder(Module):
         return x
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> list:
-        # caches store GQA-expanded heads (as the reference pre-repeats)
+        # caches store the UNEXPANDED kv heads (4x smaller than the
+        # reference's pre-repeated layout for the 16q/4kv decoder)
         return [
-            KVCache.create(batch, self.num_query_heads, max_len, self.head_dim, dtype)
+            KVCache.create(batch, self.num_kv_heads, max_len, self.head_dim,
+                           dtype)
             for _ in self.layers
         ]
 
