@@ -379,8 +379,7 @@ class Model(Module):
         bucket = 257 + max_coarse_history
         while n_step < n_steps_max:
             sem_idx = base_sem_idx + int(round(n_step / ratio))
-            padded = np.full((b, bucket), COARSE_SEMANTIC_PAD_TOKEN,
-                             dtype=np.int32)
+            rows = []
             clen = None
             for i in range(b):
                 x_in = x_sem_rows[i][max(0, sem_idx - max_semantic_history):][:256]
@@ -390,8 +389,18 @@ class Model(Module):
                                   dtype=np.int32)
                 ctx = np.concatenate(
                     [x_in, [COARSE_INFER_TOKEN], tail]).astype(np.int32)
-                padded[i, : len(ctx)] = ctx
+                rows.append(ctx)
                 clen = len(ctx)      # lockstep rows: identical every window
+            # context-length bucketing: early windows have a short coarse
+            # tail (clen grows 257 -> 887); padding to a 192-bucket instead
+            # of the fixed max cuts their prefill + per-step cache reads
+            # ~3x.  Bit-exact (prefill masks by n_valid; pad slots never
+            # attend) — same contract as the Kokoro bucketing tests.
+            wbucket = min(bucket, -(-clen // 192) * 192)
+            padded = np.full((b, wbucket), COARSE_SEMANTIC_PAD_TOKEN,
+                             dtype=np.int32)
+            for i in range(b):
+                padded[i, : len(rows[i])] = rows[i]
             steps = min(sliding_window_len, n_steps_max - n_step)
             # major steps (even n_step) sample codebook-0 logits [10000,11024)
             parity0 = 0 if (n_step % N_COARSE_CODEBOOKS == 0) else 1
