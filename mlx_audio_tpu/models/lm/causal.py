@@ -111,6 +111,29 @@ def _dp_context():
     return ctx if (ctx is not None and ctx.dp > 1) else None
 
 
+def _placement(model):
+    """(run_model, mesh_cm, dp): the model to decode with, a context manager
+    to run jitted steps under, and the mesh context when its data axis can
+    shard the batch (else None).  With tp > 1 the Llama weights shard by
+    tp_rules_llama over 'model' (cached per model) — this one hook tensor-
+    parallelizes every causal-LM family (Orpheus, OuteTTS, Spark, ChatLM,
+    and Voxtral's LM, which is Llama-class); dp composes on top, batch over
+    'data', exactly as the CSM backbone does (sesame/model.py
+    _decode_placement)."""
+    import contextlib
+
+    from mlx_audio_tpu.parallel.context import active_mesh
+    from mlx_audio_tpu.parallel.mesh import tp_rules_llama
+
+    ctx = active_mesh()
+    dp = ctx if (ctx is not None and ctx.dp > 1) else None
+    if ctx is not None and ctx.tp > 1:
+        return ctx.place_tp(model, tp_rules_llama), ctx.mesh, dp
+    if dp is not None:
+        return dp.place_replicated(model), dp.mesh, dp
+    return model, contextlib.nullcontext(), None
+
+
 def lm_dtype(model) -> jnp.dtype:
     """Activation/cache dtype: first floating leaf (robust to quantized
     modules whose `weight` is uint8)."""
@@ -156,14 +179,12 @@ def generate_tokens_batch(
         pad[i] = bucket - len(p)
         prompt[i, pad[i]:] = p
 
-    dp = _dp_context()
+    run_model, mesh_cm, dp = _placement(model)
     if dp is not None:
         from mlx_audio_tpu.parallel.context import pad_batch_arrays
 
         prompt, pad, _ = pad_batch_arrays(dp, prompt, pad)
     bn = prompt.shape[0]                     # dp-padded batch
-    run_model = dp.place_replicated(model) if dp is not None else model
-    mesh_cm = dp.mesh if dp is not None else contextlib.nullcontext()
 
     cache_len = max_cache_len or (bucket + max_tokens)
     caches = run_model.model.init_cache(bn, max_len=cache_len,
@@ -246,12 +267,14 @@ def generate_tokens(
     pad_len = jnp.asarray([pad], dtype=jnp.int32)
 
     cache_len = max_cache_len or (bucket + max_tokens)
+    model, mesh_cm, _ = _placement(model)
     caches = model.model.init_cache(1, max_len=cache_len, dtype=lm_dtype(model))
     key = jax.random.PRNGKey(seed)
 
-    logits, caches = _prefill(model, caches, pad_len, jnp.asarray(prompt))
-    key, k0 = jax.random.split(key)
-    first = _sample_first(k0, logits, temperature, top_k, top_p)
+    with mesh_cm:
+        logits, caches = _prefill(model, caches, pad_len, jnp.asarray(prompt))
+        key, k0 = jax.random.split(key)
+        first = _sample_first(k0, logits, temperature, top_k, top_p)
     first_np = int(np.asarray(first)[0])
     if first_np in stop_tokens:
         return
@@ -265,12 +288,13 @@ def generate_tokens(
     while produced < max_tokens:
         n = min(chunk, max_tokens - produced)
         key, kc = jax.random.split(key)
-        toks, caches, rep_window, last = _decode_chunk(
-            model, caches, pad_len, last, rep_window, kc,
-            temp=temperature, top_k=top_k, top_p=top_p,
-            rep_penalty=repetition_penalty,
-            rep_context=max(repetition_context_size, 1), chunk=n,
-        )
+        with mesh_cm:
+            toks, caches, rep_window, last = _decode_chunk(
+                model, caches, pad_len, last, rep_window, kc,
+                temp=temperature, top_k=top_k, top_p=top_p,
+                rep_penalty=repetition_penalty,
+                rep_context=max(repetition_context_size, 1), chunk=n,
+            )
         toks_np = np.asarray(toks)[:, 0]
         out = []
         done = False

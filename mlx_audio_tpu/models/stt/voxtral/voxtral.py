@@ -301,6 +301,7 @@ class Model(Module):
         import contextlib
 
         from mlx_audio_tpu.parallel.context import active_mesh
+        from mlx_audio_tpu.parallel.mesh import tp_rules_llama
 
         w = mels.shape[0]
         ctx = active_mesh()
@@ -317,8 +318,19 @@ class Model(Module):
         padded = np.zeros((wn, bucket), dtype=np.int32)
         padded[:, pad:] = ids
 
-        run = dp.place_replicated(self) if dp is not None else self
-        mesh_cm = dp.mesh if dp is not None else contextlib.nullcontext()
+        # tp > 1 shards the Llama LM (and the audio tower's matching
+        # projections) by tp_rules_llama — Voxtral-Mini-3B is the one model
+        # in the suite that exceeds a 16 GB chip in f32 (docs/PERF.md), so
+        # TP is its multi-chip existence case; dp composes for the window
+        # batch exactly as in the CSM backbone (sesame _decode_placement).
+        if ctx is not None and ctx.tp > 1:
+            run = ctx.place_tp(self, tp_rules_llama)
+            mesh_cm = ctx.mesh
+        elif dp is not None:
+            run = dp.place_replicated(self)
+            mesh_cm = dp.mesh
+        else:
+            run, mesh_cm = self, contextlib.nullcontext()
         wdtype = run.language_model.embed_tokens.weight.dtype
         caches = run.language_model.init_cache(
             wn, max_len=bucket + max_tokens, dtype=wdtype)

@@ -157,6 +157,25 @@ class Model(Module):
             )
         return self._dac
 
+    def _decode_placement(self, batch: int = 1):
+        """(model, mesh_cm, dp_ctx): the DiaModel to decode with, a context
+        manager for jitted steps, and the mesh context when its data axis
+        can shard a ``batch``-text decode (else None).  With tp > 1 the
+        encoder/decoder DenseGeneral projections shard by tp_rules_dia
+        (head-parallel attention, column/row-parallel MLP, vocab-split
+        logits head) — Dia-1.6B's decoder is the second-largest resident
+        LM in the suite; dp composes for the CFG row pairs over 'data'."""
+        from mlx_audio_tpu.parallel.context import active_mesh
+        from mlx_audio_tpu.parallel.mesh import tp_rules_dia
+
+        ctx = active_mesh()
+        dp = ctx if (ctx is not None and ctx.dp > 1 and batch > 1) else None
+        if ctx is not None and ctx.tp > 1:
+            return ctx.place_tp(self.model, tp_rules_dia), ctx.mesh, dp
+        if dp is not None:
+            return dp.place_replicated(self.model), dp.mesh, dp
+        return self.model, _null_cm(), None
+
     # -- text prep (dia.py:171-203) ---------------------------------------
 
     def _prepare_text_input(self, text: str):
@@ -215,12 +234,14 @@ class Model(Module):
         pad2 = jnp.concatenate([src_pad_mask, src_pad_mask], axis=0)
         enc_mask2 = jnp.concatenate([enc_mask, enc_mask], axis=0)
 
-        encoder_out, cross_kvs = _encode_text_jit(
-            self.model, src2, src_pos2, enc_mask2
-        )
-        # decode-step cross mask: query (generated, non-pad) attends
-        # non-pad keys — with the masked pad tail sliced away (bit-exact)
-        cross_kvs, ca_mask = _trim_cross(cross_kvs, pad2)
+        run_model, mesh_cm, _ = self._decode_placement()
+        with mesh_cm:
+            encoder_out, cross_kvs = _encode_text_jit(
+                run_model, src2, src_pos2, enc_mask2
+            )
+            # decode-step cross mask: query (generated, non-pad) attends
+            # non-pad keys — with the masked pad tail sliced away (bit-exact)
+            cross_kvs, ca_mask = _trim_cross(cross_kvs, pad2)
 
         generated = [np.full((c,), bos, dtype=np.int32)]  # BOS frame
         current_step = 0
@@ -239,9 +260,9 @@ class Model(Module):
         cache_len = max_tokens + n_prompt + 64
         # cache follows the weight dtype (f32 cache under bf16 weights
         # doubles per-step HBM reads)
-        wdtype = jax.tree_util.tree_leaves(self.model.decoder)[0].dtype
-        sa_caches = self.model.decoder.init_cache(2, cache_len,
-                                                  dtype=wdtype)
+        wdtype = jax.tree_util.tree_leaves(run_model.decoder)[0].dtype
+        sa_caches = run_model.decoder.init_cache(2, cache_len,
+                                                 dtype=wdtype)
 
         if ref_audio is not None:
             frames = np.concatenate([generated[0][None], prompt_np], axis=0)
@@ -251,10 +272,11 @@ class Model(Module):
             i = jnp.arange(t)[:, None]
             j = jnp.arange(cache_len)[None, :]
             sa_mask = ((j <= i) & (j < t))[None, None]
-            _, sa_caches = _prefill_decoder_jit(
-                self.model, tgt, positions, sa_caches, cross_kvs, sa_mask,
-                ca_mask
-            )
+            with mesh_cm:
+                _, sa_caches = _prefill_decoder_jit(
+                    run_model, tgt, positions, sa_caches, cross_kvs, sa_mask,
+                    ca_mask
+                )
             generated = [f for f in frames]
             current_step = t - 1
             # rewind: the last frame is re-fed as the next step's input
@@ -269,14 +291,15 @@ class Model(Module):
         while (step - current_step) < max_tokens and not eos_seen:
             n = min(64, max_tokens - (step - current_step))
             key, kc = jax.random.split(key)
-            preds, sa_caches, last = _dia_chunk(
-                self.model, sa_caches, cross_kvs, ca_mask, last,
-                jnp.asarray(step, jnp.int32),
-                jnp.asarray(current_step, jnp.int32), jnp.asarray(delay), kc,
-                bos, chunk=int(n), temperature=temperature,
-                top_k=cfg_filter_top_k, cfg_scale=cfg_scale,
-                force_bos=ref_audio is None,
-            )
+            with mesh_cm:
+                preds, sa_caches, last = _dia_chunk(
+                    run_model, sa_caches, cross_kvs, ca_mask, last,
+                    jnp.asarray(step, jnp.int32),
+                    jnp.asarray(current_step, jnp.int32), jnp.asarray(delay),
+                    kc, bos, chunk=int(n), temperature=temperature,
+                    top_k=cfg_filter_top_k, cfg_scale=cfg_scale,
+                    force_bos=ref_audio is None,
+                )
             preds_np = np.asarray(preds)[:, 0]  # [n, C]
             for row in preds_np:
                 out_frames.append(row.astype(np.int32))
@@ -314,8 +337,6 @@ class Model(Module):
         rows exact.  Per-text EOS is tracked on host between chunks; DAC
         synthesis runs per text (lengths are ragged).  New capability vs
         the reference (strictly single-text, dia.py:230)."""
-        from mlx_audio_tpu.parallel.context import active_mesh
-
         data = self.config.data
         c = data.channels
         bos, eos, pad_tok = (data.audio_bos_value, data.audio_eos_value,
@@ -325,8 +346,7 @@ class Model(Module):
         start_time = time.perf_counter()
 
         b = len(texts)
-        ctx = active_mesh()
-        dp = ctx if (ctx is not None and ctx.dp > 1 and b > 1) else None
+        run_model, mesh_cm, dp = self._decode_placement(batch=b)
         run_texts = list(texts)
         if dp is not None:
             while len(run_texts) % dp.dp:
@@ -351,9 +371,6 @@ class Model(Module):
         src_pos2 = jnp.broadcast_to(jnp.arange(s_len)[None], (2 * bn, s_len))
 
         cache_len = max_tokens + 64
-        run_model = dp.place_replicated(self.model) if dp is not None \
-            else self.model
-        mesh_cm = dp.mesh if dp is not None else _null_cm()
         wdtype = jax.tree_util.tree_leaves(run_model.decoder)[0].dtype
         sa_caches = run_model.decoder.init_cache(2 * bn, cache_len,
                                                  dtype=wdtype)

@@ -3,6 +3,7 @@ from mlx_audio_tpu.parallel.mesh import (
     shard_batch,
     shard_module,
     replicate,
+    tp_rules_dia,
     tp_rules_llama,
 )
 from mlx_audio_tpu.parallel.context import (
@@ -15,6 +16,7 @@ from mlx_audio_tpu.parallel.context import (
 
 __all__ = [
     "get_mesh", "shard_batch", "shard_module", "replicate", "tp_rules_llama",
+    "tp_rules_dia",
     "MeshContext", "activate_mesh", "active_mesh", "deactivate_mesh",
     "parse_mesh_spec",
 ]

@@ -75,6 +75,37 @@ def tp_rules_llama(path: str, x) -> P:
     return P()
 
 
+# Dia's projections are DenseGeneral tensors (weight = in_shapes +
+# out_features, models/tts/dia/layers.py): q/k/v [E, heads, H] shard the
+# head axis, o [heads, H, E] shards its head input axis, the fused gate MLP
+# [E, 2, F] and wo [F, E] split the hidden dim, and the per-channel logits
+# head [E, C, V] splits the vocab.  Head-parallel attention + column/row-
+# parallel MLP is the same recipe as tp_rules_llama, expressed on Dia's
+# tensor layouts (reference contract: dia/layers.py DenseGeneral; the
+# reference itself is single-device, SURVEY.md §2.5).
+_DIA_QKV = re.compile(r"\.(q_proj|k_proj|v_proj)\.weight$")
+_DIA_O = re.compile(r"\.o_proj\.weight$")
+_DIA_WI = re.compile(r"\.wi_fused\.weight$")
+_DIA_WO = re.compile(r"\.wo\.weight$")
+_DIA_LOGITS = re.compile(r"logits_dense\.weight$")
+
+
+def tp_rules_dia(path: str, x) -> P:
+    """PartitionSpec for a Dia encoder-decoder leaf under ('data', 'model')."""
+    if x.ndim == 3:
+        if _DIA_QKV.search(path):
+            return P(None, "model", None)
+        if _DIA_O.search(path):
+            return P("model", None, None)
+        if _DIA_WI.search(path):
+            return P(None, None, "model")
+        if _DIA_LOGITS.search(path):
+            return P(None, None, "model")
+    if x.ndim == 2 and _DIA_WO.search(path):
+        return P("model", None)
+    return P()
+
+
 def shard_module(mesh: Mesh, module, rules: Callable[[str, object], P]):
     """Apply per-leaf PartitionSpec rules; leaves whose dims don't divide the
     mesh axis fall back to replication."""

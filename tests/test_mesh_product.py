@@ -544,3 +544,275 @@ def test_server_batcher_flushes_in_dp_multiples(kokoro, tmp_path):
     for r in results:
         assert r.get("status", 200) == 200, r
     assert batch_sizes == [4, 2], batch_sizes
+
+
+# ---------------------------------------------------------------------------
+# Round 5: TP for the models that exceed a chip (Voxtral's Llama LM via the
+# shared causal loop, Dia's encoder-decoder) + the remaining families' DP
+# coverage — every family now appears in BOTH this file and
+# __graft_entry__.dryrun_multichip.
+# ---------------------------------------------------------------------------
+
+
+def test_causal_lm_tp2_matches_unsharded():
+    """tp=2 shards every Llama-family causal LM (Orpheus/OuteTTS/Spark/
+    ChatLM/Voxtral's LM) by tp_rules_llama through the shared batch loop;
+    greedy rows must be bit-equal to the unsharded run and sampled rows
+    must match (same keys, logits equal to float rounding)."""
+    from mlx_audio_tpu.models.lm.causal import generate_tokens_batch
+
+    lm = _tiny_causal_lm()
+    prompts = [np.arange(5), np.arange(3, 12), np.arange(7), np.arange(2, 6)]
+    for temp, top_k in ((0.0, 0), (0.9, 8)):
+        base = generate_tokens_batch(lm, prompts, max_tokens=12,
+                                     temperature=temp, top_k=top_k,
+                                     chunk=8, seed=11)
+        activate_mesh("dp=2,tp=2")
+        tp = generate_tokens_batch(lm, prompts, max_tokens=12,
+                                   temperature=temp, top_k=top_k,
+                                   chunk=8, seed=11)
+        deactivate_mesh()
+        assert [r.tolist() for r in tp] == [r.tolist() for r in base], (
+            f"temp={temp}")
+
+
+def test_causal_lm_tp_only_single_stream():
+    """tp=2 with dp=1 (the latency configuration: one stream, weights
+    split): the streaming single-prompt loop must match unsharded."""
+    from mlx_audio_tpu.models.lm.causal import generate_tokens
+
+    lm = _tiny_causal_lm()
+    ids = np.arange(2, 9)
+    base = np.concatenate(list(generate_tokens(
+        lm, ids, max_tokens=10, temperature=0.0, chunk=4, seed=5)))
+    activate_mesh(dp=1, tp=2)
+    tp = np.concatenate(list(generate_tokens(
+        lm, ids, max_tokens=10, temperature=0.0, chunk=4, seed=5)))
+    np.testing.assert_array_equal(base, tp)
+
+
+def test_voxtral_tp2_matches_replicated():
+    """Voxtral (the one family that OOMs f32 on a 16 GB chip) under tp=2:
+    the Llama LM + audio-tower projections shard by tp_rules_llama; the
+    greedy transcript must match the unsharded run."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_wav2vec_voxtral import FakeTok
+    from mlx_audio_tpu.models.stt.voxtral.voxtral import (
+        Model as Voxtral,
+        ModelConfig as VoxConfig,
+    )
+
+    cfg = VoxConfig(
+        audio_config=dict(num_mel_bins=80, d_model=32, encoder_layers=2,
+                          encoder_attention_heads=4, encoder_ffn_dim=64,
+                          intermediate_size=128, max_source_positions=64),
+        text_config=dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=8,
+                         max_position_embeddings=1024,
+                         tie_word_embeddings=True),
+        audio_token_id=24,
+    )
+    model = Voxtral(cfg, tokenizer=FakeTok())
+    audio = np.random.default_rng(2).standard_normal(4 * 16000).astype(
+        np.float32) * 0.1
+
+    base = model.generate(audio, max_tokens=6, temperature=0.0,
+                          eos_token_ids=(2,))
+    activate_mesh("dp=2,tp=2")
+    tp = model.generate(audio, max_tokens=6, temperature=0.0,
+                        eos_token_ids=(2,))
+    assert [s["tokens"] for s in tp.segments] == [
+        s["tokens"] for s in base.segments]
+    assert tp.text == base.text
+
+
+def test_voxtral_dp4_windows_match_unsharded():
+    """Voxtral's full product path (mel windows -> tower -> projector ->
+    batched LM decode) under dp=4 matches unsharded — the dp leg for the
+    third family that had none (VERDICT round-4 weak #2)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_wav2vec_voxtral import FakeTok
+    from mlx_audio_tpu.models.stt.voxtral.voxtral import (
+        Model as Voxtral,
+        ModelConfig as VoxConfig,
+    )
+
+    cfg = VoxConfig(
+        audio_config=dict(num_mel_bins=80, d_model=32, encoder_layers=1,
+                          encoder_attention_heads=4, encoder_ffn_dim=64,
+                          intermediate_size=128, max_source_positions=64),
+        text_config=dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=8,
+                         max_position_embeddings=1024,
+                         tie_word_embeddings=True),
+        audio_token_id=24,
+    )
+    model = Voxtral(cfg, tokenizer=FakeTok())
+    audio = np.random.default_rng(3).standard_normal(3 * 16000).astype(
+        np.float32) * 0.1  # 3 windows -> pads to 4 under dp=4
+
+    base = model.generate(audio, max_tokens=6, temperature=0.0,
+                          eos_token_ids=(2,))
+    activate_mesh("dp=4")
+    dp = model.generate(audio, max_tokens=6, temperature=0.0,
+                        eos_token_ids=(2,))
+    assert [s["tokens"] for s in dp.segments] == [
+        s["tokens"] for s in base.segments]
+    assert dp.text == base.text
+
+
+def test_dia_generate_batch_tp2_matches_unsharded():
+    """Dia (1.6B in production; its decoder is the second model worth
+    splitting) under dp=2,tp=2: the DenseGeneral projections shard by
+    tp_rules_dia; frame counts bit-equal, audio to float rounding."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_dia import tiny_dia
+
+    model = tiny_dia()
+    texts = ["[S1] hi [S2] hello", "[S1] another [S2] line",
+             "[S1] third [S2] text"]
+    base = model.generate_batch(texts, max_tokens=24, temperature=1.0, seed=2)
+    activate_mesh("dp=2,tp=2")
+    tp = model.generate_batch(texts, max_tokens=24, temperature=1.0, seed=2)
+    assert len(base) == len(tp) == 3
+    for a, b in zip(base, tp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-4)
+
+
+def test_dia_single_text_tp_only():
+    """tp=2 with one text (the latency configuration) through the public
+    generate: same audio as the unsharded run."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_dia import tiny_dia
+
+    model = tiny_dia()
+    base = list(model.generate("[S1] solo [S2] reply", max_tokens=16,
+                               temperature=1.0, seed=4))
+    activate_mesh(dp=1, tp=2)
+    tp = list(model.generate("[S1] solo [S2] reply", max_tokens=16,
+                             temperature=1.0, seed=4))
+    assert len(base) == len(tp) == 1
+    assert np.asarray(base[0].audio).shape == np.asarray(tp[0].audio).shape
+    np.testing.assert_allclose(np.asarray(base[0].audio),
+                               np.asarray(tp[0].audio), atol=1e-4)
+
+
+def test_spark_generate_batch_dp4_matches_unsharded():
+    """Spark's full product path (prompt build -> shared LM loop -> token
+    parse -> grouped BiCodec detokenize, where the round-4 per-row-dispatch
+    bug lived) under dp=4 matches unsharded."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_spark import TINY_BICODEC, _FakeTokenizer
+    from mlx_audio_tpu.models.tts.spark.bicodec import BiCodec
+    from mlx_audio_tpu.models.tts.spark.spark import Model, ModelConfig
+
+    cfg = ModelConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=512,
+    )
+    model = Model(cfg, bicodec=BiCodec(TINY_BICODEC),
+                  tokenizer=_FakeTokenizer())
+    texts = ["hello world", "a second utterance", "third"]  # pads to 4
+    base = model.generate_batch(texts, gender="female", temperature=0.8,
+                                top_k=16, max_tokens=8, seed=6)
+    activate_mesh("dp=4")
+    dp = model.generate_batch(texts, gender="female", temperature=0.8,
+                              top_k=16, max_tokens=8, seed=6)
+    assert len(base) == len(dp) == 3
+    for a, b in zip(base, dp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-5)
+
+
+def test_outetts_generate_batch_dp4_matches_unsharded():
+    """OuteTTS's full product path (prompt template -> shared LM loop ->
+    token extraction -> DAC decode) under dp=4 matches unsharded."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_outetts import tiny_model
+
+    model = tiny_model()
+    texts = ["hello world", "second text", "third"]          # pads to 4
+    base = model.generate_batch(texts, temperature=0.7, max_tokens=24,
+                                seed=7)
+    activate_mesh("dp=4")
+    dp = model.generate_batch(texts, temperature=0.7, max_tokens=24, seed=7)
+    assert len(base) == len(dp) == 3
+    for a, b in zip(base, dp):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
+                                   atol=1e-5)
+
+
+def test_whisper_decode_dp4_matches_unsharded():
+    """Whisper window-batch decode (the §2.5(e) embarrassingly-parallel
+    case) under dp=4: per-window tokens must match the unsharded run —
+    the dp-equivalence test the dryrun leg lacked."""
+    pytest.importorskip("tiktoken")
+    import tiktoken
+
+    from mlx_audio_tpu.models.stt.whisper import api
+    from mlx_audio_tpu.models.stt.whisper.decoding import DecodingOptions
+    from mlx_audio_tpu.models.stt.whisper.model import (
+        ModelDimensions,
+        WhisperModel,
+    )
+    from mlx_audio_tpu.models.stt.whisper.tokenizer import (
+        Tokenizer,
+        whisper_special_tokens,
+    )
+
+    n_base, num_languages = 256, 4
+    ranks = {bytes([i]): i for i in range(n_base)}
+    special, n_vocab = {}, n_base
+    for token in whisper_special_tokens(num_languages):
+        special[token] = n_vocab
+        n_vocab += 1
+    enc = tiktoken.Encoding(
+        name="meshtest", explicit_n_vocab=n_vocab,
+        pat_str=r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+        mergeable_ranks=ranks, special_tokens=special,
+    )
+    tokenizer = Tokenizer(encoding=enc, num_languages=num_languages,
+                          language="en", task="transcribe")
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=100, n_audio_state=32, n_audio_head=2,
+        n_audio_layer=2, n_vocab=n_vocab, n_text_ctx=128, n_text_state=32,
+        n_text_head=2, n_text_layer=2,
+    )
+    model = WhisperModel(dims)
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((6, 200, 80)) * 0.1,
+        dtype=jnp.float32)  # 6 windows pad to 8 under dp=4
+    opts = DecodingOptions(language="en", sample_len=8, temperature=0.0)
+
+    base = api.decode(model, mel, opts, tokenizer=tokenizer)
+    activate_mesh("dp=4")
+    dp = api.decode(model, mel, opts, tokenizer=tokenizer)
+    assert len(base) == len(dp) == 6
+    for a, b in zip(base, dp):
+        assert list(a.tokens) == list(b.tokens)
+        assert a.text == b.text
