@@ -151,12 +151,9 @@ class ChatLM:
         ) + "assistant:"
         return self.tokenizer.encode(prompt)
 
-    def respond(self, text: str,
-                history: Optional[List[dict]] = None,
-                seed: int = 0) -> str:
-        """One chat turn: history + user text -> assistant reply (reference
-        _generate_response, sts/voice_pipeline.py:198-221; the reference
-        keeps no history at all — ours is a superset).
+    def _build_prompt_ids(self, text: str,
+                          history: Optional[List[dict]] = None) -> List[int]:
+        """Chat-template prompt with drop-oldest context eviction.
 
         Long sessions forget instead of failing: when prompt tokens plus
         the generation budget would overflow the model's context, the
@@ -184,6 +181,15 @@ class ChatLM:
                 len(ids), budget,
             )
             ids = ids[-budget:]
+        return ids
+
+    def respond(self, text: str,
+                history: Optional[List[dict]] = None,
+                seed: int = 0) -> str:
+        """One chat turn: history + user text -> assistant reply (reference
+        _generate_response, sts/voice_pipeline.py:198-221; the reference
+        keeps no history at all — ours is a superset)."""
+        ids = self._build_prompt_ids(text, history)
         out = generate_tokens_batch(
             self.model, [np.asarray(ids, dtype=np.int32)],
             max_tokens=self.max_tokens, temperature=self.temperature,
@@ -192,6 +198,30 @@ class ChatLM:
         return self.tokenizer.decode(
             out.tolist(), skip_special_tokens=True
         ).strip()
+
+    def respond_stream(self, text: str,
+                       history: Optional[List[dict]] = None,
+                       seed: int = 0, chunk: int = 8):
+        """Streaming chat turn: yields the decoded reply-so-far after every
+        ``chunk`` generated tokens (monotone snapshots; the last yield is
+        the full reply).  This is what lets the STS pipeline start TTS at
+        the first sentence boundary instead of after the whole reply
+        (reference behavior being beaten: sts/voice_pipeline.py:193-267
+        fully serializes LLM -> TTS)."""
+        from mlx_audio_tpu.models.lm.causal import generate_tokens
+
+        ids = self._build_prompt_ids(text, history)
+        toks: List[int] = []
+        for piece in generate_tokens(
+            self.model, np.asarray(ids, dtype=np.int32),
+            max_tokens=self.max_tokens, temperature=self.temperature,
+            top_p=self.top_p, stop_tokens=self._stop_tokens(), chunk=chunk,
+            seed=seed,
+        ):
+            toks.extend(piece.tolist())
+            yield self.tokenizer.decode(
+                toks, skip_special_tokens=True
+            ).strip()
 
     # the VoicePipeline calls its llm stage as a callable(text)->text
     __call__ = respond

@@ -9,6 +9,7 @@ sampling; the fine stage is batched non-causal forwards per codebook.
 from __future__ import annotations
 
 import math
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -132,41 +133,95 @@ def _semantic_chunk(model, caches, last_token, key, chunk: int,
     return toks, caches, last
 
 
-@partial(jax.jit, static_argnames=("steps", "temperature"))
-def _coarse_window(model, x_in, n_valid, parity0, key, steps: int,
-                   temperature: float):
-    """One coarse sliding window over a [B, L] row batch: prefill the
-    padded contexts (lockstep rows share n_valid) then scan `steps` token
-    generations with alternating codebook logit ranges."""
-    b = x_in.shape[0]
-    caches = model.coarse_acoustics.init_cache(
-        b, x_in.shape[1] + steps,
-        dtype=model.coarse_acoustics.input_embeds_layer.weight.dtype)
-    emb = model.coarse_acoustics.input_embeds_layer(x_in)
-    logits0, caches = model.coarse_acoustics.prefill(caches, emb, n_valid)
+def _coarse_sample(k, logits, parity, temperature):
+    """Sample one coarse token from the parity codebook's logit range."""
+    start = SEMANTIC_VOCAB_SIZE + parity * CODEBOOK_SIZE
+    v = logits.shape[-1]
+    ids = jnp.arange(v)[None]
+    masked = jnp.where((ids >= start) & (ids < start + CODEBOOK_SIZE),
+                       logits, -jnp.inf)
+    return _cat_rows(k, masked, temperature)
 
-    def sample(k, logits, parity):
-        start = SEMANTIC_VOCAB_SIZE + parity * CODEBOOK_SIZE
-        v = logits.shape[-1]
-        ids = jnp.arange(v)[None]
-        masked = jnp.where((ids >= start) & (ids < start + CODEBOOK_SIZE),
-                           logits, -jnp.inf)
-        return _cat_rows(k, masked, temperature)
 
-    key, k0 = jax.random.split(key)
-    tok0 = sample(k0, logits0.astype(jnp.float32), parity0)   # [B]
-
+def _coarse_scan(model, caches, tok0, parity0, key, steps: int,
+                 temperature: float):
+    """steps-1 cached decode steps after an already-sampled tok0."""
     def body(carry, xs):
         caches_s, prev, parity = carry
         k = xs
         logits, caches_s = model.coarse_acoustics.step(caches_s, prev[:, None])
         parity = 1 - parity
-        tok = sample(k, logits.astype(jnp.float32), parity)
+        tok = _coarse_sample(k, logits.astype(jnp.float32), parity,
+                             temperature)
         return (caches_s, tok, parity), tok
 
     keys = jax.random.split(key, steps - 1)
     (caches, _, _), toks = jax.lax.scan(body, (caches, tok0, parity0), keys)
-    return jnp.concatenate([tok0[None], toks])          # [steps, B]
+    return jnp.concatenate([tok0[None], toks]), caches   # [steps, B]
+
+
+@partial(jax.jit, static_argnames=("steps", "cache_len", "temperature"))
+def _coarse_window(model, x_in, n_valid, parity0, key, steps: int,
+                   cache_len: int, temperature: float):
+    """One coarse sliding window over a [B, L] row batch: prefill the
+    padded contexts (lockstep rows share n_valid) then scan `steps` token
+    generations with alternating codebook logit ranges.  Returns the
+    tokens and the caches (idx at n_valid + steps - 1; the final sampled
+    token is NOT written — the next window feeds it, see
+    _coarse_window_carry)."""
+    b = x_in.shape[0]
+    caches = model.coarse_acoustics.init_cache(
+        b, cache_len,
+        dtype=model.coarse_acoustics.input_embeds_layer.weight.dtype)
+    emb = model.coarse_acoustics.input_embeds_layer(x_in)
+    logits0, caches = model.coarse_acoustics.prefill(caches, emb, n_valid)
+
+    key, k0 = jax.random.split(key)
+    tok0 = _coarse_sample(k0, logits0.astype(jnp.float32), parity0,
+                          temperature)                      # [B]
+    return _coarse_scan(model, caches, tok0, parity0, key, steps, temperature)
+
+
+@partial(jax.jit, static_argnames=("steps", "temperature"))
+def _coarse_window_carry(model, caches, last_tok, parity0, key, steps: int,
+                         temperature: float):
+    """A sliding window whose context is exactly [previous window's context
+    + its generated tokens]: skip the prefill and continue from the carried
+    caches.  Holds while the semantic slice start is pinned at 0 and the
+    coarse tail hasn't hit the max_coarse_history cap (the driver verifies
+    the token rows byte-for-byte before taking this path), i.e. roughly the
+    first max_coarse_history/sliding_window_len windows — Bark's learned
+    absolute positions make a *general* shifted-window carry inexact, so
+    later windows re-prefill (reference re-prefills EVERY window,
+    bark/pipeline.py:210-350).
+
+    Key schedule matches _coarse_window exactly (split -> k0 -> steps-1
+    scan keys); the first logits come from one cached step on the window's
+    final context token instead of the prefill's last-position row — the
+    same math, so tokens match the prefill path to float rounding."""
+    key, k0 = jax.random.split(key)
+    logits0, caches = model.coarse_acoustics.step(caches, last_tok[:, None])
+    tok0 = _coarse_sample(k0, logits0.astype(jnp.float32), parity0,
+                          temperature)
+    return _coarse_scan(model, caches, tok0, parity0, key, steps, temperature)
+
+
+def _cache_bucket(n: int) -> int:
+    """192-granular cache capacity (same bucketing as the window padding —
+    bounds both the recompile count and the per-step cache-read width)."""
+    return -(-n // 192) * 192
+
+
+def _grow_caches(caches, new_len: int):
+    """Extend each KVCache's capacity to new_len (pad with zeros past the
+    write frontier; unwritten slots are masked by construction)."""
+    cur = caches[0].k.shape[-2]
+    if cur >= new_len:
+        return caches
+    pad = ((0, 0), (0, 0), (0, new_len - cur), (0, 0))
+    return [
+        c._replace(k=jnp.pad(c.k, pad), v=jnp.pad(c.v, pad)) for c in caches
+    ]
 
 
 @partial(jax.jit, static_argnames=("pred_idx", "temperature"))
@@ -377,6 +432,14 @@ class Model(Module):
         key = jax.random.PRNGKey(seed + 1)
         n_step = 0
         bucket = 257 + max_coarse_history
+        # KV-carry across early windows: while the semantic slice start is
+        # pinned at 0 and the coarse tail hasn't hit max_coarse_history,
+        # the next window's context is [this context + the tokens just
+        # generated], all at the SAME absolute positions — so its prefill
+        # is already sitting in the caches.  carry = (caches, last token,
+        # expected next-window token rows); verified byte-for-byte below.
+        carry = None
+        no_carry = bool(os.environ.get("MLX_AUDIO_TPU_NO_COARSE_CARRY"))
         while n_step < n_steps_max:
             sem_idx = base_sem_idx + int(round(n_step / ratio))
             rows = []
@@ -391,32 +454,56 @@ class Model(Module):
                     [x_in, [COARSE_INFER_TOKEN], tail]).astype(np.int32)
                 rows.append(ctx)
                 clen = len(ctx)      # lockstep rows: identical every window
-            # context-length bucketing: early windows have a short coarse
-            # tail (clen grows 257 -> 887); padding to a 192-bucket instead
-            # of the fixed max cuts their prefill + per-step cache reads
-            # ~3x.  Bit-exact (prefill masks by n_valid; pad slots never
-            # attend) — same contract as the Kokoro bucketing tests.
-            wbucket = min(bucket, -(-clen // 192) * 192)
-            padded = np.full((b, wbucket), COARSE_SEMANTIC_PAD_TOKEN,
-                             dtype=np.int32)
-            for i in range(b):
-                padded[i, : len(rows[i])] = rows[i]
             steps = min(sliding_window_len, n_steps_max - n_step)
             # major steps (even n_step) sample codebook-0 logits [10000,11024)
             parity0 = 0 if (n_step % N_COARSE_CODEBOOKS == 0) else 1
             key, kw = jax.random.split(key)
-            with mesh_cm:
-                x_dev = jnp.asarray(padded)
-                if dp is not None:
-                    x_dev = dp.shard_batch(x_dev)
-                toks = _coarse_window(
-                    self, x_dev, jnp.asarray(clen, jnp.int32),
-                    jnp.asarray(parity0, jnp.int32), kw, steps=int(steps),
-                    temperature=temperature,
-                )
+            use_carry = (
+                carry is not None
+                and not no_carry
+                and all(np.array_equal(rows[i], carry[2][i])
+                        for i in range(b))
+            )
+            if use_carry:
+                caches_in, last_tok = carry[0], carry[1]
+                with mesh_cm:
+                    # cache capacity must cover this window's steps too
+                    caches_in = _grow_caches(
+                        caches_in, _cache_bucket(clen + int(steps)))
+                    toks, caches = _coarse_window_carry(
+                        self, caches_in, last_tok,
+                        jnp.asarray(parity0, jnp.int32), kw,
+                        steps=int(steps), temperature=temperature,
+                    )
+            else:
+                # context-length bucketing: early windows have a short
+                # coarse tail (clen grows 257 -> 887); padding to a
+                # 192-bucket instead of the fixed max cuts their prefill +
+                # per-step cache reads ~3x.  Bit-exact (prefill masks by
+                # n_valid; pad slots never attend) — same contract as the
+                # Kokoro bucketing tests.
+                wbucket = min(bucket, -(-clen // 192) * 192)
+                padded = np.full((b, wbucket), COARSE_SEMANTIC_PAD_TOKEN,
+                                 dtype=np.int32)
+                for i in range(b):
+                    padded[i, : len(rows[i])] = rows[i]
+                with mesh_cm:
+                    x_dev = jnp.asarray(padded)
+                    if dp is not None:
+                        x_dev = dp.shard_batch(x_dev)
+                    toks, caches = _coarse_window(
+                        self, x_dev, jnp.asarray(clen, jnp.int32),
+                        jnp.asarray(parity0, jnp.int32), kw,
+                        steps=int(steps),
+                        cache_len=_cache_bucket(clen + int(steps)),
+                        temperature=temperature,
+                    )
             toks_np = np.asarray(toks)               # [steps, B]
             for i in range(b):
                 x_coarse_rows[i].extend(int(t) for t in toks_np[:, i])
+            carry = (caches, toks[-1],
+                     [np.concatenate([rows[i], toks_np[:, i]])
+                      for i in range(b)])
             n_step += int(steps)
 
         outs = []

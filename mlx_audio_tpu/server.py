@@ -541,27 +541,61 @@ def create_app(state: Optional[ServerState] = None):
         )
         buffer = []
         loop = asyncio.get_event_loop()
+
+        async def commit_turn():
+            """Run one STS turn and stream its events to the client:
+            header json (sample_rate + the user transcript) -> one binary
+            chunk per synthesized sentence (the LLM keeps decoding while
+            earlier sentences play) -> final json with the assistant
+            reply.  The reference serializes STT -> full LLM reply -> TTS
+            (sts/voice_pipeline.py:193-267)."""
+            nonlocal buffer
+            audio_in = np.concatenate(buffer)
+            buffer = []
+            pre_text = await spec.take(audio_in)
+            sent_final = False
+            async for kind, payload in pipeline.process_turn_streaming(
+                    audio_in, text=pre_text):
+                rate = getattr(pipeline._tts, "sample_rate", 24000)
+                if kind == "transcript":
+                    await ws.send_json({"user_transcript": payload,
+                                        "sample_rate": rate})
+                elif kind == "audio":
+                    await ws.send_bytes(
+                        np.asarray(payload, dtype=np.float32).tobytes())
+                elif kind == "done":
+                    await ws.send_json({"transcript": payload,
+                                        "sample_rate": rate})
+                    sent_final = True
+            if not sent_final:      # keep the one-json-per-flush contract
+                await ws.send_json({"transcript": ""})
+
+        early_committed = False
         async for msg in ws:
             if msg.type == WSMsgType.BINARY:
                 frames = np.frombuffer(msg.data, dtype=np.float32)
                 buffer.append(frames)
                 spec.feed(frames, loop=loop)
+                if spec.seen_speech:
+                    early_committed = False   # a new utterance is pending
+                # adaptive endpointing: the client waits out a fixed
+                # ~1.2 s window before flushing, but once the speculative
+                # transcript is already computed and adaptive_min_silence
+                # of trailing silence has passed, nothing new can change
+                # the turn — commit early and shave the rest of the wait
+                if (cfg.adaptive_endpoint and spec.seen_speech
+                        and spec.ready
+                        and spec.trailing_silence
+                        >= cfg.adaptive_min_silence):
+                    await commit_turn()
+                    early_committed = True
             elif msg.type == WSMsgType.TEXT and msg.data == "flush":
-                if buffer:
-                    audio_in = np.concatenate(buffer)
+                if buffer and not early_committed:
+                    await commit_turn()
+                else:
+                    # silence-only tail after an adaptive early commit
                     buffer = []
-                    pre_text = await spec.take(audio_in)
-                    text, audio_out = await pipeline.process_turn(
-                        audio_in, text=pre_text)
-                    await ws.send_json({
-                        "transcript": text,
-                        "sample_rate": getattr(pipeline._tts, "sample_rate",
-                                               24000),
-                    })
-                    if audio_out is not None:
-                        await ws.send_bytes(
-                            np.asarray(audio_out, dtype=np.float32).tobytes()
-                        )
+                early_committed = False
             elif msg.type == WSMsgType.ERROR:
                 break
         return ws

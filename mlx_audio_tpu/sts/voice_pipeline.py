@@ -33,6 +33,11 @@ class VoicePipelineConfig:
     silence_threshold: float = 0.015     # energy VAD threshold
     silence_duration: float = 1.5        # endpoint after this much silence
     max_utterance_seconds: float = 30.0
+    # adaptive endpointing: once the speculative transcript is ready and
+    # this much trailing silence has passed, the server commits the turn
+    # without waiting out the client's full endpoint window
+    adaptive_endpoint: bool = True
+    adaptive_min_silence: float = 0.5
     stt_model: str = "mlx-community/whisper-large-v3-turbo"
     llm_model: Optional[str] = None
     tts_model: str = "prince-canuma/Kokoro-82M"
@@ -106,6 +111,22 @@ class SpeculativeTranscriber:
     def _frame_energy(self, frame: np.ndarray) -> float:
         return float(np.sqrt(np.mean(frame.astype(np.float64) ** 2)))
 
+    @property
+    def seen_speech(self) -> bool:
+        """Speech observed since the last reset (i.e. an utterance is
+        pending commit)."""
+        return self._seen_speech
+
+    @property
+    def ready(self) -> bool:
+        """The speculative transcription has finished computing."""
+        return self._task is not None and self._task.done()
+
+    @property
+    def trailing_silence(self) -> float:
+        """Seconds of silence since the last speech frame."""
+        return self._silent_run
+
     def feed(self, frames: np.ndarray, loop=None):
         """Track the stream; launch/invalidate the speculative task."""
         frames = np.asarray(frames, dtype=np.float32).reshape(-1)
@@ -160,6 +181,33 @@ class SpeculativeTranscriber:
         if task is None:
             return None
         return await task
+
+
+_SENTENCE_BOUNDARY = None  # compiled lazily (re import kept top-light)
+
+
+def split_sentences(text: str):
+    """(complete_sentences, rest): split at [.!?]+ followed by whitespace.
+    Fragments shorter than 4 chars merge forward (a lone "Hi." isn't worth
+    a TTS dispatch of its own)."""
+    import re
+
+    global _SENTENCE_BOUNDARY
+    if _SENTENCE_BOUNDARY is None:
+        _SENTENCE_BOUNDARY = re.compile(r"(?<=[.!?])\s+")
+    parts = _SENTENCE_BOUNDARY.split(text)
+    if not parts:
+        return [], ""
+    rest = parts.pop()               # no trailing terminator+space yet
+    merged = []
+    for p in parts:
+        if merged and len(merged[-1]) < 4:
+            merged[-1] = merged[-1] + " " + p
+        else:
+            merged.append(p)
+    if merged and len(merged[-1]) < 4:
+        rest = (merged.pop() + " " + rest).strip()
+    return merged, rest
 
 
 class VoicePipeline:
@@ -270,6 +318,90 @@ class VoicePipeline:
             None, lambda: list(self.speak(response))
         )
         return response, (np.concatenate(chunks) if chunks else None)
+
+    async def process_turn_streaming(self, audio: np.ndarray,
+                                     text: Optional[str] = None):
+        """One STS turn as an async event stream: ("transcript", text),
+        then ("audio", chunk) per synthesized sentence, then
+        ("done", full_response).
+
+        When the LLM stage supports token streaming (ChatLM.respond_stream)
+        the reply is cut at sentence boundaries and each sentence is
+        synthesized while the LLM is still decoding the next one — the
+        first audio chunk leaves after ~one sentence instead of after the
+        whole reply.  Barge-in (cancel_event) aborts between chunks.
+        Reference behavior being beaten: sts/voice_pipeline.py:193-267
+        fully serializes STT -> LLM -> TTS."""
+        loop = asyncio.get_event_loop()
+        if text is None:
+            text = await loop.run_in_executor(None, self.transcribe, audio)
+        if not text:
+            yield ("done", "")
+            return
+        yield ("transcript", text)
+
+        self.init_models()
+        stream_fn = getattr(self._llm, "respond_stream", None)
+        if stream_fn is None:
+            # non-streaming LLM (or passthrough echo): sentence-cut the
+            # finished reply so playback still starts at sentence 1
+            response = await loop.run_in_executor(None, self.respond, text)
+            sentences, rest = split_sentences(response)
+            if rest:
+                sentences.append(rest)
+            for sent in sentences:
+                if self.cancel_event.is_set():
+                    break
+                chunks = await loop.run_in_executor(
+                    None, lambda s=sent: list(self.speak(s)))
+                for c in chunks:
+                    yield ("audio", c)
+            yield ("done", response)
+            return
+
+        q: asyncio.Queue = asyncio.Queue()
+
+        def produce():
+            emitted = 0
+            snapshot = ""
+            try:
+                for snapshot in stream_fn(text, history=self._history):
+                    if self.cancel_event.is_set():
+                        break
+                    sents, _rest = split_sentences(snapshot)
+                    while emitted < len(sents):
+                        # never re-emit: only append new complete sentences
+                        loop.call_soon_threadsafe(
+                            q.put_nowait, ("sent", sents[emitted]))
+                        emitted += 1
+                # flush whatever never got a terminator
+                sents, rest = split_sentences(snapshot)
+                tail = " ".join(sents[emitted:] + ([rest] if rest else []))
+                if tail.strip() and not self.cancel_event.is_set():
+                    loop.call_soon_threadsafe(q.put_nowait,
+                                              ("sent", tail.strip()))
+            finally:
+                loop.call_soon_threadsafe(q.put_nowait, ("end", snapshot))
+
+        producer = loop.run_in_executor(None, produce)
+        response = ""
+        while True:
+            kind, payload = await q.get()
+            if kind == "end":
+                response = payload
+                break
+            if self.cancel_event.is_set():
+                continue             # drain without synthesizing
+            chunks = await loop.run_in_executor(
+                None, lambda s=payload: list(self.speak(s)))
+            for c in chunks:
+                yield ("audio", c)
+        await producer
+        if response:
+            self._history += [{"role": "user", "content": text},
+                              {"role": "assistant", "content": response}]
+            del self._history[:-40]
+        yield ("done", response)
 
     # -- streaming endpointing --------------------------------------------
 

@@ -96,3 +96,45 @@ def test_sanitize_gpt2_keys():
     out = m.sanitize(w)
     assert "semantic.layers.0.attn.att_proj.weight" in out
     assert "semantic.lm_head.weight" in out
+
+
+def test_coarse_kv_carry_matches_reprefill(model, monkeypatch):
+    """Early sliding windows carry their KV caches (the next window's
+    context is [prev context + generated tokens] at the same absolute
+    positions); tokens must match the per-window re-prefill path exactly,
+    including across a 192-bucket cache-capacity growth."""
+    rng = np.random.default_rng(7)
+    sems = [rng.integers(0, SEMANTIC_VOCAB_SIZE, size=80).astype(np.int32),
+            rng.integers(0, SEMANTIC_VOCAB_SIZE, size=64).astype(np.int32)]
+
+    monkeypatch.setenv("MLX_AUDIO_TPU_NO_COARSE_CARRY", "1")
+    base = model.generate_coarse_batch(sems, temperature=0.7,
+                                       sliding_window_len=16, seed=3)
+    monkeypatch.delenv("MLX_AUDIO_TPU_NO_COARSE_CARRY")
+    carry = model.generate_coarse_batch(sems, temperature=0.7,
+                                        sliding_window_len=16, seed=3)
+    for a, b in zip(base, carry):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_coarse_kv_carry_with_voice_history(model, monkeypatch, tmp_path):
+    """A voice prompt pre-fills semantic/coarse history (shorter exact-
+    carry phase, truncation path engages earlier); carry must still match
+    re-prefill."""
+    rng = np.random.default_rng(8)
+    voice = {
+        "semantic_prompt": rng.integers(
+            0, SEMANTIC_VOCAB_SIZE, size=40).astype(np.int32),
+        "coarse_prompt": rng.integers(0, 1024, size=(2, 60)).astype(np.int32),
+        "fine_prompt": rng.integers(0, 1024, size=(8, 60)).astype(np.int32),
+    }
+    sems = [rng.integers(0, SEMANTIC_VOCAB_SIZE, size=48).astype(np.int32)]
+
+    monkeypatch.setenv("MLX_AUDIO_TPU_NO_COARSE_CARRY", "1")
+    base = model.generate_coarse_batch(sems, voice=voice, temperature=0.7,
+                                       sliding_window_len=12, seed=5)
+    monkeypatch.delenv("MLX_AUDIO_TPU_NO_COARSE_CARRY")
+    carry = model.generate_coarse_batch(sems, voice=voice, temperature=0.7,
+                                        sliding_window_len=12, seed=5)
+    for a, b in zip(base, carry):
+        np.testing.assert_array_equal(a, b)

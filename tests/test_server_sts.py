@@ -363,13 +363,17 @@ def test_ws_sts_end_to_end_with_llm(monkeypatch, tmp_path):
                     np.zeros(16000, dtype=np.float32).tobytes()
                 )
                 await ws.send_str("flush")
-                msg = await ws.receive_json(timeout=120)
+                header = await ws.receive_json(timeout=120)
                 audio = await ws.receive_bytes(timeout=120)
-                return msg, audio
+                final = await ws.receive_json(timeout=120)
+                return header, audio, final
 
-    msg, audio = asyncio.new_event_loop().run_until_complete(run())
-    # transcript is the LLM reply, not the raw STT echo
-    assert msg["transcript"] == llm.respond("hello there")
+    header, audio, final = asyncio.new_event_loop().run_until_complete(run())
+    # header carries the USER transcript + rate before any audio; the
+    # final json carries the assistant reply (round-5 streaming protocol)
+    assert header["user_transcript"] == "hello there"
+    assert header["sample_rate"] == 24000
+    assert final["transcript"] == llm.respond("hello there")
     assert len(audio) == 2400 * 4  # FakeTTSModel emits 2400 f32 samples
 
 
@@ -584,10 +588,16 @@ def test_ws_sts_uses_speculative_transcript(monkeypatch, tmp_path):
                     await asyncio.sleep(0.05)
                 await asyncio.sleep(0.2)   # let the spec task finish
                 await ws.send_str("flush")
-                msg = await ws.receive_json(timeout=30)
-                assert msg["transcript"]
+                # round-5 protocol: header json (user transcript) ->
+                # audio -> final json; the adaptive endpointer may have
+                # committed during the silence window, which is fine — the
+                # messages are queued either way
+                header = await ws.receive_json(timeout=30)
+                assert header["user_transcript"] == "counted hello"
                 await ws.receive_bytes(timeout=30)
-        assert len(stt_calls) == 1         # spec result reused at flush
+                final = await ws.receive_json(timeout=30)
+                assert final["transcript"]
+        assert len(stt_calls) == 1         # spec result reused at commit
 
     asyncio.run(run())
 
@@ -691,3 +701,217 @@ def test_webrtc_offer_executes_peer_glue(monkeypatch, tmp_path):
             mic.end()
 
     asyncio.new_event_loop().run_until_complete(run())
+
+
+# -- round 5: streamed sentences + adaptive endpointing --------------------
+
+
+def test_split_sentences():
+    from mlx_audio_tpu.sts.voice_pipeline import split_sentences
+
+    assert split_sentences("Hello there. How are") == (["Hello there."],
+                                                       "How are")
+    assert split_sentences("One. Two! Three? tail") == (
+        ["One.", "Two!", "Three?"], "tail")
+    # fragments under 4 chars merge forward (a lone "Hi." isn't worth a
+    # TTS dispatch)
+    assert split_sentences("Hi. Good to see you. more") == (
+        ["Hi. Good to see you."], "more")
+    assert split_sentences("no terminator yet") == ([], "no terminator yet")
+    assert split_sentences("") == ([], "")
+    sents, rest = split_sentences("A full sentence here. Another one too. ")
+    assert sents == ["A full sentence here.", "Another one too."]
+    assert rest == ""
+
+
+class _SentenceLLM:
+    """Streams a 3-sentence reply in token-ish increments."""
+
+    REPLY = "First sentence here. Second one follows. And a tail"
+
+    def respond_stream(self, text, history=None, seed=0):
+        words = self.REPLY.split(" ")
+        for i in range(1, len(words) + 1):
+            yield " ".join(words[:i])
+
+    def __call__(self, text, history=None):
+        return self.REPLY
+
+
+class _CountingTTS:
+    sample_rate = 24000
+
+    def __init__(self):
+        self.calls = []
+
+    def generate(self, text=None, **kwargs):
+        from mlx_audio_tpu.models.base import make_generation_result
+
+        self.calls.append(text)
+        yield make_generation_result(
+            np.full(1200, 0.25, dtype=np.float32), 24000, 0, 5, 0.01)
+
+
+def test_process_turn_streaming_sentence_pipeline():
+    """The async event stream yields the user transcript first, then one
+    audio chunk per sentence (TTS ran 3x, once per boundary cut), then the
+    full reply."""
+    tts = _CountingTTS()
+    pipe = VoicePipeline(VoicePipelineConfig(), stt_model=_BridgeSTT(),
+                         llm=_SentenceLLM(), tts_model=tts)
+
+    async def run():
+        events = []
+        async for ev in pipe.process_turn_streaming(
+                np.zeros(16000, dtype=np.float32)):
+            events.append(ev)
+        return events
+
+    events = asyncio.new_event_loop().run_until_complete(run())
+    kinds = [k for k, _ in events]
+    assert kinds[0] == "transcript" and events[0][1] == "bridge hello"
+    assert kinds.count("audio") == 3
+    assert kinds[-1] == "done"
+    assert events[-1][1] == _SentenceLLM.REPLY
+    assert tts.calls == ["First sentence here.", "Second one follows.",
+                         "And a tail"]
+
+
+def test_process_turn_streaming_nonstreaming_llm_still_chunks():
+    """A plain callable LLM (no respond_stream) still sentence-cuts the
+    finished reply so playback starts at sentence 1."""
+    tts = _CountingTTS()
+
+    def llm(text):
+        return "Alpha beta gamma. Delta epsilon."
+
+    pipe = VoicePipeline(VoicePipelineConfig(), stt_model=_BridgeSTT(),
+                         llm=llm, tts_model=tts)
+
+    async def run():
+        return [ev async for ev in pipe.process_turn_streaming(
+            np.zeros(8000, dtype=np.float32))]
+
+    events = asyncio.new_event_loop().run_until_complete(run())
+    kinds = [k for k, _ in events]
+    assert kinds.count("audio") == 2
+    assert tts.calls == ["Alpha beta gamma.", "Delta epsilon."]
+
+
+def test_ws_sts_streams_sentence_chunks(monkeypatch, tmp_path):
+    """/ws/sts sends header json -> one binary chunk per sentence -> final
+    json with the assistant reply."""
+    pytest.importorskip("aiohttp")
+    from mlx_audio_tpu.server import create_app
+
+    state = ServerState(output_folder=str(tmp_path))
+    state.stt_model = FakeSTT()
+    state.stt_repo = "mlx-community/whisper-large-v3-turbo"
+    tts = _CountingTTS()
+    state.tts_model = tts
+    state.tts_repo = "prince-canuma/Kokoro-82M"
+    state.sts_options = {}
+    app = create_app(state)
+
+    import mlx_audio_tpu.sts.voice_pipeline as vp
+
+    orig_init = vp.VoicePipeline.init_models
+
+    def init_with_llm(self):
+        self._llm = self._llm or _SentenceLLM()
+        return orig_init(self)
+
+    monkeypatch.setattr(vp.VoicePipeline, "init_models", init_with_llm)
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            async with client.ws_connect("/ws/sts") as ws:
+                await ws.send_bytes(
+                    np.zeros(16000, dtype=np.float32).tobytes())
+                await ws.send_str("flush")
+                header = await ws.receive_json(timeout=120)
+                chunks = []
+                while True:
+                    msg = await ws.receive(timeout=120)
+                    if msg.type.name == "BINARY":
+                        chunks.append(msg.data)
+                    else:
+                        import json as _json
+
+                        return header, chunks, _json.loads(msg.data)
+
+    header, chunks, final = asyncio.new_event_loop().run_until_complete(run())
+    assert header["user_transcript"] == "hello there"
+    assert len(chunks) == 3                    # one per sentence
+    assert final["transcript"] == _SentenceLLM.REPLY
+
+
+def test_ws_sts_adaptive_endpoint_commits_before_flush(monkeypatch,
+                                                       tmp_path):
+    """Speech then streamed silence: once the speculative transcript is
+    ready and adaptive_min_silence has passed, the server replies WITHOUT
+    waiting for the client's flush; the late flush is a no-op."""
+    pytest.importorskip("aiohttp")
+    from mlx_audio_tpu.server import create_app
+
+    state = ServerState(output_folder=str(tmp_path))
+    state.stt_model = FakeSTT()
+    state.stt_repo = "mlx-community/whisper-large-v3-turbo"
+    state.tts_model = _CountingTTS()
+    state.tts_repo = "prince-canuma/Kokoro-82M"
+    state.sts_options = {"adaptive_min_silence": 0.3}
+    app = create_app(state)
+
+    import mlx_audio_tpu.sts.voice_pipeline as vp
+
+    orig_init = vp.VoicePipeline.init_models
+
+    def init_with_llm(self):
+        self._llm = self._llm or _SentenceLLM()
+        return orig_init(self)
+
+    monkeypatch.setattr(vp.VoicePipeline, "init_models", init_with_llm)
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        rng = np.random.default_rng(0)
+        speech = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+        sil = np.zeros(2400, dtype=np.float32)  # 150 ms frames
+        async with TestClient(TestServer(app)) as client:
+            async with client.ws_connect("/ws/sts") as ws:
+                await ws.send_bytes(speech.tobytes())
+                # stream silence WITHOUT flush; the reply must arrive
+                got_header = None
+                for _ in range(40):
+                    await ws.send_bytes(sil.tobytes())
+                    try:
+                        msg = await ws.receive_json(timeout=0.2)
+                        got_header = msg
+                        break
+                    except asyncio.TimeoutError:
+                        continue
+                assert got_header is not None, "no early commit happened"
+                chunks = []
+                final = None
+                while final is None:
+                    msg = await ws.receive(timeout=120)
+                    if msg.type.name == "BINARY":
+                        chunks.append(msg.data)
+                    else:
+                        import json as _json
+
+                        final = _json.loads(msg.data)
+                # the late client flush must NOT trigger a second turn
+                await ws.send_str("flush")
+                await ws.send_bytes(sil.tobytes())
+                with pytest.raises(asyncio.TimeoutError):
+                    await ws.receive(timeout=0.5)
+                return got_header, chunks, final
+
+    header, chunks, final = asyncio.new_event_loop().run_until_complete(run())
+    assert header["user_transcript"] == "hello there"
+    assert len(chunks) == 3
+    assert final["transcript"] == _SentenceLLM.REPLY
