@@ -135,7 +135,9 @@ class VoxtralEncoder(Module):
         """mel [B, frames, num_mel_bins] -> [B, frames/2, d_model]."""
         x = jax.nn.gelu(self.conv1(mel), approximate=False)
         x = jax.nn.gelu(self.conv2(x), approximate=False)
-        x = x + self.embed_positions.weight[: x.shape[1]]
+        # index through __call__ (not raw .weight) so a quantized
+        # embedding dequantizes its rows
+        x = x + self.embed_positions(jnp.arange(x.shape[1]))
         for layer in self.layers:
             x = layer(x)
         return self.layer_norm(x)
@@ -331,7 +333,10 @@ class Model(Module):
             mesh_cm = dp.mesh
         else:
             run, mesh_cm = self, contextlib.nullcontext()
-        wdtype = run.language_model.embed_tokens.weight.dtype
+        emb = run.language_model.embed_tokens
+        # quantized embeddings hold uint8 codes; activations follow scales
+        wdtype = (emb.scales.dtype if hasattr(emb, "scales")
+                  else emb.weight.dtype)
         caches = run.language_model.init_cache(
             wn, max_len=bucket + max_tokens, dtype=wdtype)
         pad_len = jnp.full((wn,), pad, dtype=jnp.int32)

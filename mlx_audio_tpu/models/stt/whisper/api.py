@@ -260,6 +260,11 @@ def _decode_impl(
     t0 = jnp.asarray(n_init, dtype=jnp.int32)
     sb = jnp.asarray(sample_begin, dtype=jnp.int32)
 
+    cutoff = None
+    if options.eot_cutoff is not None:
+        cutoff = jnp.asarray(options.eot_cutoff, jnp.int32)
+        assert cutoff.shape == (n_audio,), "eot_cutoff must be per-audio"
+
     if options.beam_size is not None:
         k = options.beam_size
         tile = lambda x: jnp.repeat(x, k, axis=0)
@@ -270,6 +275,7 @@ def _decode_impl(
             model, caches_b, cross_b, tokens_b, t0, sb, suppress_mask,
             blank_mask, sample_len=sample_len, beam_size=k, params=cfg,
             patience=float(options.patience or 1.0),
+            eot_cutoff=cutoff, compact=options.beam_compact,
         )
         group_tokens = np.asarray(fin_tokens)       # [A, K, L]
         group_len = np.asarray(fin_len)
@@ -286,6 +292,8 @@ def _decode_impl(
             jax.random.PRNGKey(0),
             suppress_mask, blank_mask, sample_len=sample_len,
             temperature=options.temperature, params=cfg,
+            eot_cutoff=(jnp.repeat(cutoff, reps) if cutoff is not None
+                        else None),
         )
         group_tokens = np.asarray(toks).reshape(n_audio, reps, -1)
         group_len = np.full((n_audio, reps), int(t_end))

@@ -55,6 +55,15 @@ class DecodingOptions:
     # ({token_id: bias}); steers decoding (e.g. encourage/penalize EOT or
     # domain tokens) — applied inside the jitted loops at no extra cost
     logit_bias: Optional[Dict[int, float]] = None
+    # scripted per-audio finish lengths (tokens after sample_begin): row i is
+    # FORCED to emit EOT once it has decoded eot_cutoff[i] tokens.  A bench/
+    # test instrument: random weights never EOT, so this is the only way to
+    # exercise staggered finishes (greedy early-exit, beam retirement) with
+    # a deterministic length profile (VERDICT r4 #7)
+    eot_cutoff: Optional[List[int]] = None
+    # disable finished-audio compaction in beam search (control arm for the
+    # retirement bench; results must be identical either way)
+    beam_compact: bool = True
 
 
 @dataclass(frozen=True)
@@ -164,10 +173,20 @@ def apply_filters(logits: jax.Array, tokens: jax.Array, t: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def _force_eot(logits, force_rows, eot):
+    """Override filtered logits with a one-hot EOT distribution on forced
+    rows (the eot_cutoff instrument — bypasses any -inf the filters put on
+    EOT so the scheduled length always wins)."""
+    v = logits.shape[-1]
+    forced = jnp.where(jnp.arange(v)[None, :] == eot, 0.0, -1e30)
+    return jnp.where(force_rows[:, None], forced, logits)
+
+
 @partial(jax.jit, static_argnames=("sample_len", "temperature", "params"))
 def greedy_decode_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
                        key, suppress_mask, blank_mask, sample_len: int,
-                       temperature: float, params: FilterConfig):
+                       temperature: float, params: FilterConfig,
+                       eot_cutoff=None):
     """tokens_buf [B, L] with prompt in [0, t0); decodes until EOT/limit.
 
     Returns (tokens_buf, lengths [B], sum_logprobs [B]).
@@ -186,6 +205,8 @@ def greedy_decode_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         logits = logits.astype(jnp.float32)
         logits = apply_filters(logits, tokens, t, sample_begin, params,
                                suppress_mask, blank_mask)
+        if eot_cutoff is not None:
+            logits = _force_eot(logits, (t - sample_begin) >= eot_cutoff, eot)
         if temperature == 0:
             next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
@@ -233,7 +254,8 @@ def _iter_top_k(x: jax.Array, k: int):
 def _beam_chunk(model, caches, cross_kv, tokens_buf, origins, alive_scores,
                 fin_tokens, fin_len, fin_scores, n_done, t_in, budget_end,
                 n_ret0, sample_begin, suppress_mask, blank_mask, chunk: int,
-                beam_size: int, params: FilterConfig, patience: float):
+                beam_size: int, params: FilterConfig, patience: float,
+                eot_cutoff=None):
     """Beam steps over [n_audio * beam] rows until a RETIREMENT EVENT
     (full state in, full state out — the host loop around it retires and
     compacts finished audios between calls).
@@ -275,6 +297,12 @@ def _beam_chunk(model, caches, cross_kv, tokens_buf, origins, alive_scores,
         logits = logits.astype(jnp.float32)
         logits = apply_filters(logits, tokens, t, sample_begin, params,
                                suppress_mask, blank_mask)
+        if eot_cutoff is not None:
+            # per-AUDIO schedule: every beam of a forced audio goes EOT, so
+            # its candidate pool fills (and it retires) at the scripted step
+            logits = _force_eot(
+                logits,
+                jnp.repeat((t - sample_begin) >= eot_cutoff, k_beam), eot)
         logprobs = jax.nn.log_softmax(logits, axis=-1)  # [A*K, V]
         v = logprobs.shape[-1]
         cand = alive_scores.reshape(ab, 1) + logprobs  # [A*K, V]
@@ -350,7 +378,8 @@ def _pow2_bucket(n: int) -> int:
 def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
                      suppress_mask, blank_mask, sample_len: int,
                      beam_size: int, params: FilterConfig,
-                     patience: float = 1.0, chunk: int = 100_000):
+                     patience: float = 1.0, chunk: int = 100_000,
+                     eot_cutoff=None, compact: bool = True):
     """Batched beam search over [n_audio * beam] rows with finished-audio
     compaction (docs/PERF.md beam roofline: the cost IS the rows).
 
@@ -407,7 +436,7 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
             fin_tokens, fin_len, fin_scores, n_done, t, budget_end,
             jnp.asarray(n_ret0, jnp.int32), sample_begin, suppress_mask,
             blank_mask, chunk=chunk, beam_size=k_beam, params=params,
-            patience=patience,
+            patience=patience, eot_cutoff=eot_cutoff,
         )
         # ONE host transfer per event (each fetch is a full queue-drain
         # round trip on the tunneled runtime — separate np.asarray calls
@@ -421,7 +450,7 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         # rest, re-bucketed to the next power of two to bound recompiles
         n_live = int((~done).sum())
         bucket = _pow2_bucket(n_live)
-        if bucket >= len(done):
+        if not compact or bucket >= len(done):
             # nothing would shrink: raise the event threshold so the next
             # dispatch runs until ANOTHER audio finishes
             n_ret0 = int(done.sum())
@@ -439,14 +468,20 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         sel = np.asarray(keep + [pad_src] * (bucket - n_live), np.int32)
         live = live[sel[:]]                     # pads map to a retired
         live = np.where(np.arange(bucket) < n_live, live, -1)
-        rows = (sel[:, None] * k_beam
-                + np.arange(k_beam)[None, :]).reshape(-1)
-        rows = jnp.asarray(rows)
+        rows_np = (sel[:, None] * k_beam
+                   + np.arange(k_beam)[None, :]).reshape(-1)
+        rows = jnp.asarray(rows_np)
         sel_j = jnp.asarray(sel)
         take_a = lambda x: jnp.take(x, sel_j, axis=0)
         take_r = lambda x: jnp.take(x, rows, axis=0)
         tokens = take_r(tokens)
-        origins = take_r(origins)
+        # origin VALUES index cache rows, which take_r just moved: remap
+        # old row ids -> new row ids or attention gathers stale rows after
+        # a compaction (caught by the eot_cutoff staggered-finish test —
+        # duplicate pad rows keep the last mapping, which only pads see)
+        remap = np.zeros((int(origins.shape[0]),), np.int32)
+        remap[rows_np] = np.arange(len(rows_np), dtype=np.int32)
+        origins = jnp.asarray(remap)[take_r(origins)]
         caches = [c._replace(k=take_r(c.k), v=take_r(c.v)) for c in caches]
         cross_kv = [(take_r(ck), take_r(cv)) for ck, cv in cross_kv]
         alive_scores = take_a(alive_scores)
@@ -454,6 +489,8 @@ def beam_search_loop(model, caches, cross_kv, tokens_buf, t0, sample_begin,
         fin_len = take_a(fin_len)
         fin_scores = take_a(fin_scores)
         n_done = take_a(n_done)
+        if eot_cutoff is not None:
+            eot_cutoff = take_a(eot_cutoff)
         # pads are retired fillers: the next event is a NEW finisher
         n_ret0 = bucket - n_live
 

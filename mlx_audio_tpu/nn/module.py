@@ -147,6 +147,14 @@ class Module:
             if hasattr(x, "shape")
         )
 
+    def num_bytes(self) -> int:
+        """Resident parameter bytes (quantized uint8 codes count 1 byte)."""
+        return sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(self)
+            if hasattr(x, "shape") and hasattr(x, "dtype")
+        )
+
 
 def _path_str(path) -> str:
     parts = []

@@ -141,14 +141,21 @@ def use_pallas_lstm() -> bool:
 # feeds the MXU directly — the full-precision weight never exists in HBM.
 
 
-def _quant_matmul_kernel(x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
-    tile_o, i = q_ref.shape
+def _quant_matmul_kernel(x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size,
+                         packed):
+    tile_o = q_ref.shape[0]
+    # Mosaic has no direct uint8->f32 cast; hop through int32
+    q = q_ref[:].astype(jnp.int32)
+    if packed:
+        # concat-half nibble layout (nn/quantize._pack4): low nibble =
+        # column j, high nibble = column j + I/2 — unpack is two shifted
+        # views concatenated, no interleave
+        q = jnp.concatenate([q & 0xF, q >> 4], axis=1)
+    i = q.shape[1]
     g = i // group_size
     s = s_ref[:].astype(jnp.float32)              # [TILE_O, G]
     z = z_ref[:].astype(jnp.float32)
-    # Mosaic has no direct uint8->f32 cast; hop through int32
-    w = q_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(
-        tile_o, g, group_size)
+    w = q.astype(jnp.float32).reshape(tile_o, g, group_size)
     w = (w * s[:, :, None] + z[:, :, None]).reshape(tile_o, i)
     x = x_ref[:]
     y = jax.lax.dot_general(
@@ -158,24 +165,29 @@ def _quant_matmul_kernel(x_ref, q_ref, s_ref, z_ref, o_ref, *, group_size):
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group_size", "packed",
+                                             "interpret"))
 def quantized_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
                      biases: jax.Array, group_size: int = 64,
+                     packed: bool = False,
                      interpret: bool = False) -> jax.Array:
-    """y[B, O] = x[B, I] @ dequant(codes[O, I]).T without materializing the
-    dequantized weight in HBM.  Requires O % 128 == 0 and I % group_size == 0
-    (see quant_matmul_supported)."""
+    """y[B, O] = x[B, I] @ dequant(codes[O, I or I/2]).T without
+    materializing the dequantized weight in HBM.  Requires O % 128 == 0 and
+    I % group_size == 0 (see quant_matmul_supported); ``packed`` codes hold
+    two nibble codes per byte (half the HBM weight traffic of int8)."""
     b, i = x.shape
     o = codes.shape[0]
+    stored = codes.shape[1]
     g = i // group_size
     tile_o = 128
-    kern = functools.partial(_quant_matmul_kernel, group_size=group_size)
+    kern = functools.partial(_quant_matmul_kernel, group_size=group_size,
+                             packed=packed)
     return pl.pallas_call(
         kern,
         grid=(o // tile_o,),
         in_specs=[
             pl.BlockSpec((b, i), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_o, i), lambda j: (j, 0),
+            pl.BlockSpec((tile_o, stored), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_o, g), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -190,12 +202,16 @@ def quantized_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
 
 
 def quant_matmul_supported(out_features: int, in_features: int,
-                           group_size: int) -> bool:
+                           group_size: int, packed: bool = False) -> bool:
     """Mosaic constraint: the in-kernel [O, G, group] dequant reshape needs
     a 128-aligned minor dim, so only 128-multiple group sizes hit the fused
-    path (64-group checkpoints fall back to the XLA dense dequant)."""
-    return (out_features % 128 == 0 and in_features % group_size == 0
-            and in_features % 128 == 0 and group_size % 128 == 0)
+    path (64-group checkpoints fall back to the XLA dense dequant); packed
+    codes additionally need the stored I/2 minor dim 128-aligned."""
+    ok = (out_features % 128 == 0 and in_features % group_size == 0
+          and in_features % 128 == 0 and group_size % 128 == 0)
+    if packed:
+        ok = ok and (in_features // 2) % 128 == 0
+    return ok
 
 
 def use_pallas_quant() -> bool:

@@ -3,10 +3,13 @@
 convert-time mixed recipes).
 
 TPU design: grouped affine codes ``w ~= scales * q + biases`` held as uint8
-(4-bit codes occupy one byte each — simplicity over packing; HBM win vs f32
-is still 4x) and dequantized inside the matmul in the activation dtype, so
-XLA fuses the expand into the MXU feed.  Quantized modules are drop-in
-pytree replacements for Linear/Embedding: same call signatures, same
+and dequantized inside the matmul in the activation dtype, so XLA fuses the
+expand into the MXU feed.  Codes of <= 4 bits pack two per byte in
+"concat-half" layout — byte ``j`` holds column ``j`` in the low nibble and
+column ``j + I/2`` in the high nibble, so unpacking is a concat of two
+shift/mask views (no interleave, Mosaic-friendly) — making int4 genuinely
+half the resident bytes of int8 (4x less than bf16).  Quantized modules are
+drop-in pytree replacements for Linear/Embedding: same call signatures, same
 attribute paths for the surrounding tree.
 """
 
@@ -51,6 +54,23 @@ def _affine_dequantize(q, scales, biases, group_size: int):
     return w.reshape(o, i)
 
 
+def _packable(bits: int, in_dim: int) -> bool:
+    """<=4-bit codes fit a nibble; packing needs an even minor dim."""
+    return bits <= 4 and in_dim % 2 == 0
+
+
+def _pack4(q: np.ndarray) -> np.ndarray:
+    """[..., I] uint8 nibble codes -> [..., I/2] concat-half packed bytes."""
+    half = q.shape[-1] // 2
+    return (q[..., :half] | (q[..., half:] << 4)).astype(np.uint8)
+
+
+def _unpack4(qp):
+    """Inverse of :func:`_pack4`; works on numpy or jax arrays."""
+    xp = jnp if isinstance(qp, jax.Array) else np
+    return xp.concatenate([qp & 0xF, qp >> 4], axis=-1)
+
+
 class QuantizedLinear(Module):
     """y = x @ dequant(W)^T + b; drop-in for Linear."""
 
@@ -58,12 +78,18 @@ class QuantizedLinear(Module):
                  group_size: int = 64, bits: int = 4):
         self.group_size = group_size
         self.bits = bits
-        self.weight = jnp.zeros((out_features, in_features), dtype=jnp.uint8)
+        self.packed = _packable(bits, in_features)
+        stored = in_features // 2 if self.packed else in_features
+        self.weight = jnp.zeros((out_features, stored), dtype=jnp.uint8)
         self.scales = jnp.ones((out_features, in_features // group_size),
                                dtype=jnp.float32)
         self.biases = jnp.zeros((out_features, in_features // group_size),
                                 dtype=jnp.float32)
         self.bias = jnp.zeros((out_features,)) if bias else None
+
+    @property
+    def in_features(self) -> int:
+        return self.scales.shape[1] * self.group_size
 
     @classmethod
     def from_linear(cls, lin: Linear, group_size: int = 64,
@@ -72,7 +98,7 @@ class QuantizedLinear(Module):
         qe = cls(w.shape[1], w.shape[0], bias=lin.bias is not None,
                  group_size=group_size, bits=bits)
         q, s, b = _affine_quantize(w, group_size, bits)
-        qe.weight = jnp.asarray(q)
+        qe.weight = jnp.asarray(_pack4(q) if qe.packed else q)
         qe.scales = jnp.asarray(s, dtype=jnp.float32)
         qe.biases = jnp.asarray(b, dtype=jnp.float32)
         if lin.bias is not None:
@@ -80,18 +106,21 @@ class QuantizedLinear(Module):
         return qe
 
     def to_linear(self) -> Linear:
-        lin = Linear(self.weight.shape[1], self.weight.shape[0],
-                     bias=self.bias is not None)
+        q = np.asarray(self.weight)
+        if self.packed:
+            q = _unpack4(q)
+        lin = Linear(q.shape[1], q.shape[0], bias=self.bias is not None)
         lin.weight = jnp.asarray(_affine_dequantize(
-            np.asarray(self.weight), np.asarray(self.scales),
-            np.asarray(self.biases), self.group_size))
+            q, np.asarray(self.scales), np.asarray(self.biases),
+            self.group_size))
         if self.bias is not None:
             lin.bias = self.bias
         return lin
 
     def _dequant(self, dtype):
+        q = _unpack4(self.weight) if self.packed else self.weight
         return _affine_dequantize(
-            self.weight, self.scales.astype(dtype), self.biases.astype(dtype),
+            q, self.scales.astype(dtype), self.biases.astype(dtype),
             self.group_size,
         )
 
@@ -102,17 +131,19 @@ class QuantizedLinear(Module):
             use_pallas_quant,
         )
 
-        o, i = self.weight.shape
+        o = self.weight.shape[0]
+        i = self.in_features
         n_rows = int(np.prod(x.shape[:-1]))
         # decode-shaped calls only: the kernel keeps all of x resident in
         # VMEM, so big prefill batches (rows*I) take the dense path instead
         if (use_pallas_quant() and n_rows <= 512
-                and quant_matmul_supported(o, i, self.group_size)):
+                and quant_matmul_supported(o, i, self.group_size,
+                                           packed=self.packed)):
             # fused HBM-streaming dequant-matmul: codes are read once as
-            # uint8; the full-precision weight never exists in HBM
+            # (packed) uint8; the full-precision weight never exists in HBM
             y = quantized_matmul(
                 x.reshape(-1, i), self.weight, self.scales, self.biases,
-                self.group_size,
+                self.group_size, packed=self.packed,
             ).reshape(*x.shape[:-1], o)
         else:
             w = self._dequant(x.dtype)
@@ -129,11 +160,17 @@ class QuantizedEmbedding(Module):
                  bits: int = 4):
         self.group_size = group_size
         self.bits = bits
-        self.weight = jnp.zeros((num_embeddings, dim), dtype=jnp.uint8)
+        self.packed = _packable(bits, dim)
+        stored = dim // 2 if self.packed else dim
+        self.weight = jnp.zeros((num_embeddings, stored), dtype=jnp.uint8)
         self.scales = jnp.ones((num_embeddings, dim // group_size),
                                dtype=jnp.float32)
         self.biases = jnp.zeros((num_embeddings, dim // group_size),
                                 dtype=jnp.float32)
+
+    @property
+    def dim(self) -> int:
+        return self.scales.shape[1] * self.group_size
 
     @classmethod
     def from_embedding(cls, emb: Embedding, group_size: int = 64,
@@ -141,22 +178,28 @@ class QuantizedEmbedding(Module):
         w = np.asarray(emb.weight)
         qe = cls(w.shape[0], w.shape[1], group_size=group_size, bits=bits)
         q, s, b = _affine_quantize(w, group_size, bits)
-        qe.weight = jnp.asarray(q)
+        qe.weight = jnp.asarray(_pack4(q) if qe.packed else q)
         qe.scales = jnp.asarray(s, dtype=jnp.float32)
         qe.biases = jnp.asarray(b, dtype=jnp.float32)
         return qe
 
     def to_embedding(self) -> Embedding:
-        emb = Embedding(self.weight.shape[0], self.weight.shape[1])
+        q = np.asarray(self.weight)
+        if self.packed:
+            q = _unpack4(q)
+        emb = Embedding(q.shape[0], q.shape[1])
         emb.weight = jnp.asarray(_affine_dequantize(
-            np.asarray(self.weight), np.asarray(self.scales),
-            np.asarray(self.biases), self.group_size))
+            q, np.asarray(self.scales), np.asarray(self.biases),
+            self.group_size))
         return emb
 
     def _dequant_rows(self, idx: jax.Array, dtype):
-        n, d = self.weight.shape
-        q = self.weight[idx].reshape(*idx.shape, d // self.group_size,
-                                     self.group_size).astype(dtype)
+        d = self.dim
+        q = self.weight[idx]
+        if self.packed:
+            q = _unpack4(q)
+        q = q.reshape(*idx.shape, d // self.group_size,
+                      self.group_size).astype(dtype)
         w = q * self.scales[idx].astype(dtype)[..., None] \
             + self.biases[idx].astype(dtype)[..., None]
         return w.reshape(*idx.shape, d)
@@ -167,7 +210,8 @@ class QuantizedEmbedding(Module):
         return self._dequant_rows(idx, self.scales.dtype)
 
     def as_linear(self, x: jax.Array) -> jax.Array:
-        w = _affine_dequantize(self.weight, self.scales.astype(x.dtype),
+        q = _unpack4(self.weight) if self.packed else self.weight
+        w = _affine_dequantize(q, self.scales.astype(x.dtype),
                                self.biases.astype(x.dtype), self.group_size)
         return x @ w.T
 

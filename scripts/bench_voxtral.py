@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4"],
+                    help="weight-only quantize every Linear/Embedding "
+                         "(group 128 so decode hits the fused Pallas "
+                         "dequant-matmul; int4 packs 2 codes/byte)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -46,10 +51,17 @@ def main():
     # before the bf16 cast; the cast copy ships 7.3 GB to HBM instead.
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         model = Model(ModelConfig(), tokenizer=None)
+        if args.quant != "none":
+            from mlx_audio_tpu.nn.quantize import quantize_model
+
+            bits = 8 if args.quant == "int8" else 4
+            quantize_model(model, group_size=128, bits=bits)
         if args.dtype == "bf16":
             model = model.astype(jnp.bfloat16)
     model = jax.device_put(model, jax.devices()[0])
-    print(f"params: {model.num_params()/1e6:.0f}M  dtype={args.dtype}  "
+    print(f"params: {model.num_params()/1e6:.0f}M  "
+          f"resident: {model.num_bytes()/2**30:.2f} GiB  "
+          f"dtype={args.dtype} quant={args.quant}  "
           f"audio={args.secs:.0f}s max_tokens={args.max_tokens}")
 
     rng = np.random.default_rng(0)
@@ -80,8 +92,9 @@ def main():
         print(json.dumps({
             "metric": "voxtral_audio_sec_per_s",
             "value": round(args.secs / med, 1), "unit": "audio-sec/s",
-            "dtype": args.dtype, "secs": args.secs,
-            "max_tokens": args.max_tokens,
+            "dtype": args.dtype, "quant": args.quant,
+            "resident_gib": round(model.num_bytes() / 2**30, 2),
+            "secs": args.secs, "max_tokens": args.max_tokens,
         }))
 
 

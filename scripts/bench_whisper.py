@@ -86,6 +86,15 @@ def main():
                          "finish at realistic staggered lengths, "
                          "exercising early-stop (greedy) and finished-"
                          "audio compaction (beam)")
+    ap.add_argument("--stagger", default=None, metavar="MIN:MAX",
+                    help="scripted per-audio finish lengths spread linearly "
+                         "MIN..MAX across the batch (DecodingOptions."
+                         "eot_cutoff) — unlike --eot-bias, rows finish at "
+                         "DIFFERENT steps, so beam retirement/compaction "
+                         "actually fires (VERDICT r4 #7)")
+    ap.add_argument("--no-compact", action="store_true",
+                    help="disable finished-audio compaction (control arm "
+                         "for the retirement bench)")
     args = ap.parse_args()
 
     import jax
@@ -108,12 +117,19 @@ def main():
         rng.standard_normal((args.batch, 3000, 128)) * 0.1, dtype=jnp.float32
     )
 
+    cutoff = None
+    if args.stagger:
+        lo, hi = (int(x) for x in args.stagger.split(":"))
+        cutoff = np.linspace(lo, hi, args.batch).round().astype(int).tolist()
+        print(f"stagger: per-audio finish lengths {cutoff}")
     options = DecodingOptions(
         language="en", sample_len=args.sample_len,
         beam_size=args.beam or None,
         without_timestamps=args.without_timestamps,
         logit_bias=({tokenizer.eot: args.eot_bias} if args.eot_bias else
                     None),
+        eot_cutoff=cutoff,
+        beam_compact=not args.no_compact,
     )
 
     def run():

@@ -51,10 +51,12 @@ def test_quantized_matmul_matches_dense_dequant(bits):
                              dtype=jnp.float32)
     q = QuantizedLinear.from_linear(lin, group_size=64, bits=bits)
 
+    # bits<=4 store packed nibble codes (two per byte, half the bytes)
+    assert q.weight.shape[1] == (i // 2 if bits <= 4 else i)
     x = jnp.asarray(rng.standard_normal((b, i)) * 0.5, dtype=jnp.float32)
     ref = x @ q._dequant(jnp.float32).T
     out = quantized_matmul(x, q.weight, q.scales, q.biases, 64,
-                           interpret=True)
+                           packed=q.packed, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 

@@ -45,6 +45,40 @@ def test_quantized_linear_accuracy():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_int4_packing_roundtrip_and_bytes():
+    """bits<=4 codes pack two per byte (concat-half layout): the packed
+    module stores half the code bytes of int8 and computes identically to
+    the unpacked dequant."""
+    from mlx_audio_tpu.nn.quantize import _pack4, _unpack4
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 16, size=(8, 64), dtype=np.uint8)
+    np.testing.assert_array_equal(np.asarray(_unpack4(_pack4(q))), q)
+
+    lin = Linear(128, 64)
+    q4 = QuantizedLinear.from_linear(lin, group_size=32, bits=4)
+    q8 = QuantizedLinear.from_linear(lin, group_size=32, bits=8)
+    assert q4.packed and not q8.packed
+    assert q4.weight.shape == (64, 64)       # [O, I/2]
+    assert q8.weight.shape == (64, 128)
+    assert q4.in_features == q8.in_features == 128
+    x = jnp.asarray(rng.standard_normal((3, 128)), dtype=jnp.float32)
+    # packed forward == dequantize-then-matmul of the same codes
+    np.testing.assert_allclose(np.asarray(q4(x)),
+                               np.asarray(q4.to_linear()(x)),
+                               rtol=1e-5, atol=1e-5)
+
+    emb = Embedding(10, 64)
+    qe = QuantizedEmbedding.from_embedding(emb, group_size=32, bits=4)
+    assert qe.packed and qe.weight.shape == (10, 32) and qe.dim == 64
+    idx = jnp.asarray([0, 4, 9])
+    np.testing.assert_allclose(np.asarray(qe(idx)),
+                               np.asarray(qe.to_embedding()(idx)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qe(idx)), np.asarray(emb(idx)),
+                               atol=0.3)
+
+
 def test_quantized_embedding_matches_rows():
     emb = Embedding(10, 64)
     q = QuantizedEmbedding.from_embedding(emb, group_size=32, bits=8)

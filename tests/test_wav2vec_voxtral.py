@@ -66,6 +66,37 @@ def test_voxtral_transcribe_end_to_end():
     assert out.language == "en"
 
 
+def test_voxtral_int4_quantized_transcribe():
+    """Weight-only int4 (packed codes) through the full Voxtral product
+    path — the capacity configuration bench_voxtral.py --quant int4
+    measures on chip (docs/PERF.md quantization verdict)."""
+    import jax
+
+    from mlx_audio_tpu.nn.quantize import QuantizedLinear, quantize_model
+
+    cfg = VoxConfig(
+        audio_config=dict(num_mel_bins=80, d_model=32, encoder_layers=2,
+                          encoder_attention_heads=4, encoder_ffn_dim=64,
+                          intermediate_size=128, max_source_positions=512),
+        text_config=dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=8,
+                         max_position_embeddings=1024,
+                         tie_word_embeddings=True),
+        audio_token_id=24,
+    )
+    model = Voxtral(cfg, tokenizer=FakeTok())
+    quantize_model(model, group_size=16, bits=4)
+    qlin = [m for m in jax.tree_util.tree_leaves(
+        model, is_leaf=lambda x: isinstance(x, QuantizedLinear))
+        if isinstance(m, QuantizedLinear)]
+    assert qlin and all(q.packed for q in qlin)
+    audio = np.random.default_rng(1).standard_normal(16000).astype(np.float32) * 0.1
+    out = model.generate(audio, max_tokens=8, temperature=0.0,
+                         eos_token_ids=(2,))
+    assert isinstance(out.text, str)
+
+
 def test_voxtral_audio_embed_splice():
     cfg = VoxConfig(
         audio_config=dict(num_mel_bins=80, d_model=32, encoder_layers=1,

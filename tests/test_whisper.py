@@ -509,6 +509,39 @@ def test_beam_compaction_chunk_invariance(model, tokenizer):
     assert (sc_a > -1e29).sum() > 0
 
 
+def test_eot_cutoff_schedules_staggered_finishes(model, tokenizer):
+    """DecodingOptions.eot_cutoff forces per-audio finish lengths (the
+    retirement-bench instrument, VERDICT r4 #7): greedy rows cut exactly at
+    their scheduled lengths, and beam search returns IDENTICAL results with
+    compaction on and off while audios retire at different steps."""
+    n_audio = 4
+    mel = jnp.asarray(
+        np.random.default_rng(11).standard_normal((n_audio, 200, 80)) * 0.1,
+        dtype=jnp.float32,
+    )
+    cutoff = [2, 5, 9, 13]
+    res = api.decode(
+        model, mel,
+        DecodingOptions(language="en", sample_len=16,
+                        without_timestamps=True, eot_cutoff=cutoff),
+        tokenizer=tokenizer,
+    )
+    assert [len(r.tokens) for r in res] == cutoff
+
+    beam_opts = dict(language="en", sample_len=16, beam_size=2,
+                     without_timestamps=True, eot_cutoff=cutoff)
+    res_c = api.decode(model, mel, DecodingOptions(**beam_opts),
+                       tokenizer=tokenizer)
+    res_n = api.decode(model, mel,
+                       DecodingOptions(**beam_opts, beam_compact=False),
+                       tokenizer=tokenizer)
+    for rc, rn in zip(res_c, res_n):
+        assert rc.tokens == rn.tokens
+        np.testing.assert_allclose(rc.avg_logprob, rn.avg_logprob,
+                                   rtol=1e-5)
+    assert [len(r.tokens) for r in res_c] == cutoff
+
+
 def test_logit_bias_steers_decode(model, tokenizer):
     """DecodingOptions.logit_bias must reach the jitted loops: a large
     positive EOT bias ends greedy decoding immediately, and a large bias
