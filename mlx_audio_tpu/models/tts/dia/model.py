@@ -74,7 +74,10 @@ def _dia_chunk(model, sa_caches, cross_kvs, ca_mask, last_tokens, step0,
         ids = jnp.arange(v)[None, None, :]
         cfg = jnp.where(ids < 1025, cfg, -jnp.inf)
         if top_k > 0:
-            kth = jnp.sort(cfg, axis=-1)[..., -top_k][..., None]
+            # threshold only needs the k-th largest VALUE: lax.top_k's
+            # partial selection replaces a full 1028-wide sort per step
+            # (same value as sort(...)[-top_k] — masking is bit-identical)
+            kth = jax.lax.top_k(cfg, top_k)[0][..., -1:]
             cfg = jnp.where(cfg < kth, -jnp.inf, cfg)
         if temperature == 0:
             pred = jnp.argmax(cfg, axis=-1).astype(jnp.int32)   # [B, C]

@@ -38,6 +38,9 @@ def main():
                     help="weight-only quantize every Linear/Embedding "
                          "(group 128 so decode hits the fused Pallas "
                          "dequant-matmul; int4 packs 2 codes/byte)")
+    ap.add_argument("--probe-secs", default=None, metavar="S1,S2,...",
+                    help="capacity probe: run each audio length once, "
+                         "report the longest that fits before OOM")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -65,6 +68,35 @@ def main():
           f"audio={args.secs:.0f}s max_tokens={args.max_tokens}")
 
     rng = np.random.default_rng(0)
+
+    if args.probe_secs:
+        # capacity probe: walk the window batch up until the chip OOMs —
+        # the resident-weight savings of int8/int4 buy window batch (one
+        # host build, fresh audio per point; docs/PERF.md quant verdict)
+        last_ok = None
+        for secs in (float(s) for s in args.probe_secs.split(",")):
+            audio = (rng.standard_normal(int(secs * 16000)) * 0.05
+                     ).astype(np.float32)
+            try:
+                t0 = time.perf_counter()
+                out = model.generate(audio, max_tokens=args.max_tokens,
+                                     temperature=0.0)
+                n = sum(len(s["tokens"]) for s in out.segments)
+                dt = time.perf_counter() - t0
+                print(f"probe {secs:.0f}s ({int(secs/30)} windows): OK "
+                      f"{dt:.1f}s ({n} tokens)")
+                last_ok = secs
+            except Exception as e:  # RESOURCE_EXHAUSTED et al.
+                print(f"probe {secs:.0f}s ({int(secs/30)} windows): FAIL "
+                      f"{type(e).__name__}: {str(e)[:120]}")
+                break
+        print(json.dumps({
+            "metric": "voxtral_max_secs_before_oom", "value": last_ok,
+            "unit": "audio-sec", "quant": args.quant, "dtype": args.dtype,
+            "resident_gib": round(model.num_bytes() / 2**30, 2),
+        }))
+        return
+
     audio = (rng.standard_normal(int(args.secs * 16000)) * 0.05
              ).astype(np.float32)
 
