@@ -22,6 +22,7 @@ from mlx_audio_tpu.models.base import make_generation_result
 from mlx_audio_tpu.models.tts.dia.audio import (
     audio_to_codebook,
     codebook_to_audio,
+    codebook_to_audio_batch,
 )
 from mlx_audio_tpu.models.tts.dia.config import DiaConfig
 from mlx_audio_tpu.models.tts.dia.layers import DiaDecoder, DiaEncoder
@@ -417,17 +418,20 @@ class Model(Module):
                 step += 1
 
         dac = self._get_dac()
-        elapsed = time.perf_counter() - start_time
-        results = []
+        codes_list = []
         for i in range(b):
             frames = out_frames[i]
             if done[i]:
                 frames = frames + _eos_tail(c, eos, pad_tok, delay)
-            codes = np.stack(frames, axis=1)          # [C, T]
-            audio = codebook_to_audio(codes, dac, delay, c=c)
+            codes_list.append(np.stack(frames, axis=1))   # [C, T]
+        # equal-length rows synthesize through ONE batched DAC call
+        audios = codebook_to_audio_batch(codes_list, dac, delay, c=c)
+        elapsed = time.perf_counter() - start_time
+        results = []
+        for i in range(b):
             results.append(make_generation_result(
-                audio, self.config.model.sample_rate, i, len(frames),
-                elapsed / b,
+                audios[i], self.config.model.sample_rate, i,
+                codes_list[i].shape[1], elapsed / b,
             ))
         return results
 

@@ -73,6 +73,28 @@ def test_dia_generate_end_to_end():
     assert np.isfinite(r.audio).all()
 
 
+def test_dia_batched_dac_matches_per_row():
+    """codebook_to_audio_batch groups equal-length rows into one DAC call;
+    it must reproduce the per-row path exactly (incl. a ragged group)."""
+    from mlx_audio_tpu.models.tts.dia.audio import (
+        codebook_to_audio,
+        codebook_to_audio_batch,
+    )
+
+    model = tiny_dia()
+    dac = model._dac
+    delay = model.config.data.delay_pattern
+    c = model.config.data.channels
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 1024, size=(c, t)).astype(np.int32)
+            for t in (40, 40, 52)]
+    batched = codebook_to_audio_batch(rows, dac, delay, c=c)
+    for row, got in zip(rows, batched):
+        ref = codebook_to_audio(row, dac, delay, c=c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_split_turns():
     model = tiny_dia()
     text = "[S1] a [S2] b [S1] c [S2] d [S1] e [S2] f"
