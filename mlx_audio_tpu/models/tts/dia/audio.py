@@ -69,7 +69,16 @@ def codebook_to_audio_batch(codes_list, dac_model, delay_pattern,
     groups = {}
     for i, g in enumerate(codes_list):
         groups.setdefault(g.shape[1], []).append(i)
-    for t_full, idxs in groups.items():
+    # cap the vocoder sub-batch: DAC's upsampled conv activations scale
+    # with rows (~1 GB f32 per 16 rows at 4 s) and a 32-row group OOMs
+    # next to the resident decoder — 16 keeps the dispatch-batching win
+    # with bounded activation memory
+    groups = {
+        (t, j): idxs[j * 16: (j + 1) * 16]
+        for t, idxs in groups.items()
+        for j in range(-(-len(idxs) // 16))
+    }
+    for (t_full, _), idxs in groups.items():
         batch = np.stack([np.asarray(codes_list[i]) for i in idxs])
         codes = batch[:, :, 1:]                    # drop BOS col
         t = codes.shape[2]

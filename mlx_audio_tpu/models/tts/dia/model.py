@@ -366,6 +366,21 @@ class Model(Module):
         src = jnp.concatenate(srcs, axis=0)          # [Bn, S]
         pad_mask = jnp.concatenate(pads, axis=0)
         enc_mask = jnp.concatenate(masks, axis=0)
+        # bucket the ENCODER length to the longest real text (128-step
+        # buckets): the data config pads to text_length=1024, and the
+        # bidirectional self-attention over 2B padded rows is quadratic —
+        # at batch 32 the [64, H, 1024, 1024] score tensors alone OOM the
+        # chip.  Real positions never attend pad keys (segment mask
+        # above) and cross-attention masks pad KV, so truncating pads is
+        # exact for the decoded audio — same argument as _trim_cross.
+        s_real = int(np.asarray(jnp.sum(pad_mask, axis=-1)).max())
+        s_bucket = min(src.shape[1], max(128, -(-s_real // 128) * 128))
+        # test hook: force a specific encoder length (exactness gate)
+        s_bucket = int(kwargs.pop("_encoder_bucket", s_bucket))
+        if s_bucket < src.shape[1]:
+            src = src[:, :s_bucket]
+            pad_mask = pad_mask[:, :s_bucket]
+            enc_mask = enc_mask[:, :, :s_bucket, :s_bucket]
         s_len = src.shape[1]
         # interleave (uncond, cond) per text: rows (2b, 2b+1)
         src2 = jnp.stack([jnp.zeros_like(src), src], axis=1).reshape(

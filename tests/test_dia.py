@@ -95,6 +95,42 @@ def test_dia_batched_dac_matches_per_row():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_dia_encoder_bucket_exact():
+    """Bucketing the padded-to-1024 encoder length down to the longest
+    real text (model.py generate_batch) must not change the generated
+    codes: pad keys are masked (exact-0 softmax terms) and cross-attn
+    masks pad KV."""
+    cfg = DiaConfig(
+        data=DataConfig(text_length=512, audio_length=128, channels=4,
+                        delay_pattern=[0, 1, 2, 3]),
+        model=DiaModelConfig(
+            encoder=EncoderConfig(n_layer=1, n_embd=32, n_hidden=64,
+                                  n_head=2, head_dim=16),
+            decoder=DecoderConfig(n_layer=1, n_embd=32, n_hidden=64,
+                                  gqa_query_heads=4, kv_heads=2,
+                                  gqa_head_dim=8, cross_query_heads=2,
+                                  cross_head_dim=16),
+            src_vocab_size=128, tgt_vocab_size=1028, sample_rate=16000,
+        ),
+    )
+    from mlx_audio_tpu.codec.dac import DAC, DACConfig
+
+    dac = DAC(DACConfig(
+        encoder_dim=16, encoder_rates=[2, 4, 5, 8], decoder_dim=128,
+        decoder_rates=[8, 5, 4, 2], n_codebooks=4, codebook_size=1024,
+        codebook_dim=8, sample_rate=16000,
+    ))
+    model = Model(cfg, dac_model=dac)
+    texts = ["[S1] short one [S2] ok", "[S1] reply [S2] fine"]
+    bucketed = model.generate_batch(texts, max_tokens=16, temperature=1.0,
+                                    seed=3)
+    full = model.generate_batch(texts, max_tokens=16, temperature=1.0,
+                                seed=3, _encoder_bucket=512)
+    for a, b in zip(bucketed, full):
+        np.testing.assert_array_equal(np.asarray(a.audio),
+                                      np.asarray(b.audio))
+
+
 def test_split_turns():
     model = tiny_dia()
     text = "[S1] a [S2] b [S1] c [S2] d [S1] e [S2] f"
