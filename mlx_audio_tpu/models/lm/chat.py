@@ -223,5 +223,41 @@ class ChatLM:
                 toks, skip_special_tokens=True
             ).strip()
 
+    def prewarm(self, buckets=None, max_prompt: int = 512) -> int:
+        """Compile the chat decode graphs before serving.
+
+        ``generate_tokens`` jits one prefill + one decode-chunk graph per
+        64-step prompt bucket (the cache length is bucket + max_tokens,
+        so every new bucket recompiles BOTH).  STS prompts grow with the
+        conversation history, which means a live session hits a fresh
+        bucket — and a multi-second stall — every few turns.  Issue one
+        full-budget turn per bucket with the session's real sampling
+        params (compile keys must match), WITHOUT stop tokens: the final
+        ragged chunk (``chunk = budget % 8``) is its own static compile
+        key, so the warm turn must decode to the end to build it.
+
+        By default EVERY 64-step bucket up to ``max_prompt`` is warmed —
+        skipping any bucket (e.g. 192) just moves its compile stall to
+        whichever live turn first grows the history across it.  Returns
+        the number of buckets warmed.
+        """
+        from mlx_audio_tpu.models.lm.causal import generate_tokens
+
+        # _build_prompt_ids never produces a prompt past the context
+        # budget, so buckets beyond it are unreachable at serve time
+        budget = self.model.config.max_position_embeddings - self.max_tokens
+        if buckets is None:
+            buckets = range(64, min(budget, max_prompt) + 1, 64)
+        buckets = tuple(b for b in buckets if b <= budget)
+        for b in buckets:
+            ids = np.full((b,), 3, dtype=np.int32)
+            for _piece in generate_tokens(
+                self.model, ids, max_tokens=self.max_tokens,
+                temperature=self.temperature, top_p=self.top_p,
+                stop_tokens=(), chunk=8, seed=0,
+            ):
+                pass
+        return len(buckets)
+
     # the VoicePipeline calls its llm stage as a callable(text)->text
     __call__ = respond

@@ -402,6 +402,52 @@ class Model(Module):
                 segment_time=seg_time,
             )
 
+    # -- serving -----------------------------------------------------------
+
+    def prewarm(self, max_phonemes: int = 128, frames_per_phoneme: int = 3,
+                batch_sizes=(1,), key: Optional[jax.Array] = None) -> int:
+        """Compile the serve-time stage graphs before traffic arrives.
+
+        Stage A jits one graph per (batch, phoneme-bucket) and stage B one
+        per (batch, phoneme-bucket, frame-bucket); a live server pays each
+        first-seen combination as a multi-second stall in the middle of a
+        reply (docs/PERF.md, STS section).  This issues every combination
+        reachable up front: phoneme buckets up to ``max_phonemes`` and, per
+        phoneme bucket, frame buckets up to ``frames_per_phoneme`` frames
+        per phoneme (pred_dur is clipped >= 1 and real speech sits near
+        2.5 frames/phoneme, so 3 covers the realistic range).  Dummy
+        inputs use the exact dtypes of the ``synthesize`` path, so the jit
+        cache keys match the ones live requests produce.  Returns the
+        number of stage executions issued (already-cached combinations
+        re-issue for ~free, so calling this twice is harmless).
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        issued = 0
+        last = None
+        for b in batch_sizes:
+            for p in PHONEME_BUCKETS:
+                if p > pick_phoneme_bucket(max_phonemes):
+                    break
+                input_ids = jnp.zeros((b, p), dtype=jnp.int32)
+                lengths = jnp.full((b,), p, dtype=jnp.int32)
+                ref_s = jnp.zeros((b, 256), dtype=jnp.float32)
+                speed = jnp.ones((b,), dtype=jnp.float32)
+                d, pred_dur = _duration_stage(
+                    self, input_ids, lengths, ref_s[:, 128:], speed)
+                issued += 1
+                f_max = pick_frame_bucket(p * frames_per_phoneme)
+                for f in range(FRAME_BUCKET_STEP, f_max + 1,
+                               FRAME_BUCKET_STEP):
+                    last, _ = _synthesis_stage(
+                        self, input_ids, lengths, d, pred_dur, ref_s, key,
+                        jnp.zeros((f,), dtype=jnp.int32),
+                    )
+                    issued += 1
+        if last is not None:
+            jax.block_until_ready(last)
+        return issued
+
     # -- checkpoint loading ------------------------------------------------
 
     def sanitize(self, weights: dict) -> dict:

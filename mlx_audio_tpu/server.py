@@ -648,6 +648,11 @@ def main(argv=None):
                         help="device mesh spec 'dp=N[,tp=M]': batched "
                              "synthesis shards over the data axis; the "
                              "micro-batcher targets mesh capacity")
+    parser.add_argument("--prewarm", action="store_true",
+                        help="compile the STS stage graphs (TTS phoneme/"
+                             "frame buckets, chat prompt buckets, one STT "
+                             "window) before accepting traffic, so no "
+                             "live turn pays a first-seen-shape jit stall")
     args = parser.parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
@@ -667,6 +672,17 @@ def main(argv=None):
             state, max_batch=args.max_batch * dp,
             max_wait_ms=args.batch_window_ms,
         )
+    if args.prewarm:
+        # per-connection VoicePipelines share the module-level jitted
+        # stages (keyed on model/param shapes), so warming ONE pipeline
+        # against the server's models warms every future session
+        from mlx_audio_tpu.sts.voice_pipeline import (
+            VoicePipeline,
+            VoicePipelineConfig,
+        )
+
+        VoicePipeline(config=VoicePipelineConfig(**state.sts_options),
+                      server_state=state).prewarm()
     web.run_app(create_app(state), host=args.host, port=args.port)
 
 

@@ -258,6 +258,40 @@ class VoicePipeline:
                 self._tts = load_model(self.config.tts_model, domain="tts")
         return self
 
+    def prewarm(self, max_phonemes: int = 128) -> int:
+        """Compile every jitted graph a live turn can hit, before serving.
+
+        Without this, each first-seen shape bucket (a new reply-sentence
+        phoneme length, a longer chat prompt as history grows, the first
+        STT window) compiles in the middle of a user's turn — the
+        multi-second p95 outliers in docs/PERF.md's STS section.  Warms,
+        in order: the TTS stage graphs (model.prewarm when the model
+        offers one), the chat LM's prompt buckets, and one dummy STT
+        window.  Returns the number of graph executions issued; safe to
+        call again (cached graphs re-issue for ~free).
+        """
+        import time as _time
+
+        self.init_models()
+        t0 = _time.time()
+        issued = 0
+        tts_warm = getattr(self._tts, "prewarm", None)
+        if callable(tts_warm):
+            issued += tts_warm(max_phonemes=max_phonemes)
+        llm_warm = getattr(self._llm, "prewarm", None)
+        if callable(llm_warm):
+            issued += llm_warm()
+        try:
+            self.transcribe(
+                np.zeros(int(0.5 * self.config.sample_rate),
+                         dtype=np.float32))
+            issued += 1
+        except Exception:        # pragma: no cover - STT warm is best-effort
+            logger.warning("prewarm: STT warm-up failed", exc_info=True)
+        logger.info("prewarm: %d graph executions in %.1f s",
+                    issued, _time.time() - t0)
+        return issued
+
     # -- stage functions ---------------------------------------------------
 
     def transcribe(self, audio: np.ndarray) -> str:

@@ -91,6 +91,31 @@ def test_bucketing_is_exact(model):
     np.testing.assert_allclose(audio_a, audio_b, atol=2e-4)
 
 
+def test_prewarm_covers_serve_buckets(model):
+    """prewarm compiles every (phoneme, frame) bucket combination a live
+    request can hit: a follow-up synthesize() of a novel length must add
+    NO new jit cache entries (new entries = the mid-reply compile stall
+    prewarm exists to prevent)."""
+    import mlx_audio_tpu.models.tts.kokoro.model as km
+
+    issued = model.prewarm(max_phonemes=32, frames_per_phoneme=3)
+    # phoneme buckets {16, 32}; both cap at one 100-frame bucket
+    # (16*3=48 -> 100, 32*3=96 -> 100): 2 duration + 2 synthesis calls
+    assert issued == 4
+
+    d_before = km._duration_stage._cache_size()
+    s_before = km._synthesis_stage._cache_size()
+    phonemes = "hello world abc"       # 17 tokens -> the 32 bucket
+    ref_s = np.random.default_rng(7).standard_normal(256).astype(
+        np.float32) * 0.1
+    # speed scales durations down so the frame total stays inside the
+    # warmed 100-frame bucket even with random-weight duration heads
+    audio, pred_dur = model.synthesize(phonemes, ref_s, speed=20.0)
+    assert int(pred_dur.sum()) <= 100 and audio.size > 0
+    assert km._duration_stage._cache_size() == d_before
+    assert km._synthesis_stage._cache_size() == s_before
+
+
 def test_synthesize_batch_matches_single(model):
     """Batched ragged synthesis: durations bit-equal to single-row runs;
     audio trimmed per row to its own frame total."""

@@ -266,6 +266,46 @@ def test_chat_lm_respond_generates_text():
     assert llm("hello assistant") == out
 
 
+def test_chat_prewarm_covers_prompt_buckets():
+    """ChatLM.prewarm compiles the prefill + every decode-chunk graph for
+    each reachable prompt bucket: a live streaming turn afterwards must
+    add NO new jit cache entries."""
+    from mlx_audio_tpu.models.lm import causal
+
+    llm = tiny_chat_lm()
+    # context budget = 256 - 8 = 248: the 256 bucket is unreachable and
+    # must be skipped, not crash the RoPE table
+    assert llm.prewarm(buckets=(64, 128, 256)) == 2
+
+    p_before = causal._prefill._cache_size()
+    d_before = causal._decode_chunk._cache_size()
+    out = "".join(llm.respond_stream("hello assistant"))
+    assert isinstance(out, str)
+    assert causal._prefill._cache_size() == p_before
+    assert causal._decode_chunk._cache_size() == d_before
+
+
+def test_voice_pipeline_prewarm_warms_all_stages():
+    """VoicePipeline.prewarm touches TTS (model.prewarm), LLM (prompt
+    buckets), and STT (one dummy window), and reports the total."""
+
+    class WarmableTTS:
+        sample_rate = 24000
+        warmed = None
+
+        def prewarm(self, max_phonemes=128):
+            self.warmed = max_phonemes
+            return 5
+
+    tts = WarmableTTS()
+    pipe = VoicePipeline(stt_model=FakeSTT(), llm=tiny_chat_lm(),
+                         tts_model=tts)
+    # 5 (tts) + 3 (chat buckets 64/128/192; budget 248 excludes 256)
+    # + 1 (stt window)
+    assert pipe.prewarm(max_phonemes=64) == 9
+    assert tts.warmed == 64
+
+
 def test_chat_lm_hf_config_mapping():
     from mlx_audio_tpu.models.lm.chat import llama_config_from_hf
 
