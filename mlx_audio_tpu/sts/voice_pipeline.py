@@ -282,10 +282,13 @@ class VoicePipeline:
         if callable(llm_warm):
             issued += llm_warm()
         try:
-            self.transcribe(
-                np.zeros(int(0.5 * self.config.sample_rate),
-                         dtype=np.float32))
-            issued += 1
+            # warm the conversational-utterance STT length buckets (the
+            # >8 s tail is rare enough to take its one-off on first use)
+            for secs in (0.5, 1.0, 2.0, 4.0, 8.0):
+                self.transcribe(
+                    np.zeros(int(secs * self.config.sample_rate),
+                             dtype=np.float32))
+                issued += 1
         except Exception:        # pragma: no cover - STT warm is best-effort
             logger.warning("prewarm: STT warm-up failed", exc_info=True)
         logger.info("prewarm: %d graph executions in %.1f s",
@@ -294,8 +297,28 @@ class VoicePipeline:
 
     # -- stage functions ---------------------------------------------------
 
+    # Geometric utterance-length buckets for the STT stage.  Endpointed
+    # utterances differ by one 0.15 s frame turn-to-turn, so without
+    # bucketing nearly EVERY turn's raw length is first-seen — and the
+    # STT mel/front-end pays a per-new-shape compile (~8 s on the
+    # tunneled chip; the two residual p95 spikes in the round-5 A/B,
+    # docs/PERF.md).  Rounding up with zeros is semantically the trailing
+    # silence the endpointer already sends; 30 s is the Whisper window.
+    STT_LEN_BUCKETS = (0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 30.0)
+
+    def _bucket_stt_audio(self, audio: np.ndarray) -> np.ndarray:
+        sr = self.config.sample_rate
+        secs = audio.size / sr
+        for b in self.STT_LEN_BUCKETS:
+            if secs <= b:
+                pad = int(b * sr) - audio.size
+                return np.pad(audio, (0, pad)) if pad > 0 else audio
+        return audio        # > 30 s: the STT stack windows at 30 s anyway
+
     def transcribe(self, audio: np.ndarray) -> str:
         self.init_models()
+        audio = self._bucket_stt_audio(
+            np.asarray(audio, dtype=np.float32).reshape(-1))
         out = self._stt.generate(audio)
         return out.text.strip() if hasattr(out, "text") else str(out)
 

@@ -301,9 +301,37 @@ def test_voice_pipeline_prewarm_warms_all_stages():
     pipe = VoicePipeline(stt_model=FakeSTT(), llm=tiny_chat_lm(),
                          tts_model=tts)
     # 5 (tts) + 3 (chat buckets 64/128/192; budget 248 excludes 256)
-    # + 1 (stt window)
-    assert pipe.prewarm(max_phonemes=64) == 9
+    # + 5 (stt length buckets 0.5/1/2/4/8 s)
+    assert pipe.prewarm(max_phonemes=64) == 13
     assert tts.warmed == 64
+
+
+def test_transcribe_buckets_audio_length():
+    """The STS transcribe stage rounds utterances up to geometric length
+    buckets with silence — turn-to-turn 0.15 s length jitter must not
+    produce first-seen STT input shapes (each one is a serve-time compile
+    stall on TPU)."""
+    seen = []
+
+    class LenSTT:
+        def generate(self, audio, **kw):
+            seen.append(audio.size)
+
+            class R:
+                text = "ok"
+
+            return R()
+
+    pipe = VoicePipeline(stt_model=LenSTT(), llm=lambda t: t,
+                         tts_model=object())
+    sr = pipe.config.sample_rate
+    for secs in (2.55, 2.70, 2.55, 3.95):
+        assert pipe.transcribe(
+            np.zeros(int(secs * sr), dtype=np.float32)) == "ok"
+    assert seen == [4 * sr, 4 * sr, 4 * sr, 4 * sr]
+    # over the last bucket: passed through unpadded
+    pipe.transcribe(np.zeros(31 * sr, dtype=np.float32))
+    assert seen[-1] == 31 * sr
 
 
 def test_chat_lm_hf_config_mapping():
