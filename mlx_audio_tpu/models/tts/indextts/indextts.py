@@ -40,6 +40,11 @@ from .vocoder import (
     log_mel_spectrogram,
 )
 
+# max rows per batched BigVGAN synthesis call (see generate_batch): the
+# grouped-dispatch win saturates well below this, while activations for
+# a 32-row group exceed the 16 GB chip next to the resident GPT
+VOCODER_SUB_BATCH = 16
+
 
 @dataclass
 class GPTConfig:
@@ -337,11 +342,22 @@ class Model(Module):
         # into per-length groups.  Full-budget/served batches of similar
         # texts collapse to a single dispatch (docs/PERF.md IndexTTS).
         lengths = [len(latents[i][: max_tokens + 1]) for i in range(b)]
-        groups: Dict[int, list] = {}
+        length_groups: Dict[int, list] = {}
         for i in range(b):
-            groups.setdefault(lengths[i], []).append(i)
+            length_groups.setdefault(lengths[i], []).append(i)
+        # cap the vocoder sub-batch: BigVGAN's 1024x-upsampled conv
+        # activations scale with rows and a 32-row group OOMs the 16 GB
+        # chip next to the resident GPT (20.75G requested, r5 probe) —
+        # 16 keeps the dispatch-batching win with bounded activations
+        # (same shape as the Dia DAC cap, dia/audio.py)
+        cap = VOCODER_SUB_BATCH
+        groups = {
+            (n, j): idxs[j * cap: (j + 1) * cap]
+            for n, idxs in length_groups.items()
+            for j in range(-(-len(idxs) // cap))
+        }
         audios: Dict[int, np.ndarray] = {}
-        for n, idxs in groups.items():
+        for (n, _), idxs in groups.items():
             stack = jnp.asarray(
                 np.stack([np.stack(latents[i][:n]) for i in idxs]),
                 dtype=jnp.float32)                      # [G, n, D]

@@ -145,6 +145,28 @@ def test_indextts_generate_e2e():
     assert r.token_count >= 1
 
 
+def test_vocoder_sub_batch_cap_is_exact(monkeypatch):
+    """Capped BigVGAN sub-batches (the 16-row OOM guard) must produce
+    audio identical to one whole-group call — splitting a group changes
+    dispatch count only, never values."""
+    import mlx_audio_tpu.models.tts.indextts.indextts as it
+
+    model = Model(tiny_model_config(), tokenizer=_FakeSpm())
+    ref_mel = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 21, 16)),
+        dtype=jnp.float32)
+    texts = ["hello world"] * 6
+
+    monkeypatch.setattr(it, "VOCODER_SUB_BATCH", 100)   # one whole group
+    whole = model.generate_batch(texts, ref_mel=ref_mel, max_tokens=8,
+                                 chunk=4, temperature=0.8, seed=0)
+    monkeypatch.setattr(it, "VOCODER_SUB_BATCH", 4)     # forces a split
+    split = model.generate_batch(texts, ref_mel=ref_mel, max_tokens=8,
+                                 chunk=4, temperature=0.8, seed=0)
+    for w, s in zip(whole, split):
+        np.testing.assert_array_equal(w.audio, s.audio)
+
+
 def test_indextts_sanitize():
     model = Model(tiny_model_config(), tokenizer=_FakeSpm())
     weights = {
