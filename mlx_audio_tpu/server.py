@@ -321,13 +321,26 @@ class DynamicBatcher:
                 kwargs = {"max_tokens": 8000}
                 if "spark" in model_repo.lower():
                     kwargs["gender"] = "female"
+                # bucket the batch dimension: each distinct row count is
+                # its own jit key downstream, so fluctuating group sizes
+                # (1..max_batch as the flush window fills) would pay a
+                # first-seen compile at serve time; power-of-two padding
+                # bounds the key count at log2(max_batch)+1 per shape
+                # bucket.  Pad rows repeat real texts and are dropped
+                # from the results (same trade the dp pad documents).
+                n = len(texts)
+                bucket_n = 1 << (n - 1).bit_length()
+                run_texts = texts + [texts[i % n]
+                                     for i in range(bucket_n - n)]
                 results = batch_fn(
-                    texts, voice=voice or None, speed=speed_value,
+                    run_texts, voice=voice or None, speed=speed_value,
                     lang_code=LANGUAGE_MAP.get(
                         language.lower(), voice[0] if voice else "a"
                     ),
                     **kwargs,
                 )
+                if results is not None and len(results) == bucket_n:
+                    results = results[: n]
             if results is not None and len(results) == len(texts):
                 for fut, r in zip(futs, results):
                     audio = np.asarray(r.audio).reshape(-1)

@@ -96,8 +96,12 @@ def test_dynamic_batcher_coalesces(tmp_path):
         batcher.close()
     assert all(r["status"] == 200 for r in results)
     assert all((tmp_path / r["filename"]).exists() for r in results)
-    # one coalesced device pass, not three
-    assert FakeBatchTTSModel.batch_calls == [["text 0", "text 1", "text 2"]]
+    # one coalesced device pass, not three — padded to the power-of-two
+    # batch bucket (a 3-row group would otherwise be its own jit key
+    # next to the 2- and 4-row ones); the pad row repeats a real text
+    # and its result is dropped
+    assert FakeBatchTTSModel.batch_calls == [
+        ["text 0", "text 1", "text 2", "text 0"]]
     assert batcher.last_batch_size == 3
 
 
