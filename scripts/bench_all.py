@@ -88,26 +88,36 @@ def main():
                         "--batch", "8"])
         )
     if "sts" in fams:
+        # --prewarm is the serving configuration (docs/PERF.md round-5b)
         report["sts"] = run_json(
-            ["scripts/bench_sts.py", "--json", "--turns", it])
+            ["scripts/bench_sts.py", "--json", "--turns", it, "--prewarm"])
     if "parakeet" in fams:
         report["parakeet"] = run_json(
             ["scripts/bench_parakeet.py", "--json", "--iters", it])
     if "bark" in fams:
+        # b16 is the single-chip capacity sweet spot (b32 OOMs the
+        # coarse caches, docs/PERF.md)
         report["bark"] = run_json(
-            ["scripts/bench_bark.py", "--json", "--iters", "3"])
+            ["scripts/bench_bark.py", "--json", "--iters", "3",
+             "--batch", "16"])
     if "dia" in fams:
-        report["dia"] = run_json(
-            ["scripts/bench_dia.py", "--json", "--iters", "3"])
+        report["dia"] = (
+            run_json(["scripts/bench_dia.py", "--json", "--iters", "3"])
+            + run_json(["scripts/bench_dia.py", "--json", "--iters", "3",
+                        "--batch", "32"])
+        )
     if "indextts" in fams:
-        report["indextts"] = run_json(
-            ["scripts/bench_indextts.py", "--json", "--iters", "3"])
+        report["indextts"] = (
+            run_json(["scripts/bench_indextts.py", "--json", "--iters", "3"])
+            + run_json(["scripts/bench_indextts.py", "--json", "--iters",
+                        "3", "--batch", "16"])
+        )
     if "spark" in fams:
         report["spark"] = run_json(
             ["scripts/bench_spark.py", "--json", "--iters", "3"])
         report["spark"] += run_json(
             ["scripts/bench_spark.py", "--json", "--iters", "3",
-             "--batch", "8"])
+             "--batch", "32"])
     if "voxtral" in fams:
         report["voxtral"] = run_json(
             ["scripts/bench_voxtral.py", "--json", "--iters", "3"])
